@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Relational surface beyond the reference's own operators (the reference
+  * has no windows/sorts/set-ops — SURVEY §2.7); all stock Catalyst, all
+  * oracle-checked. TPC-H-style headliners double as the bench workload. */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,10)")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- window: top-k per group ----------------------------------------
+    QueryDef("q16_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"), col("rn"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS okey, rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+             |  FROM orders) t WHERE rn <= 3""".stripMargin)),
+
+    // ---- window: running sum (exact via decimal) ------------------------
+    QueryDef("q17_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("running"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS okey,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+             |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+             |FROM orders""".stripMargin)),
+
+    // ---- global sort + limit (deterministic tie-break) ------------------
+    QueryDef("q18_sort_limit",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lineno"),
+          col("l_extendedprice").as("price"))
+        .limit(100),
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS lineno, l_extendedprice AS price
+             |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // ---- anti join: customers with no orders ----------------------------
+    QueryDef("q19_anti_join",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("custkey")),
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ---- semi join: high-balance customers having orders ----------------
+    QueryDef("q20_semi_join",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 7500.0)
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal")),
+      Some("""SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer
+             |WHERE c_acctbal > CAST(7500 AS DOUBLE)
+             |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ---- rollup ----------------------------------------------------------
+    QueryDef("q21_rollup",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+        .agg(sum(Exact.money(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- pivot via conditional aggregation ------------------------------
+    QueryDef("q22_pivot",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus").as("lstatus"))
+        .agg(
+          sum(when(col("l_returnflag") === "A", Exact.money(col("l_quantity"))).otherwise(Exact.money(lit(0)))).cast("double").as("qty_a"),
+          sum(when(col("l_returnflag") === "N", Exact.money(col("l_quantity"))).otherwise(Exact.money(lit(0)))).cast("double").as("qty_n"),
+          sum(when(col("l_returnflag") === "R", Exact.money(col("l_quantity"))).otherwise(Exact.money(lit(0)))).cast("double").as("qty_r")),
+      Some("""SELECT l_linestatus AS lstatus,
+             |       CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_a,
+             |       CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_n,
+             |       CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_r
+             |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // ---- exact distinct count -------------------------------------------
+    QueryDef("q23_distinct_count",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(countDistinct(col("l_partkey")).as("parts")),
+      Some("""SELECT l_returnflag AS rflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- TPC-H Q1: pricing summary --------------------------------------
+    QueryDef("q24_tpch_q1",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= expr("TIMESTAMP'2000-12-01 00:00:00'"))
+        val disc = Exact.revenue(col("l_extendedprice"), col("l_discount"))
+        val charge = disc * Exact.onePlus(col("l_tax"))
+        li.groupBy(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+          .agg(
+            sum(Exact.money(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(Exact.money(col("l_extendedprice"))).cast("double").as("sum_base"),
+            sum(disc).cast("double").as("sum_disc"),
+            sum(charge).cast("double").as("sum_charge"),
+            (sum(Exact.money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(Exact.money(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+            (sum(Exact.rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+             |  CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc,
+             |  CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")} * ${Exact.onePlusSql("l_tax")}) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- TPC-H Q3: shipping priority ------------------------------------
+    QueryDef("q25_tpch_q3",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") < expr("TIMESTAMP'2000-01-01 00:00:00'"))
+        val l = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") > expr("TIMESTAMP'2000-01-01 00:00:00'"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey").as("okey"))
+          .agg(sum(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("okey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey AS okey,
+             |       CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, okey LIMIT 10""".stripMargin)),
+
+    // ---- TPC-H Q5: local supplier volume --------------------------------
+    QueryDef("q26_tpch_q5",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        val sup = Tables.load(s, dir, "supplier")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(sum(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+      },
+      Some(s"""SELECT n_name AS nation,
+             |       CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY n_name""".stripMargin)))
+}
