@@ -24,7 +24,7 @@ object SparkEntry {
   }
 
   private val registry: Seq[QueryDef] =
-    CoreQueries.all ++ RelationalQueries.all
+    CoreQueries.all ++ RelationalQueries.all ++ PipelineQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

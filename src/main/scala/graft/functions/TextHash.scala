@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine text hashing primitives.
+  *
+  * Murmur/xxhash differ between engines, so every hash here is a plain
+  * polynomial over code points in bigint arithmetic mod P — bit-identical
+  * in Spark and the DuckDB oracle. Each Spark `Column` builder has a SQL
+  * renderer kept in exact operation-order lockstep; change them together.
+  *
+  * Fold convention (DuckDB's `list_reduce` takes no initial value): the
+  * seed is the FIRST element, the fold runs over the rest. The Spark side
+  * reproduces that with `slice` + `aggregate`.
+  */
+object TextHash {
+
+  /** Modulus for all polynomial hashes (largest 10-digit prime). */
+  val P = 1000000007L
+
+  // ---- polynomial char hash ------------------------------------------------
+
+  /** h(s) = fold over code points c_i: acc = (acc*31 + c_i) mod P, seeded
+    * with c_1. Nonempty input only. */
+  def polyHash(c: Column): Column = {
+    val codes = transform(split(c, ""), ch => ascii(ch).cast("long"))
+    aggregate(
+      slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+      element_at(codes, 1),
+      (acc, x) => (acc * 31 + x) % P)
+  }
+
+  def polyHashSql(c: String): String =
+    s"list_reduce(list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT)), (a, b) -> (a*31 + b) % $P)"
+
+  // ---- tokens & word hashes ------------------------------------------------
+
+  /** Single-space tokenization (the documents corpus is single-spaced). */
+  def tokens(c: Column): Column = split(c, " ")
+  def tokensSql(c: String): String = s"string_split($c, ' ')"
+
+  def wordHashes(c: Column): Column = transform(tokens(c), w => polyHash(w))
+  def wordHashesSql(c: String): String =
+    s"list_transform(${tokensSql(c)}, w -> ${polyHashSql("w")})"
+
+  // ---- word-trigram shingle hashes ----------------------------------------
+
+  /** Shingle hash of words (w1,w2,w3): ((h1*131 + h2) mod P * 131 + h3) mod P.
+    * Docs with < 3 tokens yield an empty array (Spark's `sequence(1,0)`
+    * DESCENDS, so the guard is load-bearing). */
+  def shingleHashes(c: Column): Column = {
+    val whs = wordHashes(c)
+    val n = size(whs)
+    when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        ((element_at(whs, i) * 131 + element_at(whs, i + 1)) % P * 131
+          + element_at(whs, i + 2)) % P))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** SQL over a column already holding the word-hash list. */
+  def shingleHashesOverSql(whs: String): String =
+    s"CASE WHEN len($whs) >= 3 THEN list_transform(generate_series(1, len($whs) - 2), " +
+      s"i -> (($whs[i]*131 + $whs[i+1]) % $P * 131 + $whs[i+2]) % $P) " +
+      s"ELSE [] END"
+
+  // ---- seeded permutation for minhash -------------------------------------
+
+  /** i-th minhash permutation: h_i(x) = ((2i+3)*x + 7i+1) mod P. */
+  def permute(i: Column, x: Column): Column =
+    ((lit(2) * i + 3) * x + lit(7) * i + 1) % P
+
+  def permuteSql(i: String, x: String): String =
+    s"((2*$i + 3)*$x + 7*$i + 1) % $P"
+}

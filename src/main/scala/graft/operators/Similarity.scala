@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Determinism: dot products are LEFT FOLDS in element order over
+  * double-cast elements (`zip_with` + `aggregate`), which both Spark and
+  * the DuckDB oracle (`list_zip` + `list_reduce`) evaluate in the same
+  * IEEE operation sequence — so cosine scores are bit-identical across
+  * engines. Float→double casts and float×float-in-double products are
+  * exact; only the running additions round, identically on both sides.
+  *
+  * Scale: brute force is the correctness baseline (still distributed — a
+  * broadcast of the query set against a partitioned corpus). The IVF path
+  * restricts each query to its coarse cell (here the `label` column), the
+  * standard way top-k survives 100 TB: the join key becomes the cell id,
+  * candidates drop by the bucket factor, and the per-partition top-k
+  * (`row_number` window) never materializes the full score matrix.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def fdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def fnorm(a: Column): Column = sqrt(fdot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    fdot(a, b) / (fnorm(a) * fnorm(b))
+
+  /** SQL renderers — operation-order lockstep with the Column forms. */
+  def fdotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+  def fnormSql(a: String): String = s"sqrt(${fdotSql(a, a)})"
+  def cosineSql(a: String, b: String): String =
+    s"(${fdotSql(a, b)} / (${fnormSql(a)} * ${fnormSql(b)}))"
+
+  /** (vec_id, norm) — vector plumbing sanity. */
+  def norms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), fnorm(col("embedding")).as("norm"))
+
+  /** Brute-force cosine top-k: every query (a small broadcast side)
+    * against the whole corpus; per-query top-k via a rank window with a
+    * (cosine desc, vec_id) deterministic tie-break. Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style top-k with nprobe=1: candidates restricted to the query's
+    * coarse cell (`label`). The join key is the cell id — the scale path. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val scored = corpus.join(q,
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: cos ≥ threshold, blocked by
+    * the coarse cell (near-dups share a cell at any sane quantizer). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
+    embeddings.as("a").join(embeddings.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+
+/** Text-analysis operators for training-data curation: token statistics,
+  * quality scoring, n-gram language identification, and document
+  * fingerprinting. All narrow (per-row) — zero shuffle at any scale — and
+  * all deterministic arithmetic so the DuckDB oracle can hash-check them.
+  */
+object TextAnalysis {
+
+  /** Profile word sets for the marker-based language-ID heuristic (the
+    * n-gram-profile method of Cavnar–Trenkle reduced to word unigrams;
+    * profiles tuned to the synthetic corpus vocabulary). */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("table", "row", "column", "key", "the"),
+    "de" -> Seq("stream", "batch", "window", "join", "merge"),
+    "fr" -> Seq("query", "filter", "sort", "agg", "scan"))
+
+  private def toks(c: Column): Column = TextHash.tokens(c)
+
+  /** (doc_id, n_tokens, n_distinct, ttr) — type-token ratio per doc. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks(col("text"))).as("n_tokens"),
+      size(array_distinct(toks(col("text")))).as("n_distinct"),
+      (size(array_distinct(toks(col("text")))).cast("double")
+        / size(toks(col("text"))).cast("double")).as("ttr"))
+
+  /** Quality score: blend of type-token ratio, non-stopword mass, and a
+    * length prior. Single-spaced corpus ⇒ avg token length is derivable
+    * from char count. Composite stays in one fixed double-op order. */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t).cast("double")
+    val nStop = size(filter(t, w => w.isInCollection(stopwords))).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val stopRatio = nStop / n
+    val lenPrior = least(n / lit(100.0), lit(1.0))
+    docs.select(col("doc_id"),
+      size(t).as("n_tokens"),
+      stopRatio.as("stop_ratio"),
+      (ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 + lenPrior * 0.2).as("quality"))
+  }
+
+  /** Marker-profile language ID: score = marker hits per profile, predict
+    * the first profile achieving the max (first-wins ties, same CASE
+    * cascade shape as the k-means assignment). */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val scores = profiles.map { case (lang, words) =>
+      size(filter(t, w => w.isInCollection(words))).as(s"s_$lang")
+    }
+    val cols = profiles.map { case (lang, _) => col(s"s_$lang") }
+    val pred = profiles.init.zipWithIndex.foldRight(lit(profiles.last._1)) {
+      case (((lang, _), i), els) =>
+        val beats = cols.drop(i + 1).map(c => cols(i) >= c).reduce(_ && _)
+        when(beats, lang).otherwise(els)
+    }
+    docs.select(col("doc_id") +: scores: _*)
+      .withColumn("pred_lang", pred)
+  }
+
+  /** Document fingerprints: rolling polynomial hash (locality-free content
+    * id in bigint space) + md5 (collision-safe content id). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextHash.polyHash(col("text")).as("poly_fp"),
+      md5(col("text")).as("md5_fp"))
+}

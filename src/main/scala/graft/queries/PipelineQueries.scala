@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextHash
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamOps
+
+/** Training-data pipeline queries: dedup (exact / MinHash+LSH / SimHash /
+  * n-gram Jaccard / embedding-cosine), similarity search (brute-force +
+  * IVF), text analysis, multimodal plumbing, and the streaming shape's
+  * batch equivalent. Every oracle is deterministic integer / fixed-order
+  * double arithmetic (see TextHash / Similarity scaladoc).
+  */
+object PipelineQueries {
+
+  import TextHash.P
+
+  // ---- shared SQL CTE fragments (lockstep with the Dedup operators) -------
+
+  /** Mirror of [[Dedup.withNearDuplicates]]. */
+  private val nearDupCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text, source
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Mirror of [[Dedup.withExactDuplicates]]. */
+  private val exactDupCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text, source
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Shingle CTEs over `corpus`: tok(whs), sh(shs). */
+  private val shingleCtes =
+    s"""tok AS (SELECT doc_id, source, ${TextHash.wordHashesSql("text")} AS whs FROM corpus),
+       |sh AS (SELECT doc_id, source, ${TextHash.shingleHashesOverSql("whs")} AS shs FROM tok)""".stripMargin
+
+  /** MinHash signature CTE over `sh`: sig(doc_id, i, mh). */
+  private val sigCte =
+    s"""g AS (SELECT unnest(generate_series(0, 15)) AS i),
+       |sig AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |               list_min(list_transform(shs, s -> ${TextHash.permuteSql("i", "s")})) AS mh
+       |        FROM sh, g WHERE len(shs) > 0)""".stripMargin
+
+  /** Distinct-shingle + per-doc-size + pair-intersection CTEs over `sh`.
+    * `blocked` adds the same-source blocking predicate (q41); the LSH
+    * verify path (q43) is unblocked. */
+  private def jaccardCtes(blocked: Boolean): String = {
+    val blockPred = if (blocked) " AND a.source = b.source" else ""
+    s"""dsh AS (SELECT doc_id, source, unnest(list_distinct(shs)) AS s FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |          FROM dsh a JOIN dsh b ON a.s = b.s$blockPred AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni,
+       |               CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jacc
+       |        FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+  }
+
+  private val tokCte = "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ==== text analysis ====================================================
+
+    QueryDef("q30_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $tokCte
+             |SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+             |       CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct,
+             |       CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr
+             |FROM t""".stripMargin)),
+
+    QueryDef("q31_quality_score",
+      (s, dir) => TextAnalysis.qualityScore(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $tokCte
+             |SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+             |       CAST(len(list_filter(tk, w -> w IN ('the', 'a'))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+             |       (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 0.5
+             |         + (1.0 - CAST(len(list_filter(tk, w -> w IN ('the', 'a'))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 0.3
+             |         + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+             |FROM t""".stripMargin)),
+
+    QueryDef("q32_langid",
+      (s, dir) => TextAnalysis.langId(Tables.load(s, dir, "documents")),
+      Some {
+        val scores = TextAnalysis.profiles.map { case (lang, words) =>
+          s"CAST(len(list_filter(tk, w -> w IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_$lang"
+        }.mkString(",\n       ")
+        val langs = TextAnalysis.profiles.map(_._1)
+        val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+          val conds = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH $tokCte,
+           |sc AS (SELECT doc_id, $scores FROM t)
+           |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+           |       CASE $cases ELSE '${langs.last}' END AS pred_lang
+           |FROM sc""".stripMargin
+      }),
+
+    QueryDef("q33_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(Tables.load(s, dir, "documents")),
+      Some(s"""SELECT doc_id, ${TextHash.polyHashSql("text")} AS poly_fp, md5(text) AS md5_fp
+             |FROM documents""".stripMargin)),
+
+    // ==== deduplication ====================================================
+
+    QueryDef("q40_dedup_exact",
+      (s, dir) => Dedup.exactDuplicateGroups(
+        Dedup.withExactDuplicates(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH $exactDupCorpus
+             |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+             |       min(doc_id) AS canonical_id
+             |FROM corpus GROUP BY 1 HAVING count(*) >= 2""".stripMargin)),
+
+    QueryDef("q41_ngram_jaccard",
+      (s, dir) => Dedup.jaccardPairs(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents")), 0.5),
+      Some(s"""WITH $nearDupCorpus,
+             |$shingleCtes,
+             |${jaccardCtes(blocked = true)}
+             |SELECT id_a, id_b, inter, uni, jacc FROM jac WHERE jacc >= 0.5""".stripMargin)),
+
+    QueryDef("q42_minhash_sig",
+      (s, dir) => Dedup.minhashSignatures(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte
+             |SELECT doc_id, i, mh FROM sig""".stripMargin)),
+
+    QueryDef("q43_lsh_pairs",
+      (s, dir) => Dedup.minhashLshPairs(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |              AND a.doc_id < b.doc_id),
+             |${jaccardCtes(blocked = false)}
+             |SELECT c.id_a, c.id_b, j.jacc
+             |FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+             |WHERE j.jacc >= 0.5""".stripMargin)),
+
+    QueryDef("q44_simhash",
+      (s, dir) => Dedup.simhash(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some {
+        val bits = 24
+        val sums = (0 until bits).map(b =>
+          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n       ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        s"""WITH $nearDupCorpus,
+           |ex AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM corpus),
+           |sums AS (SELECT doc_id, $sums FROM ex GROUP BY 1)
+           |SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums""".stripMargin
+      }),
+
+    QueryDef("q45_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some {
+        val bits = 24
+        val sums = (0 until bits).map(b =>
+          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        s"""WITH $nearDupCorpus,
+           |ex AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM corpus),
+           |sums AS (SELECT doc_id, $sums FROM ex GROUP BY 1),
+           |sh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+           |       FROM sums s JOIN corpus c ON c.doc_id = s.doc_id)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
+      }),
+
+    // ==== similarity search ================================================
+
+    QueryDef("q50_embed_norms",
+      (s, dir) => Similarity.norms(Tables.load(s, dir, "embeddings")),
+      Some(s"""SELECT vec_id, ${Similarity.fnormSql("embedding")} AS norm
+             |FROM embeddings""".stripMargin)),
+
+    QueryDef("q51_ann_bruteforce",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+             |scored AS (SELECT query_id, vec_id, ${Similarity.cosineSql("q_emb", "embedding")} AS cos
+             |           FROM embeddings, q WHERE vec_id != query_id),
+             |r AS (SELECT query_id, vec_id, cos,
+             |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+             |      FROM scored)
+             |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10""".stripMargin)),
+
+    QueryDef("q52_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+             |           FROM embeddings WHERE vec_id < 10),
+             |scored AS (SELECT query_id, vec_id, ${Similarity.cosineSql("q_emb", "embedding")} AS cos
+             |           FROM embeddings, q WHERE label = q_label AND vec_id != query_id),
+             |r AS (SELECT query_id, vec_id, cos,
+             |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+             |      FROM scored)
+             |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""".stripMargin)),
+
+    QueryDef("q53_embed_neardup",
+      (s, dir) => Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"), 0.3),
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cos
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.3""".stripMargin)),
+
+    // ==== multimodal plumbing ==============================================
+
+    QueryDef("q60_media_features",
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.mediaTable(Tables.load(s, dir, "documents")))(s).toDF(),
+      Some("""WITH m AS (SELECT doc_id, md5(text) AS h,
+             |                 CAST(n_chars % 32 + 1 AS INTEGER) AS width,
+             |                 CAST(doc_id % 24 + 1 AS INTEGER) AS height
+             |          FROM documents),
+             |b AS (SELECT doc_id, width, height,
+             |             list_transform(generate_series(1, 16),
+             |               i -> CAST(16 * (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1)
+             |                         + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+             |      FROM m)
+             |SELECT doc_id, width, height, CAST(16 AS INTEGER) AS payload_len,
+             |       list_reduce(bytes, (a, b) -> a + b) AS byte_sum,
+             |       CAST(bytes[1] AS INTEGER) AS first_byte
+             |FROM b""".stripMargin)),
+
+    // ==== streaming shape (batch equivalent; stream path in StreamOps) =====
+
+    QueryDef("q70_stream_hourly",
+      (s, dir) => StreamOps.hourlyCounts(Tables.events(s, dir)),
+      Some("""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600 AS wstart,
+             |       event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q71_sessionize",
+      (s, dir) => StreamOps.sessionizeBatch(Tables.events(s, dir)),
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |l AS (SELECT user_id, event_id, ts,
+             |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |      FROM e),
+             |n AS (SELECT user_id, event_id, ts,
+             |             CASE WHEN prev_ts IS NULL
+             |                    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+             |                  ELSE 0 END AS new_s
+             |      FROM l),
+             |s AS (SELECT user_id, ts,
+             |             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |      FROM n)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+             |       CAST(count(*) AS INTEGER) AS n_events
+             |FROM s GROUP BY 1, 2""".stripMargin)))
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface: event-time windowed aggregation with
+  * watermarks, and custom sessionization state via mapGroupsWithState.
+  * The reference is batch-only (SURVEY §2.7); this is the engine's
+  * forward-looking stream path over the `events` table shape.
+  *
+  * Every transform here is defined against a plain DataFrame so the SAME
+  * code runs in batch (for the DuckDB oracle) and on a `readStream`
+  * source (for the streaming tests / production path).
+  */
+object StreamOps {
+
+  /** Hourly tumbling-window counts per event type. Batch and streaming
+    * share this; streaming adds the watermark at the source. Output
+    * wstart as epoch seconds (integer — cross-engine exact). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(unix_timestamp(col("w.start")).as("wstart"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** Streaming variant: 2-hour watermark bounds state; late events beyond
+    * it are dropped deterministically. */
+  def hourlyCountsStream(events: DataFrame): DataFrame =
+    hourlyCounts(events.withWatermark("ts", "2 hours"))
+
+  // ---- sessionization ------------------------------------------------------
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
+  private final case class SessionState(start: Long, end: Long, n: Int)
+
+  /** Gap-based sessionization (30-min inactivity closes a session) via
+    * mapGroupsWithState with event-time timeout — the custom-state API the
+    * engine exposes for stream logic Catalyst can't express. Emits one
+    * (possibly still-open) session summary per user per trigger. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](GroupStateTimeout.EventTimeTimeout) {
+        (user, evs, state: GroupState[SessionState]) =>
+          val times = evs.map(_.ts.getTime).toSeq.sorted
+          val prev = state.getOption
+          val merged = prev match {
+            case Some(s) if times.isEmpty => s
+            case Some(s) if times.head - s.end <= gapMs =>
+              SessionState(s.start, math.max(s.end, times.last), s.n + times.size)
+            case _ if times.nonEmpty =>
+              SessionState(times.head, times.last, times.size)
+            case _ => SessionState(0L, 0L, 0)
+          }
+          state.update(merged)
+          state.setTimeoutTimestamp(merged.end + gapMs)
+          Session(user, new Timestamp(merged.start), new Timestamp(merged.end), merged.n)
+      }
+  }
+
+  /** Batch oracle for sessionization: the classic gaps-and-islands window
+    * computation — same semantics as [[sessionize]] run to completion.
+    * Ties on ts break by event_id (cross-engine determinism); timestamps
+    * surface as epoch micros (integer — no tz ambiguity in the oracle). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(ws))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        count(lit(1)).cast("int").as("n_events"))
+      .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+}
