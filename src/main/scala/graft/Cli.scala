@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.{Analysis, KMeans}
+import graft.sources.{AssignmentIO, TweetIngest}
+
+/** Command-line entry points mirroring the reference's five mains, so a
+  * user of the reference can switch 1:1 (SURVEY §3, §7.1 `cli.scala`):
+  *
+  *   ingest   <csvIn> <featuresOut>              — kmeans.main (§3.1)
+  *   cluster  <features> <k> <outDir> [opts]     — Cluster{,2,4,5}.main (§3.2),
+  *                                                 k parameterized instead of cloned
+  *   analyze  <features> <assignments> <outDir>  — Analysis.main (§3.3)
+  *   distance <features> <assignments> <centroidIds> <outDir> — distanceCal.main
+  *   sample   <features> <k> <seed> <outDir>     — random.main
+  *
+  * cluster opts: --seeds id,id,..  --strategy medoid|mean|sampled:N
+  *               --weight W  --limit L  --max-iter N
+  * Defaults reproduce the reference run: weight 0.8 (`Cluster.java:38-41`),
+  * limit 1.5 (`Cluster.java:26`), exact medoid, reference seeds for
+  * k ∈ {2,3,4,5} (`Cluster*.java` seed blocks) when --seeds is absent.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .appName(s"graft-${args.headOption.getOrElse("help")}")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "ingest" :: csvIn :: featuresOut :: Nil =>
+      val features = TweetIngest.ingest(spark, csvIn)
+      TweetIngest.writeFeatures(features, featuresOut)
+      println(s"[graft] ingest: wrote ${spark.read.parquet(featuresOut).count()} feature rows to $featuresOut")
+
+    case "cluster" :: featuresPath :: IntArg(k) :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val features = TweetIngest.readFeatures(spark, featuresPath)
+      val seeds = o.get("seeds").map(_.split(",").map(_.trim.toLong).toSeq)
+        .orElse(Some(Seeds.forK(k)).filter(_.nonEmpty))
+        .getOrElse(KMeans.deterministicSeeds(features.toDF(), k))
+      val strategy = o.getOrElse("strategy", "medoid") match {
+        case "medoid" => Medoid
+        case "mean" => Mean
+        case s if s.startsWith("sampled:") => SampledMedoid(s.stripPrefix("sampled:").toInt)
+        case s => sys.error(s"unknown strategy: $s (medoid | mean | sampled:N)")
+      }
+      val cfg = KMeansConfig(k = k, seeds = seeds,
+        hashtagWeight = o.get("weight").map(_.toDouble).getOrElse(0.8),
+        convergenceLimit = o.get("limit").map(_.toDouble).getOrElse(1.5),
+        maxIterations = o.get("max-iter").map(_.toInt).getOrElse(20),
+        strategy = strategy)
+      val result = KMeans.run(features, cfg)
+      AssignmentIO.write(result.assignments, s"$outDir/assignments")
+      val centroidLines = result.centroids.zipWithIndex
+        .map { case (c, i) => s"$i\t${c.id}" }
+      writeText(spark, s"$outDir/centroids", centroidLines)
+      println(s"[graft] cluster: k=$k iterations=${result.iterations} converged=${result.converged}")
+      println(result.centroids.zipWithIndex
+        .map { case (c, i) => s"[graft]   centroid $i: id=${c.id} time=${c.time} tags=${c.numOfHashtags} lang=${c.language} video=${c.hasVideo}" }
+        .mkString("\n"))
+
+    case "analyze" :: featuresPath :: assignPath :: outDir :: Nil =>
+      val enriched = Analysis.enrich(
+        AssignmentIO.read(spark, assignPath),
+        TweetIngest.readFeatures(spark, featuresPath).toDF())
+      writeTsv(Analysis.groupCount(enriched), s"$outDir/group_count")
+      writeTsv(Analysis.clusterAverages(enriched), s"$outDir/cluster_averages")
+      println(s"[graft] analyze: wrote group_count + cluster_averages to $outDir")
+
+    case "distance" :: featuresPath :: assignPath :: centroidIds :: outDir :: Nil =>
+      val features = TweetIngest.readFeatures(spark, featuresPath)
+      val ids = centroidIds.split(",").map(_.trim.toLong).toSeq
+      val centroids = KMeans.resolveCentroids(features, ids).zipWithIndex
+        .map { case (f, i) => i -> f }.toMap
+      val enriched = Analysis.enrich(AssignmentIO.read(spark, assignPath), features.toDF())
+      writeTsv(Analysis.clusterSse(enriched, centroids), s"$outDir/sse")
+      println(s"[graft] distance: wrote per-cluster SSE to $outDir/sse")
+
+    case "sample" :: featuresPath :: IntArg(k) :: seed :: outDir :: Nil =>
+      val features = TweetIngest.readFeatures(spark, featuresPath)
+      val ids = KMeans.randomSeeds(features.toDF(), k, fraction = 0.6, seed = seed.toLong)
+      writeText(spark, outDir, ids.map(_.toString))
+      println(s"[graft] sample: ${ids.size} seed ids -> $outDir")
+
+    case _ =>
+      System.err.println(
+        """usage: graft.Cli <command> ...
+          |  ingest   <csvIn> <featuresOut>
+          |  cluster  <features> <k> <outDir> [--seeds id,..] [--strategy medoid|mean|sampled:N] [--weight W] [--limit L] [--max-iter N]
+          |  analyze  <features> <assignments> <outDir>
+          |  distance <features> <assignments> <id,id,..> <outDir>
+          |  sample   <features> <k> <seed> <outDir>""".stripMargin)
+      sys.exit(2)
+  }
+
+  private object IntArg {
+    def unapply(s: String): Option[Int] = s.toIntOption
+  }
+
+  private def parseOpts(opts: List[String]): Map[String, String] =
+    opts.grouped(2).collect {
+      case key :: value :: Nil if key.startsWith("--") => key.stripPrefix("--") -> value
+    }.toMap
+
+  /** S8 — TSV text sink (`TextOutputFormat` analog). */
+  private def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+  /** S9 — small driver-side text output (the legitimate version of the
+    * reference's reducer-local FileWriter, `random.java:85-115`). */
+  private def writeText(spark: SparkSession, path: String, lines: Seq[String]): Unit = {
+    import spark.implicits._
+    lines.toDF("line").coalesce(1).write.mode("overwrite").text(path)
+  }
+}

@@ -24,7 +24,7 @@ object TweetIngest {
     * (`kmeans.java:65-67`).
     */
   def timeBucket(time: Column): Column = {
-    val h = split(time, ":").getItem(0).cast("int")
+    val h = split(time, ":").getItem(0).try_cast("int")
     when(h.isNull, 0)
       .when(h.between(5, 12), 1)
       .when(h.between(13, 18), 2)
@@ -32,24 +32,24 @@ object TweetIngest {
       .otherwise(0)
   }
 
-  /** P5 — hashtag count (`kmeans.java:34-49`): an integer passes through,
-    * `"[]"` → 0, anything else counts comma-separated elements. An empty
-    * string yields 1, faithfully matching Java's `"".split(",").length`.
+  /** P5 — hashtag count (`kmeans.java:34-49`): a parseable int passes
+    * through (try_cast → null on failure AND on int overflow, mirroring
+    * Java's parseInt-throws), `"[]"` → 0, anything else counts
+    * comma-separated elements. An empty string yields 1, faithfully
+    * matching Java's `"".split(",").length`.
     */
   def hashtagCount(h: Column): Column =
-    when(h.rlike("^[0-9]+$"), h.cast("int"))
-      .when(h === "[]", 0)
-      .otherwise(size(split(h, ",")))
+    coalesce(h.try_cast("int"),
+      when(h === "[]", 0).otherwise(size(split(h, ","))))
 
   /** P7 — hasVideo normalization (`kmeans.java:82-87`): parseable int
     * passes through, literal `"True"` → 1, anything else → 0. */
   def hasVideoFlag(v: Column): Column =
-    when(v.rlike("^-?[0-9]+$"), v.cast("int"))
-      .when(v === "True", 1)
-      .otherwise(0)
+    coalesce(v.try_cast("int"), when(v === "True", 1).otherwise(0))
 
-  /** P8 — parse-or-zero counts (`kmeans.java:89-109`). */
-  def parseOrZero(c: Column): Column = coalesce(c.cast("int"), lit(0))
+  /** P8 — parse-or-zero counts (`kmeans.java:89-109`); try_cast keeps the
+    * swallow-and-default semantics under Spark's ANSI mode. */
+  def parseOrZero(c: Column): Column = coalesce(c.try_cast("int"), lit(0))
 
   /** S1+S2+P1-P9: read raw tweet CSV text and derive the feature table.
     *
@@ -66,7 +66,7 @@ object TweetIngest {
       .select(split(col("value"), ",(?!\\s)").as("f"))
       .filter(size(f) > 23)
       .select(
-        element_at(f, 1).cast("long").as("id"),
+        element_at(f, 1).try_cast("long").as("id"),
         hashtagCount(element_at(f, 19)).as("numOfHashtags"),
         element_at(f, 12).as("language"),
         hasVideoFlag(element_at(f, 24)).as("hasVideo"),

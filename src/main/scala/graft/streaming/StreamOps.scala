@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
 
+/** Open-session accumulator for [[StreamOps.sessionize]] (top-level: the
+  * state encoder's codegen needs a publicly constructible case class). */
+final case class SessionState(start: Long, end: Long, n: Int)
+
 /** Structured Streaming surface: event-time windowed aggregation with
   * watermarks, and custom sessionization state via mapGroupsWithState.
   * The reference is batch-only (SURVEY §2.7); this is the engine's
@@ -35,33 +39,47 @@ object StreamOps {
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
-  private final case class SessionState(start: Long, end: Long, n: Int)
 
   /** Gap-based sessionization (30-min inactivity closes a session) via
-    * mapGroupsWithState with event-time timeout — the custom-state API the
-    * engine exposes for stream logic Catalyst can't express. Emits one
-    * (possibly still-open) session summary per user per trigger. */
+    * flatMapGroupsWithState with event-time timeout — the custom-state API
+    * the engine exposes for stream logic Catalyst can't express. Closed
+    * sessions are emitted (Append); the open session per user lives in
+    * state until the watermark passes its gap deadline, then times out
+    * and is emitted. Within-trigger gaps split correctly (sequential fold
+    * over the trigger's sorted events). */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, Session](GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, evs, state: GroupState[SessionState]) =>
-          val times = evs.map(_.ts.getTime).toSeq.sorted
-          val prev = state.getOption
-          val merged = prev match {
-            case Some(s) if times.isEmpty => s
-            case Some(s) if times.head - s.end <= gapMs =>
-              SessionState(s.start, math.max(s.end, times.last), s.n + times.size)
-            case _ if times.nonEmpty =>
-              SessionState(times.head, times.last, times.size)
-            case _ => SessionState(0L, 0L, 0)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val times = evs.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
           }
-          state.update(merged)
-          state.setTimeoutTimestamp(merged.end + gapMs)
-          Session(user, new Timestamp(merged.start), new Timestamp(merged.end), merged.n)
       }
   }
 

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.TextHash
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup / text-analysis / similarity operator semantics on hand-built
+  * corpora. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("polyHash matches a hand-computed fold") {
+    // "ab" → seed 97, then (97*31 + 98) % P = 3105
+    val got = Seq("ab").toDF("t")
+      .select(TextHash.polyHash(col("t"))).collect().head.getLong(0)
+    assert(got === (97L * 31 + 98) % TextHash.P)
+  }
+
+  test("shingleHashes: <3 tokens → empty, n tokens → n-2 shingles") {
+    val got = Seq("a b", "a b c d e").toDF("t")
+      .select(size(TextHash.shingleHashes(col("t")))).collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(0, 3))
+  }
+
+  test("exact dedup groups identical texts only") {
+    val c = corpus((1, "x y z", "s"), (2, "x y z", "s"), (3, "x y w", "s"))
+    val got = Dedup.exactDuplicateGroups(c).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("n_docs") === 2L)
+    assert(got.head.getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("jaccard: identical docs → 1.0; disjoint docs absent") {
+    val c = corpus(
+      (1, "a b c d e", "s"), (2, "a b c d e", "s"), (3, "p q r s t", "s"))
+    val got = Dedup.jaccardPairs(c, 0.01).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jacc")))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("LSH catches a high-jaccard pair and skips unrelated docs") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val c = corpus(
+      (1, base, "s"), (2, base + " w13", "s"),
+      (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "s"))
+    val pairs = Dedup.minhashLshPairs(c, minJaccard = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs have hamming 0 and pair up") {
+    val c = corpus((1, "a b c d e f", "s"), (2, "a b c d e f", "s"),
+      (3, "completely different words here now", "s"))
+    val pairs = Dedup.simhashPairs(c, maxHamming = 0).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("langId predicts the dominant profile with first-wins ties") {
+    val docs = Seq(
+      (1L, "table row column key nothing"), // en markers
+      (2L, "stream batch window join xx"), // de markers
+      (3L, "zz yy xx ww vv")) // no markers → all 0 → first wins: en
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "en"))
+  }
+
+  test("cosine: parallel → 1, orthogonal → 0; topk ranks correctly") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.0f, 3.0f), 0),
+      (3L, Array(1.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[Int]("rank")))
+      .sortBy(_._3)
+    assert(got(0)._1 === 1L && got(0)._2 === 1.0)
+    assert(math.abs(got(1)._2 - math.sqrt(0.5)) < 1e-12)
+    assert(got(2)._1 === 2L && got(2)._2 === 0.0)
+  }
+}

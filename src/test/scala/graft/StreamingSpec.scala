@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming surface: the streaming plans must produce the
+  * batch answers when run to completion (stream-batch unification). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (1L, "2024-01-01 00:10:00", 10L, "click", 1.5),
+    (2L, "2024-01-01 00:40:00", 10L, "click", 2.5),
+    (3L, "2024-01-01 01:10:00", 10L, "view", 4.0),
+    (4L, "2024-01-01 01:20:00", 11L, "click", 8.0),
+    (5L, "2024-01-01 03:00:00", 10L, "click", 16.0))
+
+  test("hourly windowed counts: streaming equals batch") {
+    import spark.implicits._
+    val batchDf = events
+      .map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = StreamOps.hourlyCounts(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = StreamOps.hourlyCountsStream(streamDf)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(events.map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) })
+      query.processAllAvailable()
+      val got = spark.table("hourly").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
+  test("sessionize: flatMapGroupsWithState matches batch gaps-and-islands") {
+    import spark.implicits._
+    val batchDf = events
+      .map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // gap is "> 30 min": 00:40→01:10 is exactly 30 min → same session.
+    // user 10 → {00:10..01:10 n3}, {03:00 n1}; user 11 → {01:20 n1}
+    val batch = StreamOps.sessionizeBatch(batchDf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Int]("n_events"))).toSet
+    assert(batch === Set((10L, 1L, 3), (10L, 2L, 1), (11L, 1L, 1)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.Event]
+    val query = StreamOps.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(events.map { case (_, t, u, ty, _) => StreamOps.Event(u, ts(t), ty) })
+      query.processAllAvailable()
+      def sessions() = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"))).toSet
+      // trigger 1: user 10's in-batch gap closes the first session (n=3);
+      // open sessions (10: 03:00, 11: 01:20) remain in state
+      assert(sessions() === Set((10L, 3)))
+      // a late-hour event advances the watermark past both gap deadlines →
+      // event-time timeouts flush the open sessions
+      stream.addData(StreamOps.Event(12L, ts("2024-01-01 10:00:00"), "click"))
+      query.processAllAvailable()
+      assert(sessions() === Set((10L, 3), (10L, 1), (11L, 1)))
+    } finally query.stop()
+  }
+}
