@@ -22,14 +22,14 @@ object TextHash {
   // ---- polynomial char hash ------------------------------------------------
 
   /** h(s) = fold over code points c_i: acc = (acc*31 + c_i) mod P, seeded
-    * with c_1. Nonempty input only. */
-  def polyHash(c: Column): Column = {
-    val codes = transform(split(c, ""), ch => ascii(ch).cast("long"))
-    aggregate(
-      slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
-      element_at(codes, 1),
-      (acc, x) => (acc * 31 + x) % P)
-  }
+    * with c_1. Nonempty input only. Backed by the native codegen'd
+    * expression (org.apache.spark.sql.graftnative.PolyHash); the
+    * equivalent fold form —
+    * `aggregate(slice(codes,2,n-1), codes[1], (acc,x) -> (acc*31+x)%P)`
+    * over `transform(split(c,''), ascii)` — is interpreted per row and
+    * ~100× slower. */
+  def polyHash(c: Column): Column =
+    org.apache.spark.sql.graftnative.TextHashExpressions.polyHash(c)
 
   def polyHashSql(c: String): String =
     s"list_reduce(list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT)), (a, b) -> (a*31 + b) % $P)"
@@ -40,24 +40,20 @@ object TextHash {
   def tokens(c: Column): Column = split(c, " ")
   def tokensSql(c: String): String = s"string_split($c, ' ')"
 
-  def wordHashes(c: Column): Column = transform(tokens(c), w => polyHash(w))
+  def wordHashes(c: Column): Column =
+    org.apache.spark.sql.graftnative.TextHashExpressions.wordHashes(c)
   def wordHashesSql(c: String): String =
     s"list_transform(${tokensSql(c)}, w -> ${polyHashSql("w")})"
 
   // ---- word-trigram shingle hashes ----------------------------------------
 
   /** Shingle hash of words (w1,w2,w3): ((h1*131 + h2) mod P * 131 + h3) mod P.
-    * Docs with < 3 tokens yield an empty array (Spark's `sequence(1,0)`
-    * DESCENDS, so the guard is load-bearing). */
-  def shingleHashes(c: Column): Column = {
-    val whs = wordHashes(c)
-    val n = size(whs)
-    when(n >= 3,
-      transform(sequence(lit(1), n - 2), i =>
-        ((element_at(whs, i) * 131 + element_at(whs, i + 1)) % P * 131
-          + element_at(whs, i + 2)) % P))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    * Docs with < 3 tokens yield an empty array. Native one-pass expression:
+    * the composable form (`transform(sequence(1,n-2), i -> f(whs[i..i+2]))`)
+    * re-evaluates the whole word-hash subtree per element reference —
+    * quadratic per document and interpreted. */
+  def shingleHashes(c: Column): Column =
+    org.apache.spark.sql.graftnative.TextHashExpressions.shingleHashes(c)
 
   /** SQL over a column already holding the word-hash list. */
   def shingleHashesOverSql(whs: String): String =

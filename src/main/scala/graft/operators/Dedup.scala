@@ -71,7 +71,10 @@ object Dedup {
     * partition key the pipeline already has). Output:
     * (id_a, id_b, inter, uni, jacc) for jacc ≥ minJaccard. */
   def jaccardPairs(corpus: DataFrame, minJaccard: Double): DataFrame = {
-    val dsh = distinctShingles(corpus).cache()
+    // dsh is used twice (sizes + self-join); recomputing the native
+    // shingle expression is cheaper than pinning a cache for the life of
+    // the session (an un-unpersistable cache degrades later queries).
+    val dsh = distinctShingles(corpus)
     val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = dsh.as("a").join(dsh.as("b"),
         col("a.s") === col("b.s") && col("a.source") === col("b.source")
@@ -119,28 +122,26 @@ object Dedup {
       .distinct()
 
   /** Full pipeline: shingle → minhash → band → bucket-join → exact-Jaccard
-    * verify. Output (id_a, id_b, jacc) with jacc ≥ minJaccard. */
+    * verify. Output (id_a, id_b, jacc) with jacc ≥ minJaccard.
+    *
+    * Verification is candidate-only: each surviving pair fetches the two
+    * docs' distinct-shingle SETS (array columns) and intersects them
+    * per row (`array_intersect`) — O(candidates), never the all-pairs
+    * shingle join (whose intermediate is Σ_s count(s)², explosive on
+    * low-entropy corpora). Same jacc values as the join formulation. */
   def minhashLshPairs(corpus: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 4, minJaccard: Double = 0.5): DataFrame = {
     val cand = lshCandidates(lshBands(minhashSignatures(corpus, numHashes), rowsPerBand))
-    val verified = jaccardPairsAll(corpus)
-    cand.join(verified, Seq("id_a", "id_b"))
-      .filter(col("jacc") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jacc"))
-  }
-
-  /** Jaccard for verification, unblocked (candidates are already few). */
-  private def jaccardPairsAll(corpus: DataFrame): DataFrame = {
-    val dsh = distinctShingles(corpus)
-    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    dsh.as("a").join(dsh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    val sets = shingled(corpus).select(col("doc_id"),
+      array_distinct(col("shs")).as("set"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    val uni = size(col("set_a")) + size(col("set_b")) - inter
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jacc"))
+        (inter.cast("double") / uni.cast("double")).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
   }
 
   // ---- SimHash -------------------------------------------------------------

@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass implementations of the engine's deterministic text hashes
+  * (polynomial char hash / word hashes / word-trigram shingle hashes —
+  * semantics defined in `graft.functions.TextHash`, mirrored by the
+  * DuckDB oracle SQL).
+  *
+  * Why native: the composable Column forms nest HigherOrderFunctions
+  * (`transform(split(...), w -> aggregate(...))`), which Catalyst
+  * interprets per row, and the shingle window re-evaluates the whole
+  * word-hash subtree per `element_at` reference — quadratic per document.
+  * These expressions hash a document in one linear pass; codegen emits a
+  * static call, keeping the surrounding operators in whole-stage codegen.
+  *
+  * Exactness contract (oracle relies on it): tokenization is a plain
+  * split on U+0020 keeping empty tokens (Spark `split(text, ' ')` with
+  * limit -1 ≡ DuckDB `string_split(text, ' ')`); per-token fold is over
+  * Unicode code points seeded with the first (≡ `ascii()` over
+  * `string_split(w, '')` chars + `list_reduce`); all arithmetic is Long
+  * mod P. An empty token hashes to 0 (unreachable on single-spaced
+  * corpora; the fold form is undefined there too).
+  */
+object TextHashOps {
+  val P = 1000000007L
+
+  def polyHashString(s: String): Long = {
+    if (s.isEmpty) return 0L
+    var acc = -1L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = if (acc < 0) cp.toLong else (acc * 31 + cp) % P
+    }
+    acc
+  }
+
+  def polyHash(s: UTF8String): Long = polyHashString(s.toString)
+
+  private def wordHashArray(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    // split on single space, keeping empty tokens (limit -1 semantics)
+    val words = str.split(" ", -1)
+    val out = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) { out(i) = polyHashString(words(i)); i += 1 }
+    out
+  }
+
+  def wordHashes(s: UTF8String): ArrayData =
+    new GenericArrayData(wordHashArray(s))
+
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val w = wordHashArray(s)
+    if (w.length < 3) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](w.length - 2)
+    var i = 0
+    while (i < w.length - 2) {
+      out(i) = ((w(i) * 131 + w(i + 1)) % P * 131 + w(i + 2)) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+sealed abstract class TextHashExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  /** Fully-qualified static call target for codegen. */
+  protected def staticCall: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.TextHashOps.$staticCall($c);")
+}
+
+/** Polynomial code-point hash of a whole string (document fingerprint). */
+case class PolyHash(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+  override protected def staticCall: String = "polyHash"
+  override def nullSafeEval(s: Any): Any =
+    TextHashOps.polyHash(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+}
+
+/** Per-token polynomial hashes: array<long>, one element per token. */
+case class WordHashes(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_wordhashes"
+  override protected def staticCall: String = "wordHashes"
+  override def nullSafeEval(s: Any): Any =
+    TextHashOps.wordHashes(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): WordHashes = copy(child = c)
+}
+
+/** Word-trigram shingle hashes: array<long>, n-2 elements (empty if n<3). */
+case class ShingleHashes(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shinglehashes"
+  override protected def staticCall: String = "shingleHashes"
+  override def nullSafeEval(s: Any): Any =
+    TextHashOps.shingleHashes(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+object TextHashExpressions {
+  def polyHash(c: Column): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c)))
+  def wordHashes(c: Column): Column =
+    ExpressionUtils.column(WordHashes(ExpressionUtils.expression(c)))
+  def shingleHashes(c: Column): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c)))
+}

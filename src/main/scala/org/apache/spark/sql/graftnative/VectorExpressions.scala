@@ -1,0 +1,91 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native dot product over two `array<float>` columns, accumulated in
+  * double, as a codegen'd Catalyst expression.
+  *
+  * Why custom: the composable form (`zip_with` + `aggregate`) is a
+  * HigherOrderFunction chain — interpreted per row, allocations per pair,
+  * and a codegen barrier. This expression is a tight fused loop inside
+  * whole-stage codegen: the difference between minutes and seconds on a
+  * million-pair similarity join, and the scale path for 100 TB ANN.
+  *
+  * Semantics are IDENTICAL to the fold form (left-to-right running double
+  * sum of per-element double products — products exact, additions round
+  * identically), so the DuckDB oracle (`list_reduce` sequential fold)
+  * still matches bit-for-bit. Null array ELEMENTS are not supported
+  * (embeddings are dense); a null array yields null.
+  *
+  * Lives under `org.apache.spark.sql` because `AbstractDataType` /
+  * `ExpressionUtils` are `private[sql]` — the standard arrangement for
+  * Spark-native expression libraries.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_fdot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sql-namespace bridge for the public wrapper in `graft.functions`. */
+object VectorExpressions {
+
+  def fdot(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVectorDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  val fdotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fdot"),
+    new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_fdot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_fdot takes exactly 2 arguments")
+      FloatVectorDot(children.head, children(1))
+    })
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = fdotFunction
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
