@@ -191,5 +191,46 @@ object RelationalQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'EUROPE'
-             |GROUP BY n_name""".stripMargin)))
+             |GROUP BY n_name""".stripMargin)),
+
+    // ---- SQL text surface: TPC-H Q6 via spark.sql over a temp view ------
+    QueryDef("q27_sql_q6",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               |                * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+               |       CAST(count(*) AS BIGINT) AS n
+               |FROM lineitem
+               |WHERE l_shipdate >= TIMESTAMP'1996-01-01 00:00:00'
+               |  AND l_shipdate < TIMESTAMP'1997-01-01 00:00:00'
+               |  AND l_discount BETWEEN 0.05 AND 0.07
+               |  AND l_quantity < 24""".stripMargin)
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             |                * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ---- cube ------------------------------------------------------------
+    QueryDef("q28_cube",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+        .agg(sum(Exact.money(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- approx distinct (HLL sketch; rows-only check — approx values
+    // are engine-specific by construction, so no DuckDB oracle) ----------
+    QueryDef("q29_approx_distinct",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+      None))
 }

@@ -87,9 +87,13 @@ class TweetIngestSpec extends SparkSpec {
     val path = new java.io.File(dir, "out").getAbsolutePath
     import spark.implicits._
     AssignmentIO.write(Seq((1L, 0), (2L, 1)).toDF("id", "cluster"), path)
+    // inject malformed lines alongside the engine-written files
+    // (P4, Cluster.java:200-202: short / junk rows are skipped)
+    Files.write(new java.io.File(path, "part-junk.csv").toPath,
+      "malformed\n3\tnot-an-int\n\t\n4\t1\n".getBytes)
     val back = AssignmentIO.read(spark, path).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
-    assert(back.toSeq === Seq((1L, 0), (2L, 1)))
+    assert(back.toSeq === Seq((1L, 0), (2L, 1), (4L, 1)))
   }
 
   test("S5 id-range scan reproduces the prefix padding (Cluster.java:66-75)") {
