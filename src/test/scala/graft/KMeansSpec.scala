@@ -90,6 +90,19 @@ class KMeansSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("golden: flagship run on sf0.001 eventFeatures is bit-stable") {
+    import spark.implicits._
+    val features = Tables.eventFeatures(spark, "/root/testdata/sf0.001").as[TweetFeatures]
+    val seeds = KMeans.deterministicSeeds(features.toDF(), 3)
+    assert(seeds === Seq(0L, 327L, 654L))
+    val r = KMeans.run(features, KMeansConfig(k = 3, seeds = seeds))
+    assert(r.iterations === 4 && r.converged)
+    assert(r.centroids.map(_.id) === Seq(563L, 659L, 365L))
+    val counts = r.assignments.groupBy("cluster").count().collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).sortBy(_._1).toSeq
+    assert(counts === Seq(0 -> 263L, 1 -> 434L, 2 -> 303L))
+  }
+
   test("sampled medoid equals exact medoid when sample covers the cluster") {
     import spark.implicits._
     val members = KMeans.assignWithFeatures(
