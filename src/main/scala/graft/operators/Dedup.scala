@@ -144,6 +144,52 @@ object Dedup {
       .filter(col("jacc") >= minJaccard)
   }
 
+  // ---- canonicalization (connected components over near-dup pairs) --------
+
+  /** Collapse a near-dup PAIR list into per-document canonical ids: each
+    * connected component of the pair graph maps every member to the
+    * component's minimum doc_id (the survivor a dedup pipeline keeps).
+    *
+    * Iterative min-label propagation — per round, every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup components are tiny: dup
+    * clusters, not social graphs). Each round is one join + one groupBy —
+    * shuffle-bounded, no driver-side graph. The loop is driver-controlled
+    * with an early stop, the same iterate-until-fixpoint shape as the
+    * k-medoids driver (SURVEY §3.2).
+    *
+    * Output: (doc_id, canonical_id) for every doc that appears in a pair
+    * (docs with no near-dups keep themselves implicitly). */
+  def canonicalAssignments(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list (both directions) + self-loops as the seed labels
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .unionAll(edges.select(col("src").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+      .cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // every node adopts min(own label, neighbors' labels)
+      val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      next.count() // materialize before comparing / unpersisting parent
+      converged = next.as("n").join(labels.as("p"), "id")
+        .filter(col("n.label") =!= col("p.label")).isEmpty
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 24-bit SimHash over token hashes (with multiplicity): bit b is set

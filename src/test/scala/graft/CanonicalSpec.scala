@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Dedup
+
+class CanonicalSpec extends SparkSpec {
+
+  test("canonical ids: min-label propagation over chained components") {
+    import spark.implicits._
+    // components: {1,2,3,4} as a chain, {10,11}, {20,21,22} via hub 20
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalAssignments(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("canonical ids compose with the LSH pipeline") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val corpus = Seq(
+      (1L, base, "s"), (2L, base + " w13", "s"), (3L, base + " w13 w14", "s"),
+      (9L, "z1 z2 z3 z4 z5 z6 z7 z8", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.minhashLshPairs(corpus, minJaccard = 0.5)
+    val canon = Dedup.canonicalAssignments(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2-3 form one near-dup component surviving as doc 1; 9 untouched
+    assert(canon.keySet === Set(1L, 2L, 3L))
+    assert(canon.values.toSet === Set(1L))
+  }
+}

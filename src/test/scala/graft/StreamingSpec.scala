@@ -43,6 +43,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream over the real events table equals batch") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val expected = StreamOps.hourlyCounts(Tables.events(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // readStream needs an explicit schema; ts arrives as nanos (legacy flag)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file streams consume a DIRECTORY; stage the single-file table
+    val stage = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val streamDf = spark.readStream.schema(schema)
+      .parquet(stage.toString)
+      .withColumn(
+        "ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val query = StreamOps.hourlyCountsStream(streamDf)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      query.awaitTermination(120000)
+      val got = spark.table("file_hourly").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState matches batch gaps-and-islands") {
     import spark.implicits._
     val batchDf = events
