@@ -12,7 +12,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink materializes every row of the full plan (count() would
+      // let Catalyst prune terminal projections — flattering but dishonest)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name $sec%.2f s")
       name -> sec

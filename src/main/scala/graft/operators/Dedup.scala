@@ -66,27 +66,37 @@ object Dedup {
 
   // ---- n-gram Jaccard ------------------------------------------------------
 
-  /** Pairwise Jaccard over distinct-shingle sets, blocked by `source` (the
-    * blocking key bounds the self-join; at scale the block is whatever
-    * partition key the pipeline already has). Output:
-    * (id_a, id_b, inter, uni, jacc) for jacc ≥ minJaccard. */
+  /** Pairwise Jaccard over distinct-shingle sets, blocked by `source`,
+    * candidates bounded by PREFIX FILTERING (the AllPairs/PPJoin family):
+    * in a global canonical shingle order (ascending hash), two sets with
+    * J ≥ τ must share an element within their first
+    * ℓ = |S| − ⌈τ·|S|⌉ + 1 shingles — so only the exploded PREFIXES join
+    * (Σ over prefix-shingle collisions, a small fraction of the full
+    * Σ count(s)² blowup on low-entropy corpora), and survivors verify
+    * exactly with one `array_intersect` per candidate pair. The output
+    * set is IDENTICAL to the naive all-pairs formulation (which the
+    * DuckDB oracle still runs at verification scale).
+    * Output: (id_a, id_b, inter, uni, jacc) for jacc ≥ minJaccard. */
   def jaccardPairs(corpus: DataFrame, minJaccard: Double): DataFrame = {
-    // dsh is used twice (sizes + self-join); recomputing the native
-    // shingle expression is cheaper than pinning a cache for the life of
-    // the session (an un-unpersistable cache degrades later queries).
-    val dsh = distinctShingles(corpus)
-    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = dsh.as("a").join(dsh.as("b"),
+    val sets = shingled(corpus).select(col("doc_id"), col("source"),
+        array_sort(array_distinct(col("shs"))).as("set"))
+      .withColumn("sz", size(col("set")))
+      .filter(col("sz") > 0)
+    val prefixLen = (col("sz") - ceil(col("sz") * minJaccard) + 1).cast("int")
+    val prefixes = sets.select(col("doc_id"), col("source"),
+      explode(slice(col("set"), lit(1), prefixLen)).as("s"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.source") === col("b.source")
           && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .select(col("id_a"), col("id_b"), col("inter"),
-        (col("sz_a") + col("sz_b") - col("inter")).as("uni"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jacc"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.cast("long").as("inter"),
+        (col("sz_a") + col("sz_b") - inter).cast("long").as("uni"),
+        (inter.cast("double") / (col("sz_a") + col("sz_b") - inter).cast("double")).as("jacc"))
       .filter(col("jacc") >= minJaccard)
   }
 

@@ -63,6 +63,15 @@ object TextAnalysis {
       .withColumn("pred_lang", pred)
   }
 
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single other non-space chars — the pre-tokenization shape BPE vocabs
+    * apply before merges, enough for the token-budget accounting a
+    * training pipeline does. Narrow regexp_count, zero shuffle. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(TextHash.tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_tokens"))
+
   /** Document fingerprints: rolling polynomial hash (locality-free content
     * id in bigint space) + md5 (collision-safe content id). */
   def fingerprints(docs: DataFrame): DataFrame =

@@ -103,6 +103,13 @@ object PipelineQueries {
            |FROM sc""".stripMargin
       }),
 
+    QueryDef("q34_token_count_bpe",
+      (s, dir) => TextAnalysis.tokenCounts(Tables.load(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+             |FROM documents""".stripMargin)),
+
     QueryDef("q33_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(Tables.load(s, dir, "documents")),
       Some(s"""SELECT doc_id, ${TextHash.polyHashSql("text")} AS poly_fp, md5(text) AS md5_fp
