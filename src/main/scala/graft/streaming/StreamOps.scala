@@ -35,6 +35,13 @@ object StreamOps {
   def hourlyCountsStream(events: DataFrame): DataFrame =
     hourlyCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Streaming exact dedup: first occurrence per key wins; state for a key
+    * is dropped once the watermark passes it (bounded memory — the
+    * streaming face of the batch `Dedup.exactDuplicateGroups`). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   // ---- sessionization ------------------------------------------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)

@@ -76,6 +76,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps first occurrence per key within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("event_id", "ts", "event_type")
+    val query = StreamOps.streamingDedup(df, Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 00:10:00"), "click"),
+        (1L, ts("2024-01-01 00:11:00"), "dup"),
+        (2L, ts("2024-01-01 00:12:00"), "view"),
+        (1L, ts("2024-01-01 00:13:00"), "dup2")))
+      query.processAllAvailable()
+      val got = spark.table("deduped").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got === Set((1L, "click"), (2L, "view")))
+    } finally query.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState matches batch gaps-and-islands") {
     import spark.implicits._
     val batchDf = events
