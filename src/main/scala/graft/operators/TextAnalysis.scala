@@ -72,6 +72,27 @@ object TextAnalysis {
       size(TextHash.tokens(col("text"))).as("ws_tokens"),
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_tokens"))
 
+  /** Deterministic train/validation/test split by content hash: bucket =
+    * polyHash(text) mod 100 → train < 90, valid < 95, else test. Content
+    * hashing (not doc_id) keeps exact duplicates in the same split — the
+    * standard leakage guard. Pure projection, zero shuffle, replayable. */
+  def hashSplit(docs: DataFrame): DataFrame = {
+    val bucket = pmod(TextHash.polyHash(col("text")), lit(100L))
+    docs.select(col("doc_id"), bucket.cast("int").as("bucket"),
+      when(bucket < 90, "train").when(bucket < 95, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  /** Token-budget accounting: whitespace + BPE-ish token totals per
+    * source — the numbers a mixture-weighting step consumes. */
+  def tokenBudget(docs: DataFrame): DataFrame =
+    tokenCounts(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens").cast("long")).as("ws_total"),
+        sum(col("bpe_tokens").cast("long")).as("bpe_total"))
+
   /** Document fingerprints: rolling polynomial hash (locality-free content
     * id in bigint space) + md5 (collision-safe content id). */
   def fingerprints(docs: DataFrame): DataFrame =

@@ -115,6 +115,25 @@ object PipelineQueries {
       Some(s"""SELECT doc_id, ${TextHash.polyHashSql("text")} AS poly_fp, md5(text) AS md5_fp
              |FROM documents""".stripMargin)),
 
+    QueryDef("q35_token_budget",
+      (s, dir) => TextAnalysis.tokenBudget(Tables.load(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             |                 CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe
+             |          FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(ws) AS BIGINT) AS ws_total, CAST(SUM(bpe) AS BIGINT) AS bpe_total
+             |FROM t GROUP BY source""".stripMargin)),
+
+    QueryDef("q36_hash_split",
+      (s, dir) => TextAnalysis.hashSplit(Tables.load(s, dir, "documents")),
+      Some(s"""SELECT doc_id,
+             |       CAST(${TextHash.polyHashSql("text")} % 100 AS INTEGER) AS bucket,
+             |       CASE WHEN ${TextHash.polyHashSql("text")} % 100 < 90 THEN 'train'
+             |            WHEN ${TextHash.polyHashSql("text")} % 100 < 95 THEN 'valid'
+             |            ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
+
     // ==== deduplication ====================================================
 
     QueryDef("q40_dedup_exact",
