@@ -178,6 +178,32 @@ object PipelineQueries {
              |FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
              |WHERE j.jacc >= 0.5""".stripMargin)),
 
+    QueryDef("q46_canonical",
+      (s, dir) => Dedup.canonicalAssignments(Dedup.minhashLshPairs(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents")))),
+      Some(s"""WITH RECURSIVE $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |              AND a.doc_id < b.doc_id),
+             |${jaccardCtes(blocked = false)},
+             |edges AS (SELECT c.id_a, c.id_b
+             |          FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+             |          WHERE j.jacc >= 0.5),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |       UNION ALL SELECT id_b, id_a FROM edges),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM bi
+             |  UNION
+             |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src)
+             |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+             |FROM reach GROUP BY src""".stripMargin)),
+
     QueryDef("q44_simhash",
       (s, dir) => Dedup.simhash(
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),

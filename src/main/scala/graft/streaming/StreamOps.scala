@@ -42,6 +42,26 @@ object StreamOps {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream inner join: clicks enriched with the
+    * purchase that follows within `windowMinutes` for the same user. Both
+    * sides carry watermarks and the join has an explicit event-time bound,
+    * so state is provably droppable — the only shape a stream-stream join
+    * is allowed to take at scale. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // ---- sessionization ------------------------------------------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)

@@ -97,6 +97,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join: clicks joined to purchases within the window, equals batch") {
+    import spark.implicits._
+    val clickRows = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10L),
+      (2L, ts("2024-01-01 02:00:00"), 10L),
+      (3L, ts("2024-01-01 00:20:00"), 11L))
+    val purchaseRows = Seq(
+      (100L, ts("2024-01-01 00:40:00"), 10L), // within 60m of click 1
+      (101L, ts("2024-01-01 04:00:00"), 10L), // beyond both windows
+      (102L, ts("2024-01-01 00:15:00"), 11L)) // BEFORE click 3 → excluded
+    def df(rows: Seq[(Long, Timestamp, Long)]) =
+      rows.toDF("event_id", "ts", "user_id")
+    val expected = StreamOps.clickToPurchase(df(clickRows), df(purchaseRows))
+      .select("click_id", "purchase_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected === Set((1L, 100L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val cs = MemoryStream[(Long, Timestamp, Long)]
+    val ps = MemoryStream[(Long, Timestamp, Long)]
+    val query = StreamOps.clickToPurchase(
+        cs.toDF().toDF("event_id", "ts", "user_id"),
+        ps.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cs.addData(clickRows); ps.addData(purchaseRows)
+      query.processAllAvailable()
+      val got = spark.table("attribution")
+        .select("click_id", "purchase_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState matches batch gaps-and-islands") {
     import spark.implicits._
     val batchDf = events
