@@ -193,6 +193,46 @@ object RelationalQueries {
              |WHERE r_name = 'EUROPE'
              |GROUP BY n_name""".stripMargin)),
 
+    // ---- TPC-H Q4 shape: priority counts with correlated EXISTS ---------
+    // (synthetic lineitem has no commit/receipt dates; "late" = shipped
+    // after the order date)
+    QueryDef("q27a_tpch_q4",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'")
+            && col("o_orderdate") < expr("TIMESTAMP'1996-04-01 00:00:00'"))
+        val l = Tables.load(s, dir, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- TPC-H Q12 shape: conditional aggregation over a join -----------
+    QueryDef("q27b_tpch_q12",
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R"))
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag").as("rflag"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag AS rflag,
+             |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_returnflag IN ('A','R')
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // ---- SQL text surface: TPC-H Q6 via spark.sql over a temp view ------
     QueryDef("q27_sql_q6",
       (s, dir) => {
