@@ -82,6 +82,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-vector int8 scalar quantization: qᵢ = round((xᵢ − min) / scale)
+    * with scale = (max − min)/255 — 4× storage cut for ANN shortlists at
+    * 100 TB (rerank on full precision). Output exploded
+    * (vec_id, i, q) for oracle checking; production would pack
+    * array<tinyint>. Constant vectors quantize to 0. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val mn = array_min(dbl)
+    val mx = array_max(dbl)
+    val scale = (mx - mn) / 255.0
+    embeddings
+      .select(col("vec_id"), posexplode(dbl).as(Seq("i", "x")), mn.as("mn"), scale.as("scale"))
+      .select(col("vec_id"), col("i").cast("int").as("i"),
+        when(col("scale") > 0.0, round((col("x") - col("mn")) / col("scale")))
+          .otherwise(0.0).cast("int").as("q"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: cos ≥ threshold, blocked by
     * the coarse cell (near-dups share a cell at any sane quantizer). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -134,6 +134,20 @@ object PipelineQueries {
              |            ELSE 'test' END AS split
              |FROM documents""".stripMargin)),
 
+    QueryDef("q37_data_quality",
+      (s, dir) => graft.operators.QualityChecks.profile(
+        Tables.load(s, dir, "documents"), Seq("doc_id", "lang", "source")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS null_frac,
+             |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |       count(DISTINCT $c) + SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = count(*) AS is_unique
+             |FROM documents""".stripMargin
+        Seq("doc_id", "lang", "source").map(one).mkString("\nUNION ALL\n")
+      }),
+
     // ==== deduplication ====================================================
 
     QueryDef("q40_dedup_exact",
@@ -280,6 +294,16 @@ object PipelineQueries {
              |FROM embeddings a JOIN embeddings b
              |  ON a.label = b.label AND a.vec_id < b.vec_id
              |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.3""".stripMargin)),
+
+    QueryDef("q54_embed_quantize",
+      (s, dir) => Similarity.quantizeInt8(Tables.load(s, dir, "embeddings")),
+      Some("""WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |           FROM embeddings),
+             |m AS (SELECT vec_id, v, list_min(v) AS mn, (list_max(v) - list_min(v)) / 255.0 AS scale FROM d),
+             |g AS (SELECT vec_id, v, mn, scale, unnest(generate_series(1, len(v))) AS j FROM m)
+             |SELECT vec_id, CAST(j - 1 AS INTEGER) AS i,
+             |       CAST(CASE WHEN scale > 0.0 THEN round((v[j] - mn) / scale) ELSE 0.0 END AS INTEGER) AS q
+             |FROM g""".stripMargin)),
 
     // ==== multimodal plumbing ==============================================
 

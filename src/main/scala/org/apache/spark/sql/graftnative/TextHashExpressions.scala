@@ -74,6 +74,10 @@ object TextHashOps {
 sealed abstract class TextHashExpression extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
+  /** Deterministic pure function of the child → a literal input
+    * constant-folds at plan time (stock Catalyst rule). */
+  override def foldable: Boolean = child.foldable
+
   /** Fully-qualified static call target for codegen. */
   protected def staticCall: String
 

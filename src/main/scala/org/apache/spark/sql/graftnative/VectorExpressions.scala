@@ -36,6 +36,9 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_fdot"
 
+  /** Pure function → literal inputs constant-fold at plan time. */
+  override def foldable: Boolean = left.foldable && right.foldable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
