@@ -266,6 +266,17 @@ object RelationalQueries {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // ---- exact interpolated percentiles ---------------------------------
+    QueryDef("q23b_percentiles",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90")),
+      Some("""SELECT l_returnflag AS rflag,
+             |       quantile_cont(l_quantity, 0.5) AS p50,
+             |       quantile_cont(l_quantity, 0.9) AS p90
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- approx distinct (HLL sketch; rows-only check — approx values
     // are engine-specific by construction, so no DuckDB oracle) ----------
     QueryDef("q29_approx_distinct",
