@@ -14,7 +14,7 @@ object SparkEntry {
     * the `Analysis` per-cluster summary over the final assignment. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001")
     val features = Tables.eventFeatures(spark, dir).as[TweetFeatures]
     val seeds = KMeans.deterministicSeeds(features.toDF(), 3)
     val result = KMeans.run(features, KMeansConfig(k = 3, seeds = seeds))

@@ -67,27 +67,57 @@ object Dedup {
   // ---- n-gram Jaccard ------------------------------------------------------
 
   /** Pairwise Jaccard over distinct-shingle sets, blocked by `source`,
-    * candidates bounded by PREFIX FILTERING (the AllPairs/PPJoin family):
-    * in a global canonical shingle order (ascending hash), two sets with
-    * J ≥ τ must share an element within their first
-    * ℓ = |S| − ⌈τ·|S|⌉ + 1 shingles — so only the exploded PREFIXES join
-    * (Σ over prefix-shingle collisions, a small fraction of the full
-    * Σ count(s)² blowup on low-entropy corpora), and survivors verify
-    * exactly with one `array_intersect` per candidate pair. The output
-    * set is IDENTICAL to the naive all-pairs formulation (which the
-    * DuckDB oracle still runs at verification scale).
+    * candidates bounded by the FULL PPJoin filter family:
+    *
+    *  - CANONICAL ORDER by ascending (document frequency, hash): each
+    *    doc's shingles are sorted rarest-first, so prefixes hold rare
+    *    shingles and corpus-wide "stop shingles" (whose collision groups
+    *    are quadratic — the classic hot-key straggler at scale) sink to
+    *    the suffixes and never join.
+    *  - PREFIX FILTER: two sets with J ≥ τ must share an element within
+    *    their first ℓ = |S| − ⌈τ·|S|⌉ + 1 shingles, so only exploded
+    *    prefixes join.
+    *  - LENGTH FILTER in the join condition: J ≥ τ forces
+    *    τ·|A| ≤ |B| and τ·|B| ≤ |A| — size-incompatible collisions are
+    *    dropped inside the join, before the candidate distinct.
+    *  - POSITIONAL FILTER: a match at (0-based) prefix positions i, j
+    *    bounds the overlap by 1 + min(|A|−i−1, |B|−j−1); candidates that
+    *    cannot reach ⌈τ/(1+τ)·(|A|+|B|)⌉ are dropped. The FIRST common
+    *    element of a qualifying pair always sits inside both prefixes and
+    *    passes this bound, so exists-semantics keeps every true pair.
+    *
+    * Survivors verify exactly with one `array_intersect` per pair, so the
+    * output set is IDENTICAL to the naive all-pairs formulation (which
+    * the DuckDB oracle still runs at verification scale). The filter
+    * constants subtract 1e-9 before ⌈·⌉ so FP rounding can only admit an
+    * extra candidate, never kill a true pair.
     * Output: (id_a, id_b, inter, uni, jacc) for jacc ≥ minJaccard. */
   def jaccardPairs(corpus: DataFrame, minJaccard: Double): DataFrame = {
-    val sets = shingled(corpus).select(col("doc_id"), col("source"),
-        array_sort(array_distinct(col("shs"))).as("set"))
-      .withColumn("sz", size(col("set")))
-      .filter(col("sz") > 0)
-    val prefixLen = (col("sz") - ceil(col("sz") * minJaccard) + 1).cast("int")
-    val prefixes = sets.select(col("doc_id"), col("source"),
-      explode(slice(col("set"), lit(1), prefixLen)).as("s"))
+    val tau = minJaccard
+    val eps = 1e-9
+    val docShingles = shingled(corpus).select(col("doc_id"), col("source"),
+      explode(array_distinct(col("shs"))).as("s"))
+    // global document frequency — the canonical-order key (one extra
+    // aggregate over the exploded shingles; vocabulary-sized output)
+    val dfreq = docShingles.groupBy("s").agg(count(lit(1)).as("df"))
+    val sets = docShingles.join(dfreq, "s")
+      .groupBy("doc_id", "source")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("oset"))
+      .select(col("doc_id"), col("source"),
+        transform(col("oset"), x => x.getField("s")).as("set"),
+        size(col("oset")).as("sz"))
+    val prefixLen = (col("sz") - ceil(col("sz") * tau - eps) + 1).cast("int")
+    val prefixes = sets.select(col("doc_id"), col("source"), col("sz"),
+      posexplode(slice(col("set"), lit(1), prefixLen)).as(Seq("pos", "s")))
+    val overlapBound = lit(1) +
+      least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
+    val alpha = ceil((col("a.sz") + col("b.sz")) * lit(tau / (1.0 + tau)) - eps)
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && col("b.sz") >= col("a.sz") * tau - eps
+          && col("a.sz") >= col("b.sz") * tau - eps
+          && overlapBound >= alpha)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val inter = size(array_intersect(col("set_a"), col("set_b")))
@@ -160,44 +190,73 @@ object Dedup {
     * connected component of the pair graph maps every member to the
     * component's minimum doc_id (the survivor a dedup pipeline keeps).
     *
-    * Iterative min-label propagation — per round, every node adopts the
-    * smallest label among itself and its neighbors; converges in
-    * O(component diameter) rounds (near-dup components are tiny: dup
-    * clusters, not social graphs). Each round is one join + one groupBy —
-    * shuffle-bounded, no driver-side graph. The loop is driver-controlled
-    * with an early stop, the same iterate-until-fixpoint shape as the
-    * k-medoids driver (SURVEY §3.2).
+    * Iterative min-label propagation WITH POINTER JUMPING: per round every
+    * node adopts min(own label, neighbors' labels, current label OF its
+    * label). The label-of-label hop halves the remaining distance to the
+    * component minimum each round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) — the same exponential shortcut as
+    * alternating large-star/small-star CC. Each round is shuffle-bounded
+    * joins + one groupBy, no driver-side graph, and exactly ONE action
+    * (a changed-label count that simultaneously materializes the round's
+    * cache and decides convergence).
+    *
+    * Handoff: the converged labels are eagerly `localCheckpoint`ed, then
+    * every iteration cache is unpersisted — the returned DataFrame is
+    * backed by its own checkpoint blocks (freed by the context cleaner
+    * once the caller drops it), holds no lineage through the loop, and
+    * leaves nothing registered in the cache manager to tax later queries.
+    *
+    * The loop runs to the fixpoint; `maxRounds` is a safety valve only and
+    * THROWS if hit unconverged (returning intermediate labels would
+    * silently break the component-minimum contract).
     *
     * Output: (doc_id, canonical_id) for every doc that appears in a pair
     * (docs with no near-dups keep themselves implicitly). */
-  def canonicalAssignments(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected edge list (both directions) + self-loops as the seed labels
+  def canonicalAssignments(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // undirected edge list (both directions); cached for the iteration only
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+    val initial = edges.select(col("src").as("id"), col("src").as("label"))
       .unionAll(edges.select(col("src").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
       .cache()
-    var converged = false
+    var labels = initial  // (id, label) view over the round's cached frame
+    var cachedRound = initial // the frame actually holding this round's cache
+    var changed = 1L
     var round = 0
-    while (!converged && round < maxRounds) {
-      // every node adopts min(own label, neighbors' labels)
-      val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+    while (changed > 0 && round < maxRounds) {
+      // neighbor-min propagation…
+      val cand = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
         .unionAll(labels)
         .groupBy("id").agg(min("label").as("label"))
+      // …then pointer jump: adopt the current label of your label (labels
+      // are always member ids of the same component, so the lookup is a
+      // self-join on the label table; monotone decreasing, so still exact)
+      val next = cand.as("c")
+        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
+          col("c.label") === col("lid"), "left")
+        .select(col("c.id").as("id"),
+          least(col("c.label"), coalesce(col("llabel"), col("c.label"))).as("label"))
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
         .cache()
-      next.count() // materialize before comparing / unpersisting parent
-      converged = next.as("n").join(labels.as("p"), "id")
-        .filter(col("n.label") =!= col("p.label")).isEmpty
-      labels.unpersist()
-      labels = next
+      // the round's single action: materializes `next` and tests the fixpoint
+      changed = next.filter(col("label") =!= col("prev")).count()
+      cachedRound.unpersist()
+      cachedRound = next
+      labels = next.select("id", "label") // plan contains the cached `next`
       round += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"canonicalAssignments did not converge in $maxRounds rounds " +
+          "(component-minimum contract would be violated)")
+    val result = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .localCheckpoint(true)
+    cachedRound.unpersist()
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    result
   }
 
   // ---- SimHash -------------------------------------------------------------
@@ -218,14 +277,48 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** Near-dup pairs by Hamming distance ≤ maxHamming, blocked by source. */
+  /** Near-dup pairs by Hamming distance ≤ maxHamming within a `source`
+    * block — via EXACT pigeonhole banding, never an all-pairs join.
+    *
+    * Split the simhash into (maxHamming + 1) bit bands: two hashes within
+    * Hamming distance maxHamming MUST agree exactly on at least one band
+    * (pigeonhole — at most maxHamming bands can contain a differing bit).
+    * Candidates therefore come from an EQUI-join on
+    * (source, band index, band bits) — a bucketed shuffle whose candidate
+    * count is near-linear on real corpora — and each candidate verifies
+    * with one `bit_count(xor)`. The output set is IDENTICAL to the naive
+    * within-source all-pairs formulation (which the DuckDB oracle still
+    * runs at verification scale); only the candidate generation changes
+    * from O(block²) to O(collisions). */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 6, bits: Int = 24): DataFrame = {
+    val numBands = maxHamming + 1
     val sh = simhash(corpus, bits)
       .join(corpus.select(col("doc_id"), col("source")), "doc_id")
-    sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+    // band b covers bits [offset_b, offset_b + len_b): sizes differ by ≤ 1
+    val bandDefs = {
+      val base = bits / numBands
+      val extra = bits % numBands
+      val lens = Seq.tabulate(numBands)(b => if (b < extra) base + 1 else base)
+      lens.scanLeft(0)(_ + _).zip(lens).zipWithIndex.map {
+        case ((off, len), idx) => (idx, off, len)
+      }
+    }
+    val bandRows = sh.select(col("doc_id"), col("source"), col("simhash"),
+        explode(array(bandDefs.map { case (idx, off, len) =>
+          struct(lit(idx).as("b"),
+            shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1)).as("v"))
+        }: _*)).as("bd"))
+      .select(col("doc_id"), col("source"), col("simhash"),
+        col("bd.b").as("b"), col("bd.v").as("v"))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v")
+          && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

