@@ -31,8 +31,13 @@ object TextHash {
   def polyHash(c: Column): Column =
     org.apache.spark.sql.graftnative.TextHashExpressions.polyHash(c)
 
+  /** Empty-string contract edge: DuckDB's `list_reduce` errors on an empty
+    * list where the native PolyHash returns 0, so the renderer guards with
+    * CASE — the two sides now agree at the edge instead of the oracle
+    * query erroring out. */
   def polyHashSql(c: String): String =
-    s"list_reduce(list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT)), (a, b) -> (a*31 + b) % $P)"
+    s"CASE WHEN $c = '' THEN 0 ELSE " +
+      s"list_reduce(list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT)), (a, b) -> (a*31 + b) % $P) END"
 
   // ---- tokens & word hashes ------------------------------------------------
 

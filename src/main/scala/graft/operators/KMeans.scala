@@ -187,9 +187,24 @@ object KMeans {
       .limit(k).collect().map(_.getLong(0)).toSeq
 
   /** A8 — seeded random k-sample of distinct ids (`random.java:29-118`,
-    * with the early-return and unseeded-Random defects fixed per §2.8.3). */
-  def randomSeeds(features: DataFrame, k: Int, fraction: Double, seed: Long): Seq[Long] =
-    features.select(col("id")).dropDuplicates("id")
-      .sample(withReplacement = false, fraction, seed)
-      .limit(k).collect().map(_.getLong(0)).toSeq
+    * with the early-return and unseeded-Random defects fixed per §2.8.3).
+    * Retries with a doubled fraction (up to 3×) if the Bernoulli sample
+    * undershoots k, then fails HERE — not rows later in KMeansConfig's
+    * `seeds.size == k` require, far from the cause. */
+  def randomSeeds(features: DataFrame, k: Int, fraction: Double, seed: Long): Seq[Long] = {
+    val distinct = features.select(col("id")).dropDuplicates("id")
+    var f = fraction
+    var ids = Seq.empty[Long]
+    var attempts = 0
+    while (ids.size < k && attempts < 3) {
+      ids = distinct.sample(withReplacement = false, math.min(f, 1.0), seed)
+        .limit(k).collect().map(_.getLong(0)).toSeq
+      f *= 2
+      attempts += 1
+    }
+    require(ids.size == k,
+      s"randomSeeds: sample yielded ${ids.size} of $k requested ids " +
+        s"(fraction $fraction tripled to ${f / 2}); table too small?")
+    ids
+  }
 }

@@ -322,21 +322,32 @@ object PipelineQueries {
 
     // ==== multimodal plumbing ==============================================
 
+    // The Spark side PNG-encodes real images and emits stats from the
+    // DECODED raster; the oracle derives the same stats arithmetically
+    // from the md5 pixel-generation formula (pixels cycle through the 16
+    // digest bytes), never touching a PNG — so any codec round-trip bug
+    // mismatches. The tail-sum CASE guards DuckDB's list_reduce, which
+    // errors on an empty slice.
     QueryDef("q60_media_features",
-      (s, dir) => Multimodal.decodeFeatures(
-        Multimodal.mediaTable(Tables.load(s, dir, "documents")))(s).toDF(),
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.decodeFeatures(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents"))).toDF()
+      },
       Some("""WITH m AS (SELECT doc_id, md5(text) AS h,
              |                 CAST(n_chars % 32 + 1 AS INTEGER) AS width,
              |                 CAST(doc_id % 24 + 1 AS INTEGER) AS height
              |          FROM documents),
-             |b AS (SELECT doc_id, width, height,
+             |b AS (SELECT doc_id, width, height, width * height AS n_px,
              |             list_transform(generate_series(1, 16),
              |               i -> CAST(16 * (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1)
              |                         + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS BIGINT)) AS bytes
              |      FROM m)
-             |SELECT doc_id, width, height, CAST(16 AS INTEGER) AS payload_len,
-             |       list_reduce(bytes, (a, b) -> a + b) AS byte_sum,
-             |       CAST(bytes[1] AS INTEGER) AS first_byte
+             |SELECT doc_id, width, height, CAST(n_px AS INTEGER) AS n_px,
+             |       CAST(n_px // 16 AS BIGINT) * list_reduce(bytes, (a, b) -> a + b)
+             |         + CASE WHEN n_px % 16 = 0 THEN 0
+             |                ELSE list_reduce(bytes[1:(n_px % 16)], (a, b) -> a + b) END AS px_sum,
+             |       CAST(bytes[1] AS INTEGER) AS first_px
              |FROM b""".stripMargin)),
 
     // ==== streaming shape (batch equivalent; stream path in StreamOps) =====

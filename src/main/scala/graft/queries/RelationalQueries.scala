@@ -233,6 +233,37 @@ object RelationalQueries {
              |WHERE l_returnflag IN ('A','R')
              |GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- TPC-H Q9 shape: product-line profit by nation and year ---------
+    // (the synthetic schema has no partsupp, so profit = revenue without
+    // the supplycost term). `part` filter pushes to the scan and the two
+    // dimension sides broadcast; the fact-side join keys are the lineitem
+    // foreign keys, so the only shuffles are the two fact equi-joins and
+    // the final partial-aggregated groupBy.
+    QueryDef("q27c_tpch_q9",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part").filter(col("p_name").contains("gear"))
+        val l = Tables.load(s, dir, "lineitem")
+        val sup = Tables.load(s, dir, "supplier")
+        val o = Tables.load(s, dir, "orders")
+        val n = Tables.load(s, dir, "nation")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("profit"))
+      },
+      Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |       CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_name LIKE '%gear%'
+             |GROUP BY n_name, year(o_orderdate)""".stripMargin)),
+
     // ---- SQL text surface: TPC-H Q6 via spark.sql over a temp view ------
     QueryDef("q27_sql_q6",
       (s, dir) => {

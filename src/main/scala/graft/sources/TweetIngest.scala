@@ -17,14 +17,24 @@ import graft.model.TweetFeatures
   */
 object TweetIngest {
 
+  /** Java `Integer.parseInt` acceptance as a Column gate: optional sign,
+    * digits only — no whitespace trimming (which Spark's `try_cast` would
+    * silently allow, an undocumented deviation flagged in round-1 advice).
+    * try_cast after the gate still yields null on int overflow, mirroring
+    * parseInt-throws. */
+  private def parseIntStrict(c: Column): Column =
+    when(c.rlike("^[+-]?[0-9]+$"), c.try_cast("int"))
+
   /** P6/F5 — categorical bucket of the publish hour (`kmeans.java:51-67`):
     * 5..12 → 1, 13..18 → 2, 21..23 or 0..1 → 3, else (2-4, 19-20,
-    * malformed) → 0. Malformed times fall to 0 via the null-safe cast, the
-    * Spark analog of the reference's swallow-and-default catch
-    * (`kmeans.java:65-67`).
+    * malformed) → 0. Faithful guards: the hour parses ONLY when the time
+    * field has exactly 3 colon-separated parts (`kmeans.java:55`) and the
+    * first part is parseInt-acceptable; anything else falls to 0, the
+    * reference's swallow-and-default catch (`kmeans.java:65-67`).
     */
   def timeBucket(time: Column): Column = {
-    val h = split(time, ":").getItem(0).try_cast("int")
+    val parts = split(time, ":")
+    val h = when(size(parts) === 3, parseIntStrict(element_at(parts, 1)))
     when(h.isNull, 0)
       .when(h.between(5, 12), 1)
       .when(h.between(13, 18), 2)
@@ -32,24 +42,29 @@ object TweetIngest {
       .otherwise(0)
   }
 
-  /** P5 — hashtag count (`kmeans.java:34-49`): a parseable int passes
-    * through (try_cast → null on failure AND on int overflow, mirroring
-    * Java's parseInt-throws), `"[]"` → 0, anything else counts
+  /** P5 — hashtag count (`kmeans.java:34-49`): a digits-only field
+    * (`matches("[0-9]+")`, `kmeans.java:38` — unsigned, no sign or
+    * whitespace) parses through, `"[]"` → 0, anything else counts
     * comma-separated elements. An empty string yields 1, faithfully
-    * matching Java's `"".split(",").length`.
+    * matching Java's `"".split(",").length`. Digits-only int OVERFLOW
+    * (where the reference's unguarded parseInt would crash the task)
+    * falls to the element count — intended-semantics fix, same family as
+    * SURVEY §2.8.
     */
   def hashtagCount(h: Column): Column =
-    coalesce(h.try_cast("int"),
+    coalesce(when(h.rlike("^[0-9]+$"), h.try_cast("int")),
       when(h === "[]", 0).otherwise(size(split(h, ","))))
 
-  /** P7 — hasVideo normalization (`kmeans.java:82-87`): parseable int
-    * passes through, literal `"True"` → 1, anything else → 0. */
+  /** P7 — hasVideo normalization (`kmeans.java:82-87`): digits-only field
+    * (`matches("[0-9]+")`) passes through, literal `"True"` → 1,
+    * anything else → 0. */
   def hasVideoFlag(v: Column): Column =
-    coalesce(v.try_cast("int"), when(v === "True", 1).otherwise(0))
+    coalesce(when(v.rlike("^[0-9]+$"), v.try_cast("int")),
+      when(v === "True", 1).otherwise(0))
 
-  /** P8 — parse-or-zero counts (`kmeans.java:89-109`); try_cast keeps the
-    * swallow-and-default semantics under Spark's ANSI mode. */
-  def parseOrZero(c: Column): Column = coalesce(c.try_cast("int"), lit(0))
+  /** P8 — parse-or-zero counts (`kmeans.java:89-109`): bare parseInt in a
+    * swallow-and-default try/catch — signed accepted, whitespace not. */
+  def parseOrZero(c: Column): Column = coalesce(parseIntStrict(c), lit(0))
 
   /** S1+S2+P1-P9: read raw tweet CSV text and derive the feature table.
     *

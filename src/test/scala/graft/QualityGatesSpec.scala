@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Registry-wide quality gates:
+  *
+  *  1. q29's HLL sketch (the one registry entry without a DuckDB oracle —
+  *     sketches are engine-private) is bounded against q23's exact
+  *     distinct counts instead of going unchecked.
+  *  2. Plan-shape regression gate: no CartesianProduct and no
+  *     BroadcastNestedLoopJoin anywhere in the registry's physical plans,
+  *     except the documented brute-force baseline (q51's broadcast
+  *     non-equi join). The round-2 rewrites turned every pair generator
+  *     into bucketed equi-joins — this pins that shape so later edits
+  *     can't silently regress to quadratic plans.
+  */
+class QualityGatesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q29 approx distinct within 5% of q23 exact per group") {
+    val exact = SparkEntry.queries("q23_distinct_count")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q29_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (g, ex) =>
+      val ap = approx(g)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"group $g: approx $ap vs exact $ex")
+    }
+  }
+
+  // queries whose construction itself runs driver-side jobs (iterative
+  // loops) — their per-round plans are covered by their own specs
+  private val iterative = Set("q46_canonical")
+  // documented brute-force baseline: broadcast non-equi join by design
+  private val bnljAllowed = Set("q51_ann_bruteforce")
+
+  test("no cartesian / nested-loop joins outside documented baselines") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if iterative(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cartesian || bnlj) Some(s"$name cartesian=$cartesian bnlj=$bnlj") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}

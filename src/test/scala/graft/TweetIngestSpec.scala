@@ -81,6 +81,32 @@ class TweetIngestSpec extends SparkSpec {
     assert((rows.head.replyCount, rows.head.retweetCount, rows.head.likeCount) === ((0, 0, -5)))
   }
 
+  test("parseInt fidelity: whitespace rejected, sign-rules per field (round-1 advice)") {
+    val rows = ingest(
+      // reply "+7": parseInt accepts the sign → 7
+      line("1", "08:00:00", "en", "+7", "0", "0", "0", "0"),
+      // time "7" (1 part) and "7:30" (2 parts) fail the t.length==3 guard → 0
+      line("2", "7", "en", "0", "0", "0", "0", "0"),
+      line("3", "7:30", "en", "0", "0", "0", "0", "0"),
+      // time "+8:00:00": parseInt accepts the sign → hour 8 → bucket 1
+      line("4", "+8:00:00", "en", "0", "0", "0", "0", "0"),
+      // hashtags "-3": fails the unsigned [0-9]+ gate → element count (1)
+      // hasVideo "+1": fails [0-9]+ and isn't "True" → 0
+      line("5", "08:00:00", "en", "0", "0", "0", "-3", "+1"))
+    assert(rows.head.replyCount === 7)
+    assert(rows.map(_.time) === Seq(1, 0, 0, 1, 1))
+    assert((rows(4).numOfHashtags, rows(4).hasVideo) === ((1, 0)))
+    // whitespace-padded fields can't survive the `,(?!\s)` line split, so
+    // pin Java-parseInt whitespace rejection at the function level:
+    // " 5" → 0 where try_cast alone would trim and accept
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val unit = Seq(" 5", "5 ", "+6", "junk").toDF("c")
+      .select(TweetIngest.parseOrZero(col("c")).as("v"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(unit === Seq(0, 0, 6, 0))
+  }
+
   test("assignment TSV round-trip drops malformed rows (P4)") {
     import graft.sources.AssignmentIO
     val dir = Files.createTempDirectory("assign").toFile
