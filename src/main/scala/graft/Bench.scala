@@ -27,13 +27,23 @@ object Bench {
     * (assign → medoid update → converge, `Cluster.java:280-389`) with
     * k=3 and 2 update rounds at the bench scale factor. The returned
     * final-assignment summary is noop-written by the harness like every
-    * other row; the iterations themselves run inside the timed call. */
+    * other row; the iterations themselves run inside the timed call.
+    *
+    * Centroid strategy is the engine's documented SCALE path
+    * (`SampledMedoid`): k=3 over the sf0.1 feature table leaves ~50k-row
+    * clusters, where the reference's exact O(n²)-per-cluster medoid is a
+    * 20+ minute single-task straggler (3 clusters = 3 tasks — the
+    * partition-starved shape `Model.scala` documents as the reason the
+    * strategy exists). 256 deterministic candidates × all members keeps
+    * the update O(n·s), fully parallel, and the medoid still exact w.r.t.
+    * the candidate set. */
   def flagshipKMedoids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val features = Tables.eventFeatures(spark, dir).as[graft.model.TweetFeatures]
     val seeds = KMeans.deterministicSeeds(features.toDF(), 3)
     val result = KMeans.run(features,
-      KMeansConfig(k = 3, seeds = seeds, maxIterations = 2))
+      KMeansConfig(k = 3, seeds = seeds, maxIterations = 2,
+        strategy = graft.model.SampledMedoid(256)))
     result.assignments.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
   }
 

@@ -78,12 +78,15 @@ object KMeans {
       l("time"), l("numOfHashtags"), l("language"), l("hasVideo"),
       r("time"), r("numOfHashtags"), r("language"), r("hasVideo"), hw)
 
-  private def medoidOf(candidates: DataFrame, members: DataFrame, hw: Double): DataFrame =
+  private def medoidOf(candidates: DataFrame, members: DataFrame, hw: Double,
+      saltBuckets: Int = 1): DataFrame =
     Medoids.compute(candidates, members, "cluster", "id",
-      Seq("time", "numOfHashtags", "language", "hasVideo"), tweetDist(hw))
+      Seq("time", "numOfHashtags", "language", "hasVideo"), tweetDist(hw), saltBuckets)
 
   /** A3 at scale — medoid over a deterministic candidate subset (id-hash
-    * order), each candidate still scored against ALL members: O(n·s). */
+    * order), each candidate still scored against ALL members: O(n·s).
+    * Salted 8 ways so a small k can't starve the cluster (Medoids
+    * scaladoc): the scale strategy should itself scale. */
   def sampledMedoids(members: DataFrame, sampleSize: Int,
       hashtagWeight: Double = 0.8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -93,7 +96,7 @@ object KMeans {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= sampleSize)
       .drop("rn")
-    medoidOf(candidates, members, hashtagWeight)
+    medoidOf(candidates, members, hashtagWeight, saltBuckets = 8)
   }
 
   /** Mean-centroid alternative (non-member centroid; language = per-cluster

@@ -48,4 +48,18 @@ class QualityGatesSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("headline filters reach the parquet scan (PushedFilters)") {
+    // a selective predicate that does not appear in the scan's
+    // PushedFilters is a full-table read wearing a Filter node
+    def pushed(name: String, fragment: String): Unit = {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+      assert(scans.contains(fragment), s"$name: no pushed filter matching '$fragment' in:\n$scans")
+    }
+    pushed("q02_range_scan", "GreaterThanOrEqual(l_orderkey")
+    pushed("q25_tpch_q3", "EqualTo(c_mktsegment")
+    pushed("q27c_tpch_q9", "StringContains(p_name,gear)")
+  }
 }
