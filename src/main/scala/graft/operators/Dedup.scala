@@ -213,9 +213,13 @@ object Dedup {
     * Output: (doc_id, canonical_id) for every doc that appears in a pair
     * (docs with no near-dups keep themselves implicitly). */
   def canonicalAssignments(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
-    // undirected edge list (both directions); cached for the iteration only
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // undirected edge list (both directions), via explode so the pair
+    // input — often an expensive LSH pipeline — is computed ONCE, not
+    // once per union branch; cached for the iteration only
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     val initial = edges.select(col("src").as("id"), col("src").as("label"))
       .unionAll(edges.select(col("src").as("id"), col("dst").as("label")))

@@ -99,4 +99,44 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       TextHash.polyHash(col("text")).as("poly_fp"),
       md5(col("text")).as("md5_fp"))
+
+  /** Repetition ratio — the Gopher/C4-family quality rule: fraction of
+    * word bigrams that are repeats of an earlier bigram in the same doc
+    * (1 − distinct/total). High values flag boilerplate/spam for
+    * filtering. The word-hash array materializes as a COLUMN first, then
+    * bigrams index into it with element_at — composing the hash inside
+    * the lambda would re-evaluate the whole subtree per element
+    * (interpreted + quadratic). `sequence(1, 0)` DESCENDS in Spark, so
+    * the < 2-token case is guarded explicitly. Narrow, zero shuffle. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import TextHash.P
+    val whs = col("whs")
+    val bigrams = when(size(whs) >= 2,
+      transform(sequence(lit(1), size(whs) - 1),
+        i => (element_at(whs, i) * 131 + element_at(whs, i + 1)) % P))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col("doc_id"), TextHash.wordHashes(col("text")).as("whs"))
+      .select(col("doc_id"), bigrams.as("bgs"))
+      .select(col("doc_id"),
+        size(col("bgs")).as("n_bigrams"),
+        size(array_distinct(col("bgs"))).as("n_distinct"),
+        when(size(col("bgs")) > 0,
+          lit(1.0) - size(array_distinct(col("bgs"))).cast("double")
+            / size(col("bgs")).cast("double"))
+          .otherwise(0.0).as("rep_ratio"))
+  }
+
+  /** Deterministic stratified sample: the first `perStratum` docs of each
+    * stratum in content-hash order (ties to doc_id) — replayable
+    * class-balanced subsets for eval sets / ablations. One shuffle on the
+    * stratum key; rank window never materializes beyond each partition. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(TextHash.polyHash(col("text")), col("doc_id"))
+    docs.select(col("doc_id"), col(stratumCol), col("text"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+      .select(col("doc_id"), col(stratumCol), col("rn"))
+  }
 }

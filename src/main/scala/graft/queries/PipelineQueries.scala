@@ -134,6 +134,30 @@ object PipelineQueries {
              |            ELSE 'test' END AS split
              |FROM documents""".stripMargin)),
 
+    QueryDef("q38_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(Tables.load(s, dir, "documents")),
+      Some(s"""WITH tok AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM documents),
+             |bg AS (SELECT doc_id,
+             |              CASE WHEN len(whs) >= 2
+             |                   THEN list_transform(generate_series(1, len(whs) - 1),
+             |                          i -> (whs[i]*131 + whs[i+1]) % $P)
+             |                   ELSE [] END AS bgs
+             |       FROM tok)
+             |SELECT doc_id, CAST(len(bgs) AS INTEGER) AS n_bigrams,
+             |       CAST(len(list_distinct(bgs)) AS INTEGER) AS n_distinct,
+             |       CASE WHEN len(bgs) > 0
+             |            THEN 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / CAST(len(bgs) AS DOUBLE)
+             |            ELSE 0.0 END AS rep_ratio
+             |FROM bg""".stripMargin)),
+
+    QueryDef("q39_stratified_sample",
+      (s, dir) => TextAnalysis.stratifiedSample(Tables.load(s, dir, "documents"), "lang", 50),
+      Some(s"""WITH r AS (SELECT doc_id, lang,
+             |                CAST(row_number() OVER (PARTITION BY lang
+             |                       ORDER BY ${TextHash.polyHashSql("text")}, doc_id) AS INTEGER) AS rn
+             |          FROM documents)
+             |SELECT doc_id, lang, rn FROM r WHERE rn <= 50""".stripMargin)),
+
     QueryDef("q37_data_quality",
       (s, dir) => graft.operators.QualityChecks.profile(
         Tables.load(s, dir, "documents"), Seq("doc_id", "lang", "source")),
@@ -349,6 +373,37 @@ object PipelineQueries {
              |                ELSE list_reduce(bytes[1:(n_px % 16)], (a, b) -> a + b) END AS px_sum,
              |       CAST(bytes[1] AS INTEGER) AS first_px
              |FROM b""".stripMargin)),
+
+    // ==== temporal: as-of join =============================================
+
+    // Each click matched to the user's most recent prior (<=) view.
+    // Spark runs the sort-merge window formulation (AsOfJoin scaladoc);
+    // DuckDB verifies with its native ASOF LEFT JOIN against a right side
+    // deduplicated per (user, ts) by highest event_id — the same tie
+    // discipline the window ordering applies.
+    QueryDef("q72_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("click_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            unix_micros(col("ts")).as("view_us"), col("value").as("view_value"))
+        graft.operators.AsOfJoin.asOf(clicks, views, "user_id", "ts",
+            Seq("view_us", "view_value"), "event_id")
+          .select(col("click_id"), col("user_id"), col("click_us"),
+            col("view_us"), col("view_value"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+             |           FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, ts, epoch_us(ts) AS click_us
+             |      FROM e WHERE event_type = 'click'),
+             |v AS (SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+             |      FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+             |SELECT c.click_id, c.user_id, c.click_us,
+             |       epoch_us(v.ts) AS view_us, v.value AS view_value
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin)),
 
     // ==== streaming shape (batch equivalent; stream path in StreamOps) =====
 
