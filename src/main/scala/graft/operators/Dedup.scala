@@ -263,6 +263,49 @@ object Dedup {
     result
   }
 
+  // ---- benchmark decontamination ------------------------------------------
+
+  /** 13-gram hashes per doc (the overlap unit the GPT-3/PaLM reports use
+    * for train-set decontamination): h = fold over 13 consecutive word
+    * hashes of (acc·131 + wh) mod P, UNROLLED into one codegen'd
+    * arithmetic expression per gram — a nested `aggregate(slice(...))`
+    * HOF would be interpreted per element. Docs under 13 tokens yield no
+    * grams. */
+  def gram13Hashes(corpus: DataFrame): DataFrame = {
+    val whs = col("whs")
+    val gram = (i: Column) => (1 until 13).foldLeft(element_at(whs, i)) {
+      case (acc, j) => (acc * 131 + element_at(whs, i + j)) % P
+    }
+    corpus.select(col("doc_id"), TextHash.wordHashes(col("text")).as("whs"))
+      .select(col("doc_id"), when(size(whs) >= 13,
+          transform(sequence(lit(1), size(whs) - 12), gram))
+        .otherwise(array().cast("array<bigint>")).as("grams"))
+  }
+
+  /** SQL mirror over a column holding the word-hash list. */
+  def gram13Sql(whs: String): String = {
+    val gram = (1 until 13).foldLeft(s"$whs[i]") {
+      case (acc, j) => s"(($acc)*131 + $whs[i+$j]) % $P"
+    }
+    s"CASE WHEN len($whs) >= 13 THEN list_transform(generate_series(1, len($whs) - 12), i -> $gram) ELSE [] END"
+  }
+
+  /** Train-set decontamination: corpus docs sharing ANY 13-gram with a
+    * benchmark/eval set. The join is an equi-join on the gram hash with
+    * the benchmark side DISTINCT and broadcastable (eval sets are tiny
+    * next to a 100 TB corpus); output is per-doc hit counts, partially
+    * aggregated map-side. Flagged docs get dropped or quarantined by the
+    * curation step downstream. */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val corpusGrams = gram13Hashes(corpus)
+      .select(col("doc_id"), explode(array_distinct(col("grams"))).as("g"))
+    val benchGrams = gram13Hashes(benchmark)
+      .select(explode(col("grams")).as("g")).distinct()
+    corpusGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 24-bit SimHash over token hashes (with multiplicity): bit b is set

@@ -172,15 +172,18 @@ object Similarity {
         explode(array(bandCols: _*)).as("bd"))
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("bd.b").as("b"), col("bd.v").as("v"))
-    val cand = bandRows.as("a").join(bandRows.as("b"),
+    // verify BEFORE dedup: a pair matching in ≤ numBands bands recomputes
+    // its (cheap, codegen'd) cosine per match, but the dedup groupBy then
+    // shuffles only the few SURVIVING pairs keyed by two longs — not
+    // every candidate keyed by its float arrays
+    bandRows.as("a").join(bandRows.as("b"),
         col("a.b") === col("b.b") && col("a.v") === col("b.v")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"),
-        col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
-      .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        (fdot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cos"))
+        (fdot(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm"))).as("cos"))
       .filter(col("cos") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("cos")).as("cos"))
   }
 }

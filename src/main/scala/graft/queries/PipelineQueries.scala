@@ -277,6 +277,29 @@ object PipelineQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
       }),
 
+    // Train-set decontamination: the near-dup corpus minus the benchmark
+    // docs, flagged by shared 13-grams with the benchmark (docs ending in
+    // the benchmark by id-rule: doc_id % 10 = 0 originals). Injected
+    // near-dup copies share long runs with their originals, so they (and
+    // any organic overlaps) must surface with exact hit counts.
+    QueryDef("q47_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = Dedup.withNearDuplicates(docs)
+          .filter(!(col("doc_id") % 10 === 0 && col("doc_id") < 1000000))
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+        Dedup.contaminatedDocs(corpus, bench)
+      },
+      Some(s"""WITH $nearDupCorpus,
+             |tokc AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM corpus
+             |         WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)),
+             |tokb AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM documents
+             |         WHERE doc_id % 10 = 0),
+             |gc AS (SELECT doc_id, unnest(list_distinct(${Dedup.gram13Sql("whs")})) AS g FROM tokc),
+             |gb AS (SELECT DISTINCT unnest(${Dedup.gram13Sql("whs")}) AS g FROM tokb)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+             |FROM gc JOIN gb USING (g) GROUP BY doc_id""".stripMargin)),
+
     // ==== similarity search ================================================
 
     QueryDef("q50_embed_norms",
