@@ -263,6 +263,27 @@ object Dedup {
     result
   }
 
+  // ---- end-to-end dedup application ---------------------------------------
+
+  /** The curation pipeline's OUTPUT — what a user actually keeps: the
+    * corpus minus exact duplicates (min-id per content hash survives)
+    * minus near-duplicate non-canonicals (LSH pairs → connected
+    * components → only each component's minimum survives). Composes
+    * [[exactDuplicateGroups]]' keep-rule, [[minhashLshPairs]] and
+    * [[canonicalAssignments]]; both removal stages are semi/anti
+    * equi-joins, so the whole pipeline stays bucketed at 100 TB.
+    * Output: (doc_id, source) of surviving docs. */
+  def dedupApply(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val keepIds = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+    val canon = canonicalAssignments(minhashLshPairs(kept, minJaccard = minJaccard))
+    val removed = canon.filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
+    kept.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   // ---- benchmark decontamination ------------------------------------------
 
   /** 13-gram hashes per doc (the overlap unit the GPT-3/PaLM reports use

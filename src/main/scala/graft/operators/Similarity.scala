@@ -99,6 +99,40 @@ object Similarity {
           .otherwise(0.0).cast("int").as("q"))
   }
 
+  /** IVF top-k with INT8-QUANTIZED first-stage scoring + exact rerank —
+    * the production shape for ANN over 100 TB of embeddings: the int8
+    * codes are 4× smaller than floats (what actually fits in cluster
+    * memory / scan bandwidth), the cheap dequantized score ranks every
+    * cell member, and the exact float cosine is computed ONLY for the
+    * `shortlist` survivors per query before the final top-k. Quantization
+    * uses [[quantizeInt8]]'s exact per-vector formula; dequantized
+    * scoring (`mn + q·scale`) is deterministic double arithmetic, so the
+    * whole two-stage cascade is oracle-checkable. */
+  def ivfQuantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    val q = broadcast(withNorm(queries).select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label"), col("norm").as("q_norm")))
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val c = corpus.select(col("vec_id"), col("label"), col("embedding"),
+        array_min(dbl).as("mn"), ((array_max(dbl) - array_min(dbl)) / 255.0).as("scale"))
+      .withColumn("qcode", when(col("scale") > 0.0,
+          transform(col("embedding"), x =>
+            round((x.cast("double") - col("mn")) / col("scale")).cast("int")))
+        .otherwise(transform(col("embedding"), _ => lit(0))))
+      .withColumn("deq", transform(col("qcode"),
+        qq => (col("mn") + qq.cast("double") * col("scale")).cast("float")))
+    val scored = c.join(q, col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"), col("q_norm"),
+        (fdot(col("deq"), col("q_emb")) / (fnorm(col("deq")) * col("q_norm"))).as("qcos"))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("vec_id"))
+    val short = scored.withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= shortlist)
+    val rer = short.select(col("query_id"), col("vec_id"),
+      (fdot(col("q_emb"), col("embedding")) / (col("q_norm") * fnorm(col("embedding")))).as("cos"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, BRUTE-FORCE baseline: exact
     * all-pairs within a `label` cell. O(cell²) — correctness yardstick for
     * [[hyperplaneLshNearDupPairs]] (which the registry uses), kept for

@@ -277,6 +277,52 @@ object PipelineQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
       }),
 
+    // The curation pipeline's end-to-end OUTPUT over a corpus carrying
+    // BOTH injected exact duplicates and injected near-duplicates:
+    // exact stage keeps min-id per content hash, near stage removes
+    // LSH-component non-canonicals. The oracle replays the whole chain —
+    // including exact-dup copies of near-dup copies collapsing in the
+    // exact stage — down to a NOT EXISTS anti-join.
+    QueryDef("q48_dedup_apply",
+      (s, dir) => Dedup.dedupApply(
+        Dedup.withNearDuplicates(Dedup.withExactDuplicates(Tables.load(s, dir, "documents")))),
+      Some(s"""WITH RECURSIVE raw AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000 AS doc_id, text, source
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |rawx AS (
+             |  SELECT doc_id, text, source FROM raw
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text, source
+             |  FROM raw WHERE doc_id % 10 = 0),
+             |keep1 AS (SELECT min(doc_id) AS doc_id FROM rawx GROUP BY md5(text)),
+             |corpus AS (SELECT r.doc_id, r.text, r.source FROM rawx r JOIN keep1 k ON r.doc_id = k.doc_id),
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |              AND a.doc_id < b.doc_id),
+             |${jaccardCtes(blocked = false)},
+             |edges AS (SELECT c.id_a, c.id_b
+             |          FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+             |          WHERE j.jacc >= 0.5),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |       UNION ALL SELECT id_b, id_a FROM edges),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM bi
+             |  UNION
+             |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+             |canon AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+             |          FROM reach GROUP BY src)
+             |SELECT c.doc_id, c.source FROM corpus c
+             |WHERE NOT EXISTS (SELECT 1 FROM canon n
+             |                  WHERE n.doc_id = c.doc_id AND n.canonical_id != n.doc_id)""".stripMargin)),
+
     // Train-set decontamination: the near-dup corpus minus the benchmark
     // docs, flagged by shared 13-grams with the benchmark (docs ending in
     // the benchmark by id-rule: doc_id % 10 = 0 originals). Injected
@@ -356,6 +402,44 @@ object PipelineQueries {
              |       ${Similarity.fdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
              |FROM n a JOIN n b ON a.vec_id < b.vec_id
              |WHERE ${Similarity.fdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.9""".stripMargin)),
+
+    // Int8 shortlist + exact rerank cascade (Similarity scaladoc): the
+    // oracle replays quantize → dequantized scoring → shortlist window →
+    // exact-cosine rerank window in lockstep.
+    QueryDef("q55_ann_quantized_rerank",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.ivfQuantizedTopK(emb.filter(col("vec_id") < 10), emb, 5, 20)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label,
+             |                ${Similarity.fnormSql("embedding")} AS q_norm
+             |           FROM embeddings WHERE vec_id < 10),
+             |c0 AS (SELECT vec_id, label, embedding,
+             |              list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+             |              (list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             |               - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS scale
+             |       FROM embeddings),
+             |c1 AS (SELECT vec_id, label, embedding, mn, scale,
+             |              CASE WHEN scale > 0.0
+             |                   THEN list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - mn) / scale) AS INTEGER))
+             |                   ELSE list_transform(embedding, x -> 0) END AS qcode
+             |       FROM c0),
+             |c2 AS (SELECT vec_id, label, embedding,
+             |              list_transform(qcode, qq -> CAST(mn + CAST(qq AS DOUBLE) * scale AS FLOAT)) AS deq
+             |       FROM c1),
+             |scored AS (SELECT query_id, vec_id, embedding, q_emb, q_norm,
+             |                  ${Similarity.fdotSql("deq", "q_emb")} / (${Similarity.fnormSql("deq")} * q_norm) AS qcos
+             |           FROM c2, q WHERE label = q_label AND vec_id != query_id),
+             |short AS (SELECT query_id, vec_id, embedding, q_emb, q_norm,
+             |                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS INTEGER) AS srank
+             |          FROM scored),
+             |rer AS (SELECT query_id, vec_id,
+             |               ${Similarity.fdotSql("q_emb", "embedding")} / (q_norm * ${Similarity.fnormSql("embedding")}) AS cos
+             |        FROM short WHERE srank <= 20),
+             |r AS (SELECT query_id, vec_id, cos,
+             |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+             |      FROM rer)
+             |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""".stripMargin)),
 
     QueryDef("q54_embed_quantize",
       (s, dir) => Similarity.quantizeInt8(Tables.load(s, dir, "embeddings")),

@@ -9,6 +9,10 @@ import java.sql.Timestamp
   * state encoder's codegen needs a publicly constructible case class). */
 final case class SessionState(start: Long, end: Long, n: Int)
 
+/** Latest-right-row state for [[StreamOps.asOfEnrich]]: the (ts, tie)
+  * maximum view seen so far for a user. */
+final case class AsOfState(ts_us: Long, tie: Long, value: Double)
+
 /** Structured Streaming surface: event-time windowed aggregation with
   * watermarks, and custom sessionization state via mapGroupsWithState.
   * The reference is batch-only (SURVEY §2.7); this is the engine's
@@ -60,6 +64,51 @@ object StreamOps {
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
+  }
+
+  // ---- streaming as-of enrichment -----------------------------------------
+
+  /** One interleaved left/right event for [[asOfEnrich]]: `ts` drives the
+    * watermark; `ts_us` carries exact micros (java.sql.Timestamp getters
+    * are millis). */
+  final case class EnrichIn(user_id: Long, ts: Timestamp, ts_us: Long,
+      event_id: Long, is_view: Boolean, value: Double)
+  final case class EnrichOut(click_id: Long, user_id: Long, click_us: Long,
+      view_us: Option[Long], view_value: Option[Double])
+
+  /** Streaming face of [[graft.operators.AsOfJoin]]: each click emits
+    * enriched with the user's latest view at ≤ its event time, via
+    * per-key running state (one AsOfState per user — O(keys) memory,
+    * no buffered history). Within a trigger the group's events replay in
+    * (ts, view-before-click, event_id) order — the batch operator's exact
+    * tie discipline — so with a per-key event-time-ordered source (sorted
+    * replay, log-compacted CDC) the stream output EQUALS the batch as-of
+    * join (StreamingSpec pins this); the batch operator is the backfill
+    * path for unordered history. */
+  def asOfEnrich(events: Dataset[EnrichIn]): Dataset[EnrichOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, EnrichOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[AsOfState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts_us, !e.is_view, e.event_id))
+          val out = Seq.newBuilder[EnrichOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            if (e.is_view) {
+              if (cur.forall(s => (e.ts_us, e.event_id) match {
+                case (t, id) => t > s.ts_us || (t == s.ts_us && id > s.tie)
+              })) cur = Some(AsOfState(e.ts_us, e.event_id, e.value))
+            } else {
+              out += EnrichOut(e.event_id, user, e.ts_us,
+                cur.map(_.ts_us), cur.map(_.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   // ---- sessionization ------------------------------------------------------

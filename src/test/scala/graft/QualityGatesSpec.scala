@@ -33,7 +33,7 @@ class QualityGatesSpec extends SparkSpec {
 
   // queries whose construction itself runs driver-side jobs (iterative
   // loops) — their per-round plans are covered by their own specs
-  private val iterative = Set("q46_canonical")
+  private val iterative = Set("q46_canonical", "q48_dedup_apply")
   // documented brute-force baseline: broadcast non-equi join by design
   private val bnljAllowed = Set("q51_ann_bruteforce")
 

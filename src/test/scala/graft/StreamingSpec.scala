@@ -162,4 +162,40 @@ class StreamingSpec extends SparkSpec {
       assert(sessions() === Set((10L, 3), (10L, 1), (11L, 1)))
     } finally query.stop()
   }
+
+  test("streaming as-of enrich == batch as-of join (ordered replay, real events)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val in = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), (col("event_type") === "view").as("is_view"), col("value"))
+      .as[StreamOps.EnrichIn].collect()
+      .sortBy(e => (e.ts_us, !e.is_view, e.event_id))
+    val stream = MemoryStream[StreamOps.EnrichIn]
+    val query = StreamOps.asOfEnrich(stream.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(in.toSeq)
+      query.processAllAvailable()
+      val got = spark.table("asof").collect()
+        .map(r => (r.getLong(0), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("click_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("view_us"), col("value").as("view_value"))
+      val want = graft.operators.AsOfJoin
+        .asOf(clicks, views, "user_id", "ts", Seq("view_us", "view_value"), "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+      assert(got.nonEmpty && got === want)
+    } finally query.stop()
+  }
 }
