@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 60+ whole-stage-codegen queries x 3 bench reps overflow the 240m
+  // default JIT code cache -> flushing/deopt churn showed up as
+  // intermittent 10-50x slowdowns mid-bench; headroom removes it
+  "-XX:ReservedCodeCacheSize=512m",
 )
