@@ -93,6 +93,19 @@ object Cli {
       writeText(spark, outDir, ids.map(_.toString))
       println(s"[graft] sample: ${ids.size} seed ids -> $outDir")
 
+    // beyond-reference: the training-data curation pipeline over a parquet
+    // corpus with (doc_id, text, source) — exact dedup + LSH near-dup
+    // canonicalization, survivors written back as parquet
+    case "dedup" :: corpusPath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
+      val corpus = spark.read.parquet(corpusPath)
+      val kept = graft.operators.Dedup.dedupApply(corpus, minJaccard = tau)
+      val out = corpus.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      out.write.mode("overwrite").parquet(s"$outDir/deduped")
+      println(s"[graft] dedup: ${spark.read.parquet(s"$outDir/deduped").count()} of " +
+        s"${corpus.count()} docs survive (jaccard >= $tau) -> $outDir/deduped")
+
     case _ =>
       System.err.println(
         """usage: graft.Cli <command> ...
@@ -100,7 +113,8 @@ object Cli {
           |  cluster  <features> <k> <outDir> [--seeds id,..] [--strategy medoid|mean|sampled:N] [--weight W] [--limit L] [--max-iter N]
           |  analyze  <features> <assignments> <outDir>
           |  distance <features> <assignments> <id,id,..> <outDir>
-          |  sample   <features> <k> <seed> <outDir>""".stripMargin)
+          |  sample   <features> <k> <seed> <outDir>
+          |  dedup    <corpusParquet> <outDir> [--jaccard T]""".stripMargin)
       sys.exit(2)
   }
 

@@ -263,6 +263,37 @@ object Dedup {
     result
   }
 
+  // ---- incremental dedup (continuous ingest) ------------------------------
+
+  /** Near-dup pairs of a NEW batch against an EXISTING corpus — the
+    * continuous-ingest shape: the batch's LSH bands equi-join the
+    * corpus's bands (never corpus × corpus), so a daily increment costs
+    * O(|batch| · collisions) however large the accumulated corpus is; in
+    * production the corpus band table is precomputed and bucketed on the
+    * band key so the join co-locates. Survivors verify with exact
+    * Jaccard. Output: (new_id, old_id, jacc ≥ minJaccard). */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val nb = lshBands(minhashSignatures(newDocs, numHashes), rowsPerBand)
+    val cb = lshBands(minhashSignatures(corpus, numHashes), rowsPerBand)
+    val cand = nb.as("a").join(cb.as("b"),
+        col("a.band") === col("b.band") && col("a.s") === col("b.s")
+          && col("a.mn") === col("b.mn") && col("a.mx") === col("b.mx"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val newSets = shingled(newDocs).select(col("doc_id").as("new_id"),
+      array_distinct(col("shs")).as("set_n"))
+    val oldSets = shingled(corpus).select(col("doc_id").as("old_id"),
+      array_distinct(col("shs")).as("set_o"))
+    val inter = size(array_intersect(col("set_n"), col("set_o")))
+    val uni = size(col("set_n")) + size(col("set_o")) - inter
+    cand.join(newSets, "new_id").join(oldSets, "old_id")
+      .select(col("new_id"), col("old_id"),
+        (inter.cast("double") / uni.cast("double")).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+  }
+
   // ---- end-to-end dedup application ---------------------------------------
 
   /** The curation pipeline's OUTPUT — what a user actually keeps: the
