@@ -8,13 +8,16 @@ import graft.functions.VectorExprs
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * (or `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`).
   *
-  * Currently injects `graft_fdot` (codegen'd float-vector dot product,
-  * [[graft.functions.FloatVectorDot]]). Custom rules/strategies slot in
-  * here (`injectOptimizerRule` / `injectPlannerStrategy`) if an operator
-  * ever outgrows what stock Catalyst plans well.
+  * Injects `graft_fdot` (codegen'd float-vector dot product,
+  * [[graft.functions.FloatVectorDot]]) and the planner strategy for the
+  * whole-operator as-of join
+  * ([[org.apache.spark.sql.graftnative.AsOfJoinExec]] — the (c) tier of
+  * the custom-operator ladder: logical node + strategy + physical
+  * sort-merge operator).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExprs.fdotFunction)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.AsOfJoinStrategy)
   }
 }

@@ -558,6 +558,35 @@ object PipelineQueries {
              |       epoch_us(v.ts) AS view_us, v.value AS view_value
              |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin)),
 
+    // Same as-of semantics through the CUSTOM CATALYST OPERATOR
+    // (graftnative.AsOfJoinExec: logical node + planner strategy + native
+    // sort-merge physical operator) — oracle identical to q72's, so the
+    // custom exec is hash-gated against DuckDB's ASOF JOIN, not just
+    // spec-compared to the window formulation.
+    QueryDef("q74_asof_native",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            unix_micros(col("ts")).as("view_us"), col("value").as("view_value"))
+        org.apache.spark.sql.graftnative.AsOfJoinNative
+          .asOf(clicks, views, "user_id", "ts_us", Seq("view_us", "view_value"), "event_id")
+          .select(col("click_id"), col("user_id"), col("ts_us").as("click_us"),
+            col("view_us"), col("view_value"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+             |           FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, ts, epoch_us(ts) AS click_us
+             |      FROM e WHERE event_type = 'click'),
+             |v AS (SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+             |      FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+             |SELECT c.click_id, c.user_id, c.click_us,
+             |       epoch_us(v.ts) AS view_us, v.value AS view_value
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin)),
+
     // ==== temporal: bucketed range join ====================================
 
     // Purchases during error-storm windows: per-day gaps-and-islands over

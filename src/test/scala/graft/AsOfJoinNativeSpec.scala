@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.AsOfJoinNative
+import graft.operators.AsOfJoin
+
+/** The custom Catalyst as-of operator (logical node + strategy + physical
+  * sort-merge exec) must agree with the window formulation on random
+  * inputs, and its plan must contain the custom exec node. */
+class AsOfJoinNativeSpec extends SparkSpec {
+
+  private def both(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long, Double)]) = {
+    import spark.implicits._
+    val l = left.toDF("click_id", "user_id", "ts")
+    val r = right.toDF("event_id", "user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    val native = AsOfJoinNative.asOf(l, r, "user_id", "ts",
+        Seq("view_ts", "view_value"), "event_id")
+      .collect()
+      .map(row => row.getLong(0) ->
+        Option(row.get(3)).map(ts => (ts.asInstanceOf[Long], row.getDouble(4))))
+      .toMap
+    val window = AsOfJoin.asOf(l, r, "user_id", "ts",
+        Seq("view_ts", "view_value"), "event_id")
+      .collect()
+      .map(row => row.getLong(0) ->
+        Option(row.get(3)).map(ts => (ts.asInstanceOf[Long], row.getDouble(4))))
+      .toMap
+    (native, window)
+  }
+
+  test("plan contains the custom AsOfJoinExec node") {
+    import spark.implicits._
+    val l = Seq((1L, 7L, 100L)).toDF("click_id", "user_id", "ts")
+    val r = Seq((10L, 7L, 90L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("view_value"))
+    val df = AsOfJoinNative.asOf(l, r, "user_id", "ts", Seq("view_value"), "event_id")
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(df.collect().map(r0 => (r0.getLong(0), r0.getDouble(3))).toSeq === Seq((1L, 1.0)))
+  }
+
+  test("seeded randomized: native sort-merge == window formulation") {
+    val rnd = new scala.util.Random(42L)
+    for (round <- 1 to 10) {
+      val nl = rnd.nextInt(30)
+      val nr = rnd.nextInt(30)
+      val ls = (0 until nl).map(i =>
+        (i.toLong, 1L + rnd.nextInt(4), rnd.nextInt(20).toLong))
+      val rs = (0 until nr).map(i =>
+        (1000L + i, 1L + rnd.nextInt(4), rnd.nextInt(20).toLong,
+          rnd.nextInt(10).toDouble))
+      val (native, window) = both(ls, rs)
+      assert(native === window, s"round $round: ls=$ls rs=$rs")
+    }
+  }
+}
