@@ -264,6 +264,80 @@ object RelationalQueries {
              |WHERE p_name LIKE '%gear%'
              |GROUP BY n_name, year(o_orderdate)""".stripMargin)),
 
+    // ---- TPC-H Q7 shape: trade flows between a nation pair by year ------
+    QueryDef("q27d_tpch_q7",
+      (s, dir) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = Tables.load(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.load(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |       CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+             |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |  AND n1.n_name != n2.n_name
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- TPC-H Q8 shape: one nation's market share per year -------------
+    // (exact decimal numerator/denominator, ONE double division at the
+    // end — order-independent and cross-engine deterministic)
+    QueryDef("q27e_tpch_q8",
+      (s, dir) => {
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+        val custN = n.select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+        val suppN = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val zero = lit(0).cast("decimal(17,4)")
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(custN), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(suppN), col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_3",
+              Exact.revenue(col("l_extendedprice"), col("l_discount"))).otherwise(zero))
+              .cast("double")
+              / sum(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+                .cast("double")).as("mkt_share"))
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+             |                     THEN ${Exact.revenueSql("l_extendedprice", "l_discount")}
+             |                     ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+             |       / CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS mkt_share
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY 1""".stripMargin)),
+
     // ---- SQL text surface: TPC-H Q6 via spark.sql over a temp view ------
     QueryDef("q27_sql_q6",
       (s, dir) => {
