@@ -50,7 +50,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // floor at 3: with n=2 the reported "median" is the worse run, and a
+    // single contended rep can't be told apart from a real regression
+    val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,9 +64,13 @@ object Bench {
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // optional comma-separated prefix filter for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q46,q48 — the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
       (SparkEntry.queries.toSeq ++ Seq("q00_flagship_kmedoids" -> (flagshipKMedoids _)))
         .sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -83,7 +89,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val minTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_total":$minTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_total":$minTotal,"queries":$qs,"sf":"$sfDir"}"""
+    // durability against log-tail truncation (round 2 lost q00-q03 from the
+    // captured artifact): persist the line to a file first, stop Spark so
+    // its shutdown chatter precedes the payload, then print the JSON as the
+    // very last line of both stdout and stderr
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+    println(json)
+    System.out.flush()
+    System.err.println(json)
   }
 }

@@ -190,21 +190,32 @@ object Dedup {
     * connected component of the pair graph maps every member to the
     * component's minimum doc_id (the survivor a dedup pipeline keeps).
     *
-    * Iterative min-label propagation WITH POINTER JUMPING: per round every
-    * node adopts min(own label, neighbors' labels, current label OF its
-    * label). The label-of-label hop halves the remaining distance to the
-    * component minimum each round, so convergence is O(log diameter)
-    * rounds instead of O(diameter) — the same exponential shortcut as
-    * alternating large-star/small-star CC. Each round is shuffle-bounded
-    * joins + one groupBy, no driver-side graph, and exactly ONE action
-    * (a changed-label count that simultaneously materializes the round's
-    * cache and decides convergence).
+    * Iterative min-label propagation WITH DOUBLE POINTER JUMPING: per
+    * round every node adopts min(own label, neighbors' labels, label of
+    * its label, label of THAT label). Each jump at least halves the
+    * remaining distance to the component minimum, so two per round make
+    * convergence O(log diameter) with a smaller base than the classic
+    * single jump — the same exponential shortcut as alternating
+    * large-star/small-star CC. All candidate sources are UNION branches
+    * feeding ONE min-aggregate (they schedule as parallel stages, not a
+    * chain of dependent joins), the previous label rides through that same
+    * aggregate on the self branch (no separate fixpoint-compare join), and
+    * each round runs exactly ONE action — a changed-label count that
+    * simultaneously materializes the round and decides convergence.
+    * Round 1 skips the jump branches: with labels still at their initial
+    * closed-neighborhood minima, label-of-label is a subset of what the
+    * neighbor branch already delivers (L₀(id) ∈ N[id], so L₀(L₀(id)) is
+    * some L₀(m), m ∈ N[id] — already a propagation candidate).
     *
-    * Handoff: the converged labels are eagerly `localCheckpoint`ed, then
-    * every iteration cache is unpersisted — the returned DataFrame is
-    * backed by its own checkpoint blocks (freed by the context cleaner
-    * once the caller drops it), holds no lineage through the loop, and
-    * leaves nothing registered in the cache manager to tax later queries.
+    * Each round materializes through a LAZY `localCheckpoint` (realized by
+    * the round's count), so every round's logical plan is a constant-size
+    * scan over the previous round's blocks. With `cache()` the plan NESTS:
+    * the round body references the prior frame four times, so analysis
+    * cost grows ~4^rounds — at sf0.1 that re-analysis, not the shuffles,
+    * dominated round 2's 32.8 s. Checkpoint blocks are reclaimed by the
+    * context cleaner as each round's frame goes out of scope; nothing is
+    * ever registered in the cache manager, so nothing can leak into later
+    * queries.
     *
     * The loop runs to the fixpoint; `maxRounds` is a safety valve only and
     * THROWS if hit unconverged (returning intermediate labels would
@@ -221,35 +232,41 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    val initial = edges.select(col("src").as("id"), col("src").as("label"))
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .unionAll(edges.select(col("src").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-      .cache()
-    var labels = initial  // (id, label) view over the round's cached frame
-    var cachedRound = initial // the frame actually holding this round's cache
+      .localCheckpoint(false) // realized by round 1's count
     var changed = 1L
     var round = 0
+    val nullPrev = lit(null).cast("long").as("prev")
     while (changed > 0 && round < maxRounds) {
-      // neighbor-min propagation…
-      val cand = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-        .unionAll(labels)
-        .groupBy("id").agg(min("label").as("label"))
-      // …then pointer jump: adopt the current label of your label (labels
-      // are always member ids of the same component, so the lookup is a
-      // self-join on the label table; monotone decreasing, so still exact)
-      val next = cand.as("c")
-        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
-          col("c.label") === col("lid"), "left")
-        .select(col("c.id").as("id"),
-          least(col("c.label"), coalesce(col("llabel"), col("c.label"))).as("label"))
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .cache()
-      // the round's single action: materializes `next` and tests the fixpoint
+      // candidate branches — every label is a member id of the same
+      // component (min over member ids stays a member id), so the jump
+      // lookups are inner equi-joins on the label table itself
+      val prop = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"), nullPrev)
+      val self = labels.select(col("id"), col("label"), col("label").as("prev"))
+      val lmap = labels.select(col("id").as("lid"), col("label").as("llabel"))
+      val branches = if (round == 0) prop.unionAll(self) else {
+        val jump1 = labels.as("x").join(lmap, col("x.label") === col("lid"))
+          .select(col("x.id").as("id"), col("llabel").as("label"))
+        val jump2 = jump1.as("y").join(lmap, col("y.label") === col("lid"))
+          .select(col("y.id").as("id"), col("llabel").as("label"))
+        prop.unionAll(self)
+          .unionAll(jump1.select(col("id"), col("label"), nullPrev))
+          .unionAll(jump2.select(col("id"), col("label"), nullPrev))
+      }
+      // one aggregate computes the round AND carries `prev` (each id has
+      // exactly one non-null prev, from the self branch; min ignores null)
+      val next = branches.groupBy("id")
+        .agg(min("label").as("label"), min("prev").as("prev"))
+        .localCheckpoint(false)
+      // the round's single action: realizes the checkpoint, tests fixpoint
+      val t0 = System.nanoTime()
       changed = next.filter(col("label") =!= col("prev")).count()
-      cachedRound.unpersist()
-      cachedRound = next
-      labels = next.select("id", "label") // plan contains the cached `next`
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(f"[cc] round $round: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      labels = next.select("id", "label")
       round += 1
     }
     if (changed > 0)
@@ -258,7 +275,6 @@ object Dedup {
           "(component-minimum contract would be violated)")
     val result = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
       .localCheckpoint(true)
-    cachedRound.unpersist()
     edges.unpersist()
     result
   }

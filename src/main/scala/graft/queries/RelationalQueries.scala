@@ -175,7 +175,11 @@ object RelationalQueries {
         val r = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
         c.join(o, col("c_custkey") === col("o_custkey"))
           .join(l, col("o_orderkey") === col("l_orderkey"))
-          .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          // supplier is a dimension: broadcast it (like q27c/q27d) so the
+          // fact side never re-shuffles on (l_suppkey, c_nationkey); the
+          // composite nationkey condition rides along as a join predicate
+          // on the broadcast, not a shuffle key
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name").as("nation"))
