@@ -106,6 +106,33 @@ object Cli {
       println(s"[graft] dedup: ${spark.read.parquet(s"$outDir/deduped").count()} of " +
         s"${corpus.count()} docs survive (jaccard >= $tau) -> $outDir/deduped")
 
+    // continuous-ingest dedup: precompute the corpus's LSH band index once
+    // (bucketed external tables), then dedup each arriving batch against
+    // it without ever touching corpus x corpus — or even re-reading the
+    // corpus text
+    case "bandindex" :: corpusPath :: indexDir :: opts =>
+      val o = parseOpts(opts)
+      val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
+      val corpus = spark.read.parquet(corpusPath)
+      graft.operators.Dedup.writeBandIndex(corpus, "graft_idx",
+        buckets = buckets, location = Some(indexDir))
+      println(s"[graft] bandindex: corpus band index ($buckets buckets) -> $indexDir")
+
+    case "ingest-dedup" :: batchPath :: indexDir :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
+      val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
+      graft.operators.Dedup.registerBandIndex(spark, "graft_idx", indexDir, buckets)
+      val batch = spark.read.parquet(batchPath)
+      val pairs = graft.operators.Dedup.incrementalNearDupPairsIndexed(
+        spark, batch, "graft_idx", minJaccard = tau)
+      val clean = batch.join(pairs.select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      pairs.write.mode("overwrite").parquet(s"$outDir/pairs")
+      clean.write.mode("overwrite").parquet(s"$outDir/clean")
+      println(s"[graft] ingest-dedup: ${spark.read.parquet(s"$outDir/clean").count()} of " +
+        s"${batch.count()} batch docs are new (jaccard < $tau vs corpus) -> $outDir")
+
     case _ =>
       System.err.println(
         """usage: graft.Cli <command> ...
@@ -114,7 +141,9 @@ object Cli {
           |  analyze  <features> <assignments> <outDir>
           |  distance <features> <assignments> <id,id,..> <outDir>
           |  sample   <features> <k> <seed> <outDir>
-          |  dedup    <corpusParquet> <outDir> [--jaccard T]""".stripMargin)
+          |  dedup    <corpusParquet> <outDir> [--jaccard T]
+          |  bandindex    <corpusParquet> <indexDir> [--buckets N]
+          |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N]""".stripMargin)
       sys.exit(2)
   }
 

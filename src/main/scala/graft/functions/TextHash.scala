@@ -60,6 +60,13 @@ object TextHash {
   def shingleHashes(c: Column): Column =
     org.apache.spark.sql.graftnative.TextHashExpressions.shingleHashes(c)
 
+  /** 13-gram hashes (decontamination unit): gram i folds word hashes
+    * w_i..w_{i+12} as (acc·131 + w) mod P seeded with w_i; docs under 13
+    * tokens yield an empty array. Native one-pass expression (the SQL
+    * mirror lives in `graft.operators.Dedup.gram13Sql`). */
+  def gram13Hashes(c: Column): Column =
+    org.apache.spark.sql.graftnative.TextHashExpressions.gram13Hashes(c)
+
   /** SQL over a column already holding the word-hash list. */
   def shingleHashesOverSql(whs: String): String =
     s"CASE WHEN len($whs) >= 3 THEN list_transform(generate_series(1, len($whs) - 2), " +

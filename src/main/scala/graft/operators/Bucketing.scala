@@ -16,11 +16,15 @@ object Bucketing {
 
   /** Persist `df` bucketed by `key` into `n` buckets as a catalog table
     * (bucketing metadata lives in the catalog, so the path API can't
-    * express it — V1 in-memory catalog suffices, no Hive needed). */
+    * express it — V1 in-memory catalog suffices, no Hive needed).
+    * With `path` set the table is EXTERNAL: the bucket files outlive the
+    * session and can be re-attached in a fresh one via DDL over the same
+    * location (see `Dedup.registerBandIndex`). */
   def writeBucketed(df: DataFrame, table: String, key: String, n: Int,
-      sortKey: Option[String] = None): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).bucketBy(n, key)
-    sortKey.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+      sortKey: Option[String] = None, path: Option[String] = None): Unit = {
+    val w0 = df.write.mode(SaveMode.Overwrite).bucketBy(n, key)
+    val w1 = sortKey.fold(w0)(s => w0.sortBy(s))
+    path.fold(w1)(p => w1.option("path", p)).saveAsTable(table)
   }
 
   def readBucketed(spark: SparkSession, table: String): DataFrame =

@@ -281,13 +281,26 @@ object Dedup {
 
   // ---- incremental dedup (continuous ingest) ------------------------------
 
+  /** Exact-Jaccard verification of incremental candidates — O(candidates),
+    * shared by the recompute and the indexed paths. */
+  private def verifyIncremental(cand: DataFrame, newSets: DataFrame,
+      oldSets: DataFrame, minJaccard: Double): DataFrame = {
+    val inter = size(array_intersect(col("set_n"), col("set_o")))
+    val uni = size(col("set_n")) + size(col("set_o")) - inter
+    cand.join(newSets, "new_id").join(oldSets, "old_id")
+      .select(col("new_id"), col("old_id"),
+        (inter.cast("double") / uni.cast("double")).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+  }
+
   /** Near-dup pairs of a NEW batch against an EXISTING corpus — the
     * continuous-ingest shape: the batch's LSH bands equi-join the
     * corpus's bands (never corpus × corpus), so a daily increment costs
-    * O(|batch| · collisions) however large the accumulated corpus is; in
-    * production the corpus band table is precomputed and bucketed on the
-    * band key so the join co-locates. Survivors verify with exact
-    * Jaccard. Output: (new_id, old_id, jacc ≥ minJaccard). */
+    * O(|batch| · collisions) however large the accumulated corpus is.
+    * Survivors verify with exact Jaccard. Output: (new_id, old_id,
+    * jacc ≥ minJaccard). This form recomputes the corpus bands per call;
+    * the production path precomputes them once — see [[writeBandIndex]] /
+    * [[incrementalNearDupPairsIndexed]]. */
   def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
       numHashes: Int = 16, rowsPerBand: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
@@ -302,12 +315,101 @@ object Dedup {
       array_distinct(col("shs")).as("set_n"))
     val oldSets = shingled(corpus).select(col("doc_id").as("old_id"),
       array_distinct(col("shs")).as("set_o"))
-    val inter = size(array_intersect(col("set_n"), col("set_o")))
-    val uni = size(col("set_n")) + size(col("set_o")) - inter
-    cand.join(newSets, "new_id").join(oldSets, "old_id")
-      .select(col("new_id"), col("old_id"),
-        (inter.cast("double") / uni.cast("double")).as("jacc"))
-      .filter(col("jacc") >= minJaccard)
+    verifyIncremental(cand, newSets, oldSets, minJaccard)
+  }
+
+  // ---- persisted band index (the production continuous-ingest path) -------
+
+  /** Injective packing of the (band, s) pair into one long — the bucket
+    * AND equi-join key of the persisted band index. Spark's zero-shuffle
+    * bucket join requires the equi-join key to BE the bucket key, so the
+    * two hot columns are packed (band < 64 always holds: band count =
+    * numHashes / rowsPerBand); the remaining (mn, mx) equalities ride the
+    * join as predicates, keeping the candidate set EXACTLY the four-way
+    * equality's. s ≤ rowsPerBand·(P−1) ≈ 2^32, so s·64 fits a long. */
+  private def bandKey(band: Column, s: Column): Column = s * 64 + band
+  private def withBandKey(bands: DataFrame): DataFrame =
+    bands.withColumn("bkey", bandKey(col("band"), col("s")))
+
+  /** Precompute the corpus half of incremental dedup as two bucketed
+    * tables — the engine's one persisted intermediate (the analog of the
+    * reference's `preprocess` table, `kmeans.java:130-136`):
+    *
+    *   `<name>_bands` (doc_id, band, s, mn, mx, bkey), bucketed AND
+    *     sorted by bkey: the ingest-time candidate join sort-merges
+    *     against the bucket files IN PLACE — zero corpus-side Exchange
+    *     (IncrementalIndexSpec pins the plan);
+    *   `<name>_sets` (doc_id, set), bucketed by doc_id: the
+    *     verification join fetches shingle sets without re-shingling
+    *     (or re-shuffling) the corpus.
+    *
+    * Build cost is one corpus pass at write time; after that a daily
+    * batch pays O(|batch| + collisions) regardless of corpus size. With
+    * `location` set the bucket files are external and survive the
+    * session — re-attach them elsewhere with [[registerBandIndex]]. */
+  def writeBandIndex(corpus: DataFrame, name: String, buckets: Int = 8,
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      location: Option[String] = None): Unit = {
+    Bucketing.writeBucketed(
+      withBandKey(lshBands(minhashSignatures(corpus, numHashes), rowsPerBand)),
+      s"${name}_bands", "bkey", buckets, sortKey = Some("bkey"),
+      path = location.map(l => s"$l/bands"))
+    Bucketing.writeBucketed(
+      shingled(corpus).select(col("doc_id"), array_distinct(col("shs")).as("set")),
+      s"${name}_sets", "doc_id", buckets, sortKey = Some("doc_id"),
+      path = location.map(l => s"$l/sets"))
+  }
+
+  /** Re-attach an external band index written by [[writeBandIndex]] in a
+    * previous session: DDL over the existing bucket files (the in-memory
+    * catalog loses table metadata across JVMs; the files keep the bucket
+    * layout in their names). */
+  def registerBandIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, location: String, buckets: Int = 8): Unit = {
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_bands
+      |(doc_id BIGINT, band INT, s BIGINT, mn BIGINT, mx BIGINT, bkey BIGINT)
+      |USING parquet CLUSTERED BY (bkey) SORTED BY (bkey) INTO $buckets BUCKETS
+      |LOCATION '$location/bands'""".stripMargin)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_sets
+      |(doc_id BIGINT, set ARRAY<BIGINT>)
+      |USING parquet CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS
+      |LOCATION '$location/sets'""".stripMargin)
+  }
+
+  /** [[incrementalNearDupPairs]] against a persisted [[writeBandIndex]]:
+    * same output, but the corpus is never re-shingled, re-hashed, or
+    * re-shuffled — the batch bands shuffle to the index's bucket layout
+    * and merge in place. Output: (new_id, old_id, jacc ≥ minJaccard). */
+  /** The ingest-time candidate join in isolation (plan-gated by
+    * IncrementalIndexSpec: exactly one Exchange — the batch side — and a
+    * sort-merge against the index's bucket files in place). */
+  private[graft] def indexedBandJoin(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, name: String, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val nb = withBandKey(lshBands(minhashSignatures(newDocs, numHashes), rowsPerBand))
+    val cb = Bucketing.readBucketed(spark, s"${name}_bands")
+    // the (mn, mx) matches are two-sided INEQUALITIES on purpose: written
+    // as `===` they'd be extracted into the equi-join keys, the key set
+    // would no longer equal the bucket key (bkey), and the planner would
+    // disable the bucketed scan ("Bucketed: false") and re-shuffle the
+    // index. As range predicates they stay in the merge-join's extra
+    // condition — same matches, zero corpus-side Exchange.
+    nb.as("a").join(cb.as("b"),
+        col("a.bkey") === col("b.bkey")
+          && col("a.mn") <= col("b.mn") && col("a.mn") >= col("b.mn")
+          && col("a.mx") <= col("b.mx") && col("a.mx") >= col("b.mx"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+  }
+
+  def incrementalNearDupPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, name: String, numHashes: Int = 16,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    val cand = indexedBandJoin(spark, newDocs, name, numHashes, rowsPerBand).distinct()
+    val newSets = shingled(newDocs).select(col("doc_id").as("new_id"),
+      array_distinct(col("shs")).as("set_n"))
+    val oldSets = Bucketing.readBucketed(spark, s"${name}_sets")
+      .select(col("doc_id").as("old_id"), col("set").as("set_o"))
+    verifyIncremental(cand, newSets, oldSets, minJaccard)
   }
 
   // ---- end-to-end dedup application ---------------------------------------
@@ -335,20 +437,13 @@ object Dedup {
 
   /** 13-gram hashes per doc (the overlap unit the GPT-3/PaLM reports use
     * for train-set decontamination): h = fold over 13 consecutive word
-    * hashes of (acc·131 + wh) mod P, UNROLLED into one codegen'd
-    * arithmetic expression per gram — a nested `aggregate(slice(...))`
-    * HOF would be interpreted per element. Docs under 13 tokens yield no
-    * grams. */
-  def gram13Hashes(corpus: DataFrame): DataFrame = {
-    val whs = col("whs")
-    val gram = (i: Column) => (1 until 13).foldLeft(element_at(whs, i)) {
-      case (acc, j) => (acc * 131 + element_at(whs, i + j)) % P
-    }
-    corpus.select(col("doc_id"), TextHash.wordHashes(col("text")).as("whs"))
-      .select(col("doc_id"), when(size(whs) >= 13,
-          transform(sequence(lit(1), size(whs) - 12), gram))
-        .otherwise(array().cast("array<bigint>")).as("grams"))
-  }
+    * hashes of (acc·131 + wh) mod P. Native one-pass codegen'd expression
+    * (graftnative.Gram13Hashes): the earlier unrolled-`transform` form
+    * emitted 13 element_ats × every gram position into one generated
+    * method, and its JIT pressure made q47 a full-bench outlier. Docs
+    * under 13 tokens yield no grams. */
+  def gram13Hashes(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), TextHash.gram13Hashes(col("text")).as("grams"))
 
   /** SQL mirror over a column holding the word-hash list. */
   def gram13Sql(whs: String): String = {

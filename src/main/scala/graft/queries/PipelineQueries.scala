@@ -323,6 +323,62 @@ object PipelineQueries {
              |SELECT new_id, old_id, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jacc
              |FROM v WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Same contract as q49, through the PERSISTED band index: the corpus
+    // bands/sets are bucketed catalog tables written once, and the batch
+    // joins them in place (zero corpus-side Exchange — pinned by
+    // IncrementalIndexSpec). The oracle is the q49 recompute SQL: the
+    // indexed path must produce the identical pair set. The timed cost
+    // here includes the one-off index BUILD (the honest single-session
+    // shape); production amortizes it across every subsequent batch.
+    QueryDef("q49b_incremental_indexed",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text"),
+            col("source"))
+        // EXTERNAL table in a tmp location: a managed table's files
+        // outlive the in-memory catalog, so a fresh JVM re-running this
+        // query would hit LOCATION_ALREADY_EXISTS on the leftover
+        // warehouse dir
+        Dedup.writeBandIndex(docs, "q49b_idx",
+          location = Some(s"${System.getProperty("java.io.tmpdir")}/graft_q49b_idx"))
+        Dedup.incrementalNearDupPairsIndexed(s, batch, "q49b_idx")
+      },
+      Some(s"""WITH orig AS (SELECT doc_id, text, source FROM documents),
+             |batch AS (SELECT doc_id + 1000000 AS doc_id,
+             |                 substr(text, strpos(text, ' ') + 1) AS text, source
+             |          FROM documents WHERE doc_id % 10 = 0),
+             |g AS (SELECT unnest(generate_series(0, 15)) AS i),
+             |tok1 AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM orig),
+             |sh1 AS (SELECT doc_id, ${TextHash.shingleHashesOverSql("whs")} AS shs FROM tok1),
+             |sig1 AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+             |                list_min(list_transform(shs, x -> ${TextHash.permuteSql("i", "x")})) AS mh
+             |         FROM sh1, g WHERE len(shs) > 0),
+             |bands1 AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                  sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |           FROM sig1 GROUP BY 1, 2),
+             |tok2 AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM batch),
+             |sh2 AS (SELECT doc_id, ${TextHash.shingleHashesOverSql("whs")} AS shs FROM tok2),
+             |sig2 AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+             |                list_min(list_transform(shs, x -> ${TextHash.permuteSql("i", "x")})) AS mh
+             |         FROM sh2, g WHERE len(shs) > 0),
+             |bands2 AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                  sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |           FROM sig2 GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT b2.doc_id AS new_id, b1.doc_id AS old_id
+             |         FROM bands2 b2 JOIN bands1 b1
+             |           ON b2.band = b1.band AND b2.s = b1.s AND b2.mn = b1.mn AND b2.mx = b1.mx),
+             |sets1 AS (SELECT doc_id, list_distinct(shs) AS st FROM sh1),
+             |sets2 AS (SELECT doc_id, list_distinct(shs) AS st FROM sh2),
+             |v AS (SELECT c.new_id, c.old_id,
+             |             len(list_intersect(s2.st, s1.st)) AS inter,
+             |             len(s2.st) + len(s1.st) - len(list_intersect(s2.st, s1.st)) AS uni
+             |      FROM cand c JOIN sets2 s2 ON s2.doc_id = c.new_id
+             |                  JOIN sets1 s1 ON s1.doc_id = c.old_id)
+             |SELECT new_id, old_id, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jacc
+             |FROM v WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin)),
+
     // The curation pipeline's end-to-end OUTPUT over a corpus carrying
     // BOTH injected exact duplicates and injected near-duplicates:
     // exact stage keeps min-id per content hash, near stage removes

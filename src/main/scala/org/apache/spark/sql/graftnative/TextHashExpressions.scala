@@ -69,6 +69,25 @@ object TextHashOps {
     }
     new GenericArrayData(out)
   }
+
+  /** 13-gram hashes (decontamination unit): gram i = fold over word
+    * hashes w(i)..w(i+12) of (acc·131 + w) mod P, seeded with w(i) —
+    * operation-order identical to `graft.operators.Dedup.gram13Sql`.
+    * Docs under 13 tokens yield an empty array. */
+  def gram13Hashes(s: UTF8String): ArrayData = {
+    val w = wordHashArray(s)
+    if (w.length < 13) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](w.length - 12)
+    var i = 0
+    while (i < w.length - 12) {
+      var acc = w(i)
+      var j = 1
+      while (j < 13) { acc = (acc * 131 + w(i + j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 sealed abstract class TextHashExpression extends UnaryExpression with ExpectsInputTypes {
@@ -116,6 +135,20 @@ case class ShingleHashes(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** 13-gram hashes: array<long>, n-12 elements (empty if n<13). One linear
+  * pass and one compiled method — the unrolled `transform(sequence(...))`
+  * form it replaces emitted 13 `element_at`s per gram position inside one
+  * giant generated method (~490 positions per doc worst-case), whose JIT
+  * pressure showed up as q47's full-bench outlier. */
+case class Gram13Hashes(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram13hashes"
+  override protected def staticCall: String = "gram13Hashes"
+  override def nullSafeEval(s: Any): Any =
+    TextHashOps.gram13Hashes(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Gram13Hashes = copy(child = c)
+}
+
 object TextHashExpressions {
   def polyHash(c: Column): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c)))
@@ -123,4 +156,6 @@ object TextHashExpressions {
     ExpressionUtils.column(WordHashes(ExpressionUtils.expression(c)))
   def shingleHashes(c: Column): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c)))
+  def gram13Hashes(c: Column): Column =
+    ExpressionUtils.column(Gram13Hashes(ExpressionUtils.expression(c)))
 }

@@ -22,4 +22,34 @@ class CliDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === Seq(1L, 3L))
   }
+
+  test("bandindex + ingest-dedup subcommands dedup a batch against the index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cliingest").toString
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    Seq((1L, base, "s"), (2L, "z1 z2 z3 z4 z5 z6 z7 z8", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/corpus")
+    // batch: a near-copy of doc 1 (one token appended) and a novel doc
+    Seq((10L, base + " w13", "s"), (11L, "q1 q2 q3 q4 q5 q6 q7 q8", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/batch")
+    spark.sql("DROP TABLE IF EXISTS graft_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS graft_idx_sets")
+    try {
+      Cli.run(spark, List("bandindex", s"$dir/corpus", s"$dir/idx", "--buckets", "4"))
+      // simulate the second CLI invocation's fresh catalog
+      spark.sql("DROP TABLE graft_idx_bands")
+      spark.sql("DROP TABLE graft_idx_sets")
+      Cli.run(spark, List("ingest-dedup", s"$dir/batch", s"$dir/idx", s"$dir/out",
+        "--buckets", "4"))
+      val pairs = spark.read.parquet(s"$dir/out/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs === Seq((10L, 1L)))
+      val clean = spark.read.parquet(s"$dir/out/clean")
+        .collect().map(_.getLong(0)).toSeq
+      assert(clean === Seq(11L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_idx_sets")
+    }
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The persisted band index (continuous-ingest dedup):
+  *
+  *  1. the indexed path returns EXACTLY the recompute path's pairs;
+  *  2. the ingest-time candidate join has zero corpus-side Exchange —
+  *     only the batch bands shuffle, the index's bucket files sort-merge
+  *     in place (the point of persisting the index bucketed on bkey);
+  *  3. an EXTERNAL index written with a location survives catalog loss:
+  *     after dropping the tables, registerBandIndex re-attaches the same
+  *     bucket files by DDL and yields the same pairs (the cross-session
+  *     `Cli bandindex` → `Cli ingest-dedup` story).
+  */
+class IncrementalIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ≥3 tokens each so every doc has shingles; ids 10/20/30 get a
+  // first-token-dropped near-copy in the batch (high Jaccard), id 99 is
+  // unrelated
+  private def corpus = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+    (20L, "one two three four five six seven eight nine", "web"),
+    (30L, "red orange yellow green blue indigo violet ultra", "book"),
+    (99L, "completely unrelated content lives over here now", "book")
+  ).toDF("doc_id", "text", "source")
+
+  private def batch = corpus.filter(col("doc_id") =!= 99L)
+    .select((col("doc_id") + 1000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"), col("source"))
+
+  private def cleanup(): Unit = Seq("idx_bands", "idx_sets", "xidx_bands", "xidx_sets")
+    .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("indexed incremental pairs equal the recompute path") {
+    cleanup()
+    try {
+      Dedup.writeBandIndex(corpus, "idx", buckets = 4)
+      val indexed = Dedup.incrementalNearDupPairsIndexed(spark, batch, "idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recomputed = Dedup.incrementalNearDupPairs(batch, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(indexed === recomputed)
+      assert(indexed.nonEmpty, "expected the injected near-dups to pair up")
+      assert(indexed.forall { case (n, o) => n == o + 1000L })
+    } finally cleanup()
+  }
+
+  test("candidate join reads the band index with zero corpus-side shuffle") {
+    cleanup()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      Dedup.writeBandIndex(corpus, "idx", buckets = 4)
+      val join = Dedup.indexedBandJoin(spark, batch, "idx")
+      val plan = join.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin [bkey"), s"expected a sort-merge join on bkey:\n$plan")
+      // the corpus side is the join's LAST-printed child: everything from
+      // its final "+- Sort [bkey" down must be Sort → Filter → bucketed
+      // FileScan with NO Exchange — the index merges in place
+      val lines = plan.linesIterator.toVector
+      val corpusSide = lines.drop(lines.lastIndexWhere(_.contains("+- Sort [bkey")))
+      assert(corpusSide.nonEmpty, s"corpus-side Sort not found in:\n$plan")
+      assert(!corpusSide.exists(_.contains("Exchange")),
+        s"corpus side re-shuffled — persisted bucketing bought nothing:\n$plan")
+      assert(corpusSide.exists(_.contains("Bucketed: true")),
+        s"corpus scan is not bucket-aware:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      cleanup()
+    }
+  }
+
+  test("external index re-attaches via DDL after catalog loss") {
+    cleanup()
+    val loc = java.nio.file.Files.createTempDirectory("graft-bandindex").toString
+    try {
+      Dedup.writeBandIndex(corpus, "xidx", buckets = 4, location = Some(loc))
+      val before = Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // simulate a new session: metadata gone, bucket files remain
+      spark.sql("DROP TABLE xidx_bands")
+      spark.sql("DROP TABLE xidx_sets")
+      Dedup.registerBandIndex(spark, "xidx", loc, buckets = 4)
+      val after = Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === before)
+      assert(after.nonEmpty)
+    } finally cleanup()
+  }
+}

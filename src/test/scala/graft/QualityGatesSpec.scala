@@ -49,6 +49,26 @@ class QualityGatesSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("TPC-H dimension sides broadcast (no shuffle fallback)") {
+    // every dimension join key must appear in a BroadcastHashJoin line of
+    // the executed plan — a dimension that falls back to sort-merge means
+    // the FACT side re-shuffles on that key, a real cost at 100x scale
+    // (q26 regressed exactly this way in round 2)
+    val dimJoinKeys = Map(
+      "q25_tpch_q3" -> Seq("c_custkey"),
+      "q26_tpch_q5" -> Seq("s_suppkey", "n_nationkey", "r_regionkey"),
+      "q27c_tpch_q9" -> Seq("p_partkey", "s_suppkey", "n_nationkey"),
+      "q27d_tpch_q7" -> Seq("s_suppkey", "s_nk", "c_nk"),
+      "q27e_tpch_q8" -> Seq("s_suppkey", "c_nk", "r_regionkey", "s_nk"))
+    val failures = dimJoinKeys.toSeq.sortBy(_._1).flatMap { case (name, keys) =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val bhj = plan.linesIterator.filter(_.contains("BroadcastHashJoin")).mkString("\n")
+      keys.filterNot(bhj.contains).map(k => s"$name: $k not in any BroadcastHashJoin")
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
   test("headline filters reach the parquet scan (PushedFilters)") {
     // a selective predicate that does not appear in the scan's
     // PushedFilters is a full-table read wearing a Filter node
