@@ -1,14 +1,14 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Whole-operator extension demo: the as-of join as a FIRST-CLASS Catalyst
   * operator — logical node + planner strategy + custom physical operator —
@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.LongType
   * (inclusive ≤ match, highest-tie right row wins equal timestamps) are
   * pinned equal to the window formulation in AsOfJoinNativeSpec.
   *
-  * Contract: key/ts/tie are LongType (timestamps as epoch micros); right
-  * payload column names must not collide with left columns.
+  * Contract: the exec merges LongType keys; the [[AsOfJoinNative.asOf]]
+  * wrapper normalizes int/short/byte and TimestampType (epoch micros)
+  * columns to longs on shadow columns, so callers keep their original
+  * types. Right payload column names must not collide with left columns.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -122,9 +124,28 @@ case class AsOfJoinExec(
 /** DataFrame-level entry point. */
 object AsOfJoinNative {
 
+  // internal shadow columns carrying the normalized (LongType) join keys;
+  // dropped from the result, so the caller's schema is untouched
+  private val KeyShadow = "__graft_asof_key"
+  private val TsShadow = "__graft_asof_ts"
+  private val TieShadow = "__graft_asof_tie"
+
+  /** Order-preserving normalization to the exec's LongType contract:
+    * timestamps become epoch micros, integral types widen. Monotone, so
+    * as-of semantics over the original column are preserved exactly. */
+  private def toLong(c: Column, dt: DataType, name: String): Column = dt match {
+    case LongType => c
+    case TimestampType => unix_micros(c)
+    case IntegerType | ShortType | ByteType => c.cast(LongType)
+    case other => throw new IllegalArgumentException(
+      s"$name: as-of native needs a long/int/timestamp column, got $other")
+  }
+
   /** Native as-of join: attach to each left row the most recent right row
     * (`right(tsCol) <= left(tsCol)`, ties to highest `tieCol`) per
-    * `keyCol`. key/ts/tie must be LongType. */
+    * `keyCol`. key/ts/tie may be any integral type or TimestampType
+    * (compared as epoch micros under the hood); the result keeps the
+    * caller's original column types. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       rightCols: Seq[String], tieCol: String): DataFrame = {
     val spark = left.sparkSession
@@ -133,24 +154,31 @@ object AsOfJoinNative {
       spark.experimental.extraStrategies =
         AsOfJoinStrategy +: spark.experimental.extraStrategies
     }
-    // fresh exprIds on the right side (a shared scan would otherwise leak
-    // duplicate attribute ids into the output)
+    def dt(df: DataFrame, c: String): DataType =
+      df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"column $c not found")).dataType
+    val lAug = left
+      .withColumn(KeyShadow, toLong(col(keyCol), dt(left, keyCol), keyCol))
+      .withColumn(TsShadow, toLong(col(tsCol), dt(left, tsCol), tsCol))
+    // fresh projection on the right side: normalizes types AND gives the
+    // node fresh exprIds (a shared scan would otherwise leak duplicate
+    // attribute ids into the output)
     val r = right.select(
-      (Seq(keyCol, tsCol, tieCol) ++ rightCols).distinct.map(c => col(c).as(c)): _*)
-    val lp = left.queryExecution.analyzed
+      toLong(col(keyCol), dt(right, keyCol), keyCol).as(KeyShadow) +:
+        toLong(col(tsCol), dt(right, tsCol), tsCol).as(TsShadow) +:
+        toLong(col(tieCol), dt(right, tieCol), tieCol).as(TieShadow) +:
+        rightCols.map(c => col(c).as(c)): _*)
+    val lp = lAug.queryExecution.analyzed
     val rp = r.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
-    Seq(attr(lp, keyCol), attr(lp, tsCol), attr(rp, keyCol), attr(rp, tsCol),
-      attr(rp, tieCol)).foreach { a =>
-      require(a.dataType == LongType, s"${a.name}: as-of native needs LongType, got ${a.dataType}")
-    }
     val node = AsOfJoinNode(lp, rp,
-      attr(lp, keyCol), attr(lp, tsCol),
-      attr(rp, keyCol), attr(rp, tsCol), attr(rp, tieCol),
+      attr(lp, KeyShadow), attr(lp, TsShadow),
+      attr(rp, KeyShadow), attr(rp, TsShadow), attr(rp, TieShadow),
       rightCols.map(attr(rp, _)))
     org.apache.spark.sql.classic.Dataset.ofRows(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
+      .drop(KeyShadow, TsShadow)
   }
 }

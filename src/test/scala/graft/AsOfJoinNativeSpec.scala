@@ -41,6 +41,27 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(df.collect().map(r0 => (r0.getLong(0), r0.getDouble(3))).toSeq === Seq((1L, 1.0)))
   }
 
+  test("timestamp + int columns end-to-end, original types preserved") {
+    import org.apache.spark.sql.types.{IntegerType, TimestampType}
+    import spark.implicits._
+    val l = Seq((1, "2026-01-01 00:00:10"), (2, "2026-01-01 00:00:09"))
+      .toDF("key", "t")
+      .select(col("key").cast("int").as("key"), to_timestamp(col("t")).as("ts"))
+    val r = Seq(
+        (1, "2026-01-01 00:00:08", 7L, 1.5),
+        (1, "2026-01-01 00:00:09", 8L, 2.5), // latest ts <= left(1) wins
+        (2, "2026-01-01 00:00:07", 9L, 3.5))
+      .toDF("key", "t", "tie", "v")
+      .select(col("key").cast("int").as("key"),
+        to_timestamp(col("t")).as("ts"), col("tie"), col("v"))
+    val out = AsOfJoinNative.asOf(l, r, "key", "ts", Seq("v"), "tie")
+    assert(out.schema("key").dataType === IntegerType)
+    assert(out.schema("ts").dataType === TimestampType)
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val m = out.collect().map(r0 => r0.getInt(0) -> r0.getDouble(2)).toMap
+    assert(m === Map(1 -> 2.5, 2 -> 3.5))
+  }
+
   test("seeded randomized: native sort-merge == window formulation") {
     val rnd = new scala.util.Random(42L)
     for (round <- 1 to 10) {
