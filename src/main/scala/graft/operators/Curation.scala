@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+
+/** Training-data curation operators beyond dedup: PII redaction, sequence
+  * packing, and mixture (epoch-weighted) sampling. All deterministic and
+  * DuckDB-mirrorable; the per-row ops are narrow (zero shuffle) and the
+  * packing window shuffles once on its partition key.
+  */
+object Curation {
+
+  // ---- PII redaction -------------------------------------------------------
+
+  /** The synthetic corpus carries no PII, so the redaction queries run on
+    * a corpus with DETERMINISTIC injected contacts (same pattern as
+    * [[Dedup.withExactDuplicates]]): every doc_id ≡ 0 (mod 5) gains an
+    * email, a phone number, and an IPv4 derived from its id. */
+  def withInjectedPii(docs: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val contact = concat(lit(" contact user"), idStr, lit("@example.com or +1-555-"),
+      (col("doc_id") % 10000).cast("string"), lit(" at 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 200).cast("string"))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), contact))
+        .otherwise(col("text")).as("text"),
+      col("source"))
+  }
+
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhoneRe = "\\+1-[0-9]{3}-[0-9]+"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, phone numbers, and IPv4s to typed placeholders and
+    * count each category — the pre-training PII scrub. Redaction order is
+    * fixed (email → phone → ip) and the three patterns are mutually
+    * non-overlapping, so counting BEFORE redacting equals counting during.
+    * Narrow regexp work only; at 100 TB this is a map-only stage. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(IpRe)).as("n_ips"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  // ---- sequence packing ----------------------------------------------------
+
+  /** Concat-and-chunk sequence packing: docs are laid end-to-end in
+    * doc_id order WITHIN each source shard and cut into `seqLen`-token
+    * context windows; each doc is assigned the bin its first token lands
+    * in, plus its offset inside that bin. This is the deterministic
+    * streaming-pack a training pipeline uses (no bin search, single
+    * window pass); partitioning by source keeps the window parallel — a
+    * GLOBAL packing order would serialize on one partition at 100 TB.
+    * Output: (doc_id, source, n_tokens, bin, off). */
+  def sequencePack(docs: DataFrame, seqLen: Int = 1024): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"),
+        size(TextHash.tokens(col("text"))).as("n_tokens"))
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("start") / seqLen).cast("long").as("bin"),
+        (col("start") % seqLen).cast("long").as("off"))
+  }
+
+  // ---- mixture sampling ----------------------------------------------------
+
+  /** Epoch-weighted mixture sampling: each source's docs are repeated
+    * `weight` times in expectation — floor(weight) guaranteed copies plus
+    * one more iff the doc's content-hash bucket (polyHash mod 1000)
+    * falls under the fractional part. Deterministic, replayable, and
+    * content-keyed (exact dups up/downsample identically). Explode is the
+    * only row expansion; no shuffle at all. Output: (doc_id, source,
+    * copy ∈ [1, n_copies]). */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
+    val weight = weights.foldLeft(lit(1.0)) { case (els, (src, w)) =>
+      when(col("source") === src, lit(w)).otherwise(els)
+    }
+    val base = floor(weight).cast("int")
+    val frac = ((weight - floor(weight)) * 1000).cast("long")
+    val extra = (pmod(TextHash.polyHash(col("text")), lit(1000L)) < frac).cast("int")
+    val n = base + extra
+    // sequence(1, 0) DESCENDS in Spark — only build it when n >= 1, and
+    // let the non-outer explode drop zero-copy docs
+    docs.select(col("doc_id"), col("source"),
+        explode(when(n >= 1, sequence(lit(1), n))
+          .otherwise(array().cast("array<int>"))).as("copy"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextHash
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Training-data pipeline queries: dedup (exact / MinHash+LSH / SimHash /
@@ -447,6 +447,73 @@ object PipelineQueries {
              |gb AS (SELECT DISTINCT unnest(${Dedup.gram13Sql("whs")}) AS g FROM tokb)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
              |FROM gc JOIN gb USING (g) GROUP BY doc_id""".stripMargin)),
+
+    // ==== curation: PII / packing / mixture ================================
+
+    // PII scrub over a corpus with deterministic injected contacts (the
+    // synthetic docs carry none): email/phone/IPv4 counts + the md5 of the
+    // redacted text, so a placeholder-substitution bug mismatches the
+    // oracle. Regex patterns are shared constants rendered into both
+    // engines (Java regex and RE2 agree on this subset).
+    QueryDef("q56_pii_redact",
+      (s, dir) => Curation.redactPii(
+        Curation.withInjectedPii(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH pii AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 0
+             |              THEN text || ' contact user' || doc_id || '@example.com or +1-555-'
+             |                   || (doc_id % 10000) || ' at 10.' || (doc_id % 256) || '.0.' || (doc_id % 200)
+             |              ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '${Curation.EmailRe}')) AS INTEGER) AS n_emails,
+             |       CAST(len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS INTEGER) AS n_phones,
+             |       CAST(len(regexp_extract_all(text, '${Curation.IpRe}')) AS INTEGER) AS n_ips,
+             |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |           '${Curation.EmailRe}', '<EMAIL>', 'g'),
+             |           '${Curation.PhoneRe}', '<PHONE>', 'g'),
+             |           '${Curation.IpRe}', '<IP>', 'g')) AS redacted_md5
+             |FROM pii""".stripMargin)),
+
+    // deterministic concat-and-chunk packing into 1024-token windows,
+    // per-source (a GLOBAL packing order would serialize one partition)
+    QueryDef("q57_sequence_pack",
+      (s, dir) => Curation.sequencePack(Tables.load(s, dir, "documents"), 1024),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens,
+             |       CAST(start // 1024 AS BIGINT) AS bin,
+             |       CAST(start % 1024 AS BIGINT) AS off
+             |FROM c""".stripMargin)),
+
+    // epoch-weighted mixture sampling: src0 2.25 epochs, src1 0.5, src2
+    // 1.0, src3 0.75 — binary-exact fractions so both engines compute the
+    // same bucket threshold; the extra copy is content-hash gated
+    QueryDef("q58_mixture_sample",
+      (s, dir) => Curation.mixtureSample(Tables.load(s, dir, "documents"),
+        Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 0.75)),
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, source, text,
+             |         CASE source WHEN 'src0' THEN 2.25 WHEN 'src1' THEN 0.5
+             |                     WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.75
+             |                     ELSE 1.0 END AS wt
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id, source,
+             |         CAST(floor(wt) AS INTEGER)
+             |         + CASE WHEN ${TextHash.polyHashSql("text")} % 1000
+             |                     < CAST((wt - floor(wt)) * 1000 AS BIGINT)
+             |                THEN 1 ELSE 0 END AS n_copies
+             |  FROM w)
+             |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy
+             |FROM n WHERE n_copies >= 1""".stripMargin)),
 
     // ==== similarity search ================================================
 

@@ -375,6 +375,88 @@ object RelationalQueries {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // ---- TPC-H Q10 shape: top returned-revenue customers ----------------
+    // lineitem('R') ⨝ orders(quarter) is the only fact shuffle; customer
+    // and nation broadcast; exact decimal revenue, explicit tie-break.
+    QueryDef("q28b_tpch_q10",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'")
+            && col("o_orderdate") < expr("TIMESTAMP'1996-04-01 00:00:00'"))
+        val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.load(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
+            col("n_name").as("nation"), col("c_acctbal").as("acctbal"))
+          .agg(sum(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+             |       c_acctbal AS acctbal,
+             |       CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin)),
+
+    // ---- TPC-H Q13 shape: order-count distribution over a LEFT join -----
+    // (customers with zero qualifying orders keep c_count = 0 — the outer
+    // join is the point of Q13)
+    QueryDef("q28c_tpch_q13",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey")
+            && col("o_orderpriority") =!= "1-URGENT", "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---- TPC-H Q18 shape: large-quantity orders -------------------------
+    // (HAVING over a fact aggregate, then join back for the customer; the
+    // aggregate side is orderkey-keyed so the join back to orders reuses
+    // the same key)
+    QueryDef("q28d_tpch_q18",
+      (s, dir) => {
+        val big = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(Exact.money(col("l_quantity"))).as("qty"))
+          .filter(col("qty") > 300)
+        Tables.load(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.load(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey").as("custkey"), col("o_orderkey").as("okey"),
+            col("o_totalprice").as("totalprice"),
+            col("qty").cast("double").as("qty"))
+      },
+      Some("""SELECT c_custkey AS custkey, o_orderkey AS okey,
+             |       o_totalprice AS totalprice, CAST(qty AS DOUBLE) AS qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+             |      FROM lineitem GROUP BY 1) b ON o_orderkey = b.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE qty > 300""".stripMargin)),
+
     // ---- exact interpolated percentiles ---------------------------------
     QueryDef("q23b_percentiles",
       (s, dir) => Tables.load(s, dir, "lineitem")

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("redactPii counts and redacts injected contacts only") {
+    val docs = Seq(
+      (5L, "plain words here", "s"),
+      (7L, "no pii either", "s")).toDF("doc_id", "text", "source")
+    val out = Curation.redactPii(Curation.withInjectedPii(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    // doc 5 (≡0 mod 5) got one of each; doc 7 untouched
+    assert(out(5L)._1 === 1 && out(5L)._2 === 1 && out(5L)._3 === 1)
+    assert(out(7L) === ((0, 0, 0,
+      java.security.MessageDigest.getInstance("MD5").digest("no pii either".getBytes)
+        .map("%02x".format(_)).mkString)))
+    // the redacted text of doc 5 contains no raw contact — its md5 equals
+    // the placeholder form's
+    val expected = "plain words here contact <EMAIL> or <PHONE> at <IP>"
+    assert(out(5L)._4 === java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes).map("%02x".format(_)).mkString)
+  }
+
+  test("sequencePack assigns bins by running token count per source") {
+    // 600-token docs into 1024-token bins: doc1 [0,600), doc2 [600,1200)
+    // -> bin 0 off 600, doc3 starts at 1200 -> bin 1 off 176
+    val text600 = Seq.fill(600)("w").mkString(" ")
+    val docs = Seq((1L, text600, "a"), (2L, text600, "a"), (3L, text600, "a"),
+      (9L, text600, "b")).toDF("doc_id", "text", "source")
+    val out = Curation.sequencePack(docs, 1024)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(2L) === ((0L, 600L)))
+    assert(out(3L) === ((1L, 176L)))
+    assert(out(9L) === ((0L, 0L))) // source b packs independently
+  }
+
+  test("mixtureSample: integral weights repeat exactly, zero drops") {
+    val docs = Seq((1L, "aa bb cc", "up"), (2L, "dd ee ff", "drop"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.mixtureSample(docs, Map("up" -> 2.0, "drop" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq.sorted
+    assert(out === Seq((1L, 1), (1L, 2)))
+  }
+}

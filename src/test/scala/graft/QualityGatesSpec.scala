@@ -59,7 +59,9 @@ class QualityGatesSpec extends SparkSpec {
       "q26_tpch_q5" -> Seq("s_suppkey", "n_nationkey", "r_regionkey"),
       "q27c_tpch_q9" -> Seq("p_partkey", "s_suppkey", "n_nationkey"),
       "q27d_tpch_q7" -> Seq("s_suppkey", "s_nk", "c_nk"),
-      "q27e_tpch_q8" -> Seq("s_suppkey", "c_nk", "r_regionkey", "s_nk"))
+      "q27e_tpch_q8" -> Seq("s_suppkey", "c_nk", "r_regionkey", "s_nk"),
+      "q28b_tpch_q10" -> Seq("c_custkey", "n_nationkey"),
+      "q28d_tpch_q18" -> Seq("c_custkey"))
     val failures = dimJoinKeys.toSeq.sortBy(_._1).flatMap { case (name, keys) =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
