@@ -66,6 +66,71 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  // ---- stream-static continuous-ingest dedup ------------------------------
+
+  /** Streaming face of `Cli ingest-dedup`: an unbounded STREAM of arriving
+    * docs (doc_id, ts, text, source) deduped against the PERSISTED corpus
+    * band index ([[graft.operators.Dedup.writeBandIndex]]) via
+    * stream-static joins — no join state at all (each micro-batch probes
+    * the static bucketed tables like a batch job), so the only streaming
+    * state is the within-watermark candidate dedup. Scales to any corpus
+    * size: the stream side is narrow per-row work + one in-watermark
+    * distinct; the index is never re-shuffled.
+    *
+    * The per-doc minhash BANDS are computed narrowly (signature array per
+    * row) instead of the batch `lshBands` explode+groupBy — a streaming
+    * aggregation would demand its own watermark semantics. Band values
+    * are arithmetic-identical to the batch path (same permute, same long
+    * sums), so the match set equals `incrementalNearDupPairsIndexed`'s
+    * (StreamingSpec pins stream == batch). The nested HOFs here are
+    * interpreted — acceptable because per-doc signature work is dwarfed
+    * by the join; the batch path stays on the native expressions.
+    *
+    * Output: (doc_id, old_id, jacc ≥ minJaccard). */
+  def streamingIngestDedup(spark: SparkSession, docs: DataFrame,
+      indexName: String, numHashes: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    import graft.functions.TextHash
+    import graft.operators.Bucketing
+    val numBands = numHashes / rowsPerBand
+    val shingled = docs
+      .select(col("doc_id"), col("ts"), TextHash.shingleHashes(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sig = shingled.select(col("doc_id"), col("ts"),
+      array_distinct(col("shs")).as("set"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("shs"), s => TextHash.permute(i, s)))).as("sig"))
+    val bands = sig.select(col("doc_id"), col("ts"), col("set"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)), b => {
+          val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+          struct(b.cast("int").as("band"),
+            aggregate(sl, lit(0L), (a, x) => a + x).as("s"),
+            array_min(sl).as("mn"), array_max(sl).as("mx"))
+        })).as("bd"))
+      .select(col("doc_id"), col("ts"), col("set"),
+        (col("bd.s") * 64 + col("bd.band")).as("bkey"),
+        col("bd.mn").as("mn"), col("bd.mx").as("mx"))
+    val cb = Bucketing.readBucketed(spark, s"${indexName}_bands")
+      .select(col("doc_id").as("old_id"), col("bkey").as("c_bkey"),
+        col("mn").as("c_mn"), col("mx").as("c_mx"))
+    // two-sided inequalities for the same reason as the batch path: keep
+    // bkey the only equi key so the static scan stays bucket-aligned
+    val cand = bands.join(cb, col("bkey") === col("c_bkey")
+        && col("mn") <= col("c_mn") && col("mn") >= col("c_mn")
+        && col("mx") <= col("c_mx") && col("mx") >= col("c_mx"))
+      .select(col("doc_id"), col("ts"), col("set"), col("old_id"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("doc_id", "old_id")
+    val oldSets = Bucketing.readBucketed(spark, s"${indexName}_sets")
+      .select(col("doc_id").as("old_id"), col("set").as("set_o"))
+    val inter = size(array_intersect(col("set"), col("set_o")))
+    val uni = size(col("set")) + size(col("set_o")) - inter
+    cand.join(oldSets, "old_id")
+      .select(col("doc_id"), col("old_id"),
+        (inter.cast("double") / uni.cast("double")).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+  }
+
   // ---- streaming as-of enrichment -----------------------------------------
 
   /** One interleaved left/right event for [[asOfEnrich]]: `ts` drives the

@@ -198,4 +198,42 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty && got === want)
     } finally query.stop()
   }
+
+  test("stream-static ingest dedup against the band index == batch indexed path") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Seq("sidx_bands", "sidx_sets").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val corpus = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+        (20L, "one two three four five six seven eight nine", "web"),
+        (99L, "completely unrelated content lives over here now", "book")
+      ).toDF("doc_id", "text", "source")
+      Dedup.writeBandIndex(corpus, "sidx", buckets = 4)
+      // arriving docs: near-copies of 10 and 20 plus a novel one
+      val arriving = Seq(
+        (1010L, "2024-01-01 00:01:00", "beta gamma delta epsilon zeta eta theta", "web"),
+        (1020L, "2024-01-01 00:02:00", "two three four five six seven eight nine", "web"),
+        (1099L, "2024-01-01 00:03:00", "q1 q2 q3 q4 q5 q6 q7 q8", "book"))
+        .map { case (id, t, txt, src) => (id, ts(t), txt, src) }
+      val stream = MemoryStream[(Long, Timestamp, String, String)]
+      val streamDf = stream.toDF().toDF("doc_id", "ts", "text", "source")
+      val query = StreamOps.streamingIngestDedup(spark, streamDf, "sidx")
+        .writeStream.format("memory").queryName("ingest_dedup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        stream.addData(arriving)
+        query.processAllAvailable()
+        val got = spark.table("ingest_dedup").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val want = Dedup.incrementalNearDupPairsIndexed(spark,
+            arriving.toDF("doc_id", "ts", "text", "source"), "sidx")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got.nonEmpty && got === want)
+        assert(got.map(p => (p._1, p._2)) === Set((1010L, 10L), (1020L, 20L)))
+      } finally query.stop()
+    } finally
+      Seq("sidx_bands", "sidx_sets").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
