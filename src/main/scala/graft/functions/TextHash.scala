@@ -73,6 +73,25 @@ object TextHash {
       s"i -> (($whs[i]*131 + $whs[i+1]) % $P * 131 + $whs[i+2]) % $P) " +
       s"ELSE [] END"
 
+  // ---- winnowed fingerprints (MOSS) ---------------------------------------
+
+  /** Winnowed fingerprints: the sorted DISTINCT minima of every `w`-wide
+    * window over the shingle-hash sequence — the classic winnowing
+    * guarantee (two docs sharing a run of ≥ w+2 tokens share a
+    * fingerprint) at 1/~(w/2) the storage of full shingle sets. Native
+    * one-pass monotonic-deque expression; ≤ w shingles → the single
+    * global minimum; no shingles → empty. */
+  def winnowHashes(c: Column, w: Int = 4): Column =
+    org.apache.spark.sql.graftnative.TextHashExpressions.winnowHashes(c, w)
+
+  /** SQL over a column already holding the shingle-hash list (the oracle
+    * runs the O(m·w) windowed form; list slicing is 1-based inclusive). */
+  def winnowOverSql(shs: String, w: Int = 4): String =
+    s"CASE WHEN len($shs) = 0 THEN [] " +
+      s"WHEN len($shs) <= $w THEN [list_min($shs)] " +
+      s"ELSE list_sort(list_distinct(list_transform(" +
+      s"generate_series(1, len($shs) - ${w - 1}), i -> list_min($shs[i:i+${w - 1}])))) END"
+
   // ---- seeded permutation for minhash -------------------------------------
 
   /** i-th minhash permutation: h_i(x) = ((2i+3)*x + 7i+1) mod P. */

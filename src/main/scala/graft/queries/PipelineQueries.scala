@@ -448,6 +448,18 @@ object PipelineQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
              |FROM gc JOIN gb USING (g) GROUP BY doc_id""".stripMargin)),
 
+    // winnowed fingerprints (MOSS): per-doc distinct sliding-window minima
+    // of the shingle hashes — the storage-bounded fingerprint set a
+    // plagiarism/overlap detector indexes; native deque expression vs the
+    // oracle's O(m·w) windowed form
+    QueryDef("q59_winnow",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextHash.winnowHashes(col("text"), 4)).as("fp")),
+      Some(s"""WITH tok AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM documents),
+             |sh AS (SELECT doc_id, ${TextHash.shingleHashesOverSql("whs")} AS shs FROM tok)
+             |SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh""".stripMargin)),
+
     // ==== curation: PII / packing / mixture ================================
 
     // PII scrub over a corpus with deterministic injected contacts (the

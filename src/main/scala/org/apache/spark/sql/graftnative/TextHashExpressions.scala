@@ -58,15 +58,52 @@ object TextHashOps {
   def wordHashes(s: UTF8String): ArrayData =
     new GenericArrayData(wordHashArray(s))
 
-  def shingleHashes(s: UTF8String): ArrayData = {
+  private def shingleHashArray(s: UTF8String): Array[Long] = {
     val w = wordHashArray(s)
-    if (w.length < 3) return new GenericArrayData(Array.empty[Long])
+    if (w.length < 3) return Array.empty[Long]
     val out = new Array[Long](w.length - 2)
     var i = 0
     while (i < w.length - 2) {
       out(i) = ((w(i) * 131 + w(i + 1)) % P * 131 + w(i + 2)) % P
       i += 1
     }
+    out
+  }
+
+  def shingleHashes(s: UTF8String): ArrayData =
+    new GenericArrayData(shingleHashArray(s))
+
+  /** Winnowed fingerprints (the MOSS scheme): the sorted DISTINCT minima
+    * of every `w`-wide window over the shingle-hash sequence — the
+    * guarantee-bearing fingerprint subset (any shared run of ≥ w+k-1
+    * tokens shares a fingerprint). One linear pass via a monotonic
+    * deque (O(m), not O(m·w)); a doc with ≤ w shingles contributes its
+    * single global minimum; no shingles → empty. */
+  def winnowHashes(s: UTF8String, w: Int): ArrayData = {
+    val h = shingleHashArray(s)
+    val m = h.length
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var mn = h(0); var i = 1
+      while (i < m) { if (h(i) < mn) mn = h(i); i += 1 }
+      sel.add(mn)
+    } else {
+      // deque of indices, values increasing front→back
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail)
+      var i = 0
+      while (i < m) {
+        while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) sel.add(h(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator(); var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
 
@@ -149,6 +186,21 @@ case class Gram13Hashes(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): Gram13Hashes = copy(child = c)
 }
 
+/** Winnowed fingerprints: sorted distinct sliding-window minima of the
+  * shingle hashes (window size `w`). */
+case class WinnowHashes(child: Expression, w: Int) extends TextHashExpression {
+  require(w >= 1, "winnow window must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnowhashes"
+  override protected def staticCall: String = "winnowHashes" // unused (doGenCode below)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.TextHashOps.winnowHashes($c, $w);")
+  override def nullSafeEval(s: Any): Any =
+    TextHashOps.winnowHashes(s.asInstanceOf[UTF8String], w)
+  override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
+}
+
 object TextHashExpressions {
   def polyHash(c: Column): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c)))
@@ -158,4 +210,6 @@ object TextHashExpressions {
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c)))
   def gram13Hashes(c: Column): Column =
     ExpressionUtils.column(Gram13Hashes(ExpressionUtils.expression(c)))
+  def winnowHashes(c: Column, w: Int): Column =
+    ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(c), w))
 }
