@@ -126,6 +126,30 @@ object TextAnalysis {
           .otherwise(0.0).as("rep_ratio"))
   }
 
+  /** EXACT corpus heavy hitters with a bounded-memory candidate pass:
+    * tokens with frequency > n/k, found by (1) a Misra–Gries sketch
+    * aggregate (custom `TypedImperativeAggregate`, ≤ k-1 counters per
+    * buffer, mergeable — `graftnative.MisraGriesAgg`) whose output is a
+    * guaranteed SUPERSET of the true heavy hitters, then (2) an exact
+    * re-count of just the candidates (broadcast semi-join) filtered with
+    * integer arithmetic `cnt·k > n`. The full-vocabulary groupBy a naive
+    * plan needs never happens — at 100 TB the sketch pass is map-side
+    * constant memory and the re-count touches ≤ k-1 keys. Final output
+    * is exact, so the oracle checks it against DuckDB's true frequency
+    * filter. Output: (wh, cnt) for each heavy-hitter token hash. */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.SketchAggregates
+    val toks = docs.select(explode(TextHash.wordHashes(col("text"))).as("wh"))
+    val cands = toks.agg(SketchAggregates.misraGries(col("wh"), k).as("cand"))
+      .select(explode(col("cand")).as("wh"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cands), "wh")
+      .groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("total"))
+      .select(col("wh"), col("cnt"))
+  }
+
   /** Deterministic stratified sample: the first `perStratum` docs of each
     * stratum in content-hash order (ties to doc_id) — replayable
     * class-balanced subsets for eval sets / ablations. One shuffle on the

@@ -448,6 +448,18 @@ object PipelineQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
              |FROM gc JOIN gb USING (g) GROUP BY doc_id""".stripMargin)),
 
+    // exact heavy hitters through a bounded-memory Misra-Gries candidate
+    // pass (custom TypedImperativeAggregate) + exact re-count of the <= k-1
+    // candidates; the oracle computes the true frequency filter directly,
+    // so a sketch bug that drops a real heavy hitter mismatches
+    QueryDef("q61_heavy_hitters",
+      (s, dir) => TextAnalysis.heavyHitters(Tables.load(s, dir, "documents"), 30),
+      Some(s"""WITH tok AS (
+             |  SELECT unnest(${TextHash.wordHashesSql("text")}) AS wh FROM documents),
+             |c AS (SELECT wh, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY wh)
+             |SELECT wh, cnt FROM c
+             |WHERE cnt * 30 > (SELECT count(*) FROM tok)""".stripMargin)),
+
     // winnowed fingerprints (MOSS): per-doc distinct sliding-window minima
     // of the shingle hashes — the storage-bounded fingerprint set a
     // plagiarism/overlap detector indexes; native deque expression vs the

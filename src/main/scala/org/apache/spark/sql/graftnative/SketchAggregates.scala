@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graftnative
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Misra–Gries heavy-hitters summary as a custom Catalyst AGGREGATE
+  * (`TypedImperativeAggregate`) — the engine's (b)-tier ladder extended
+  * from scalar expressions to aggregation state: partial buffers build
+  * per-partition (map-side), `merge` combines them pairwise, and the
+  * whole thing is bounded at `k-1` counters per buffer however large the
+  * input — the sketch shape that replaces a full groupBy when only the
+  * frequent items matter at 100 TB.
+  *
+  * Guarantee (mergeable-summaries bound): after any sequence of updates
+  * and merges, every item with true frequency > n/k is present in the
+  * buffer, and each counter undercounts by at most n/k. The OUTPUT is
+  * therefore a candidate SUPERSET of the true heavy hitters, not an
+  * approximation of their counts — callers re-count candidates exactly
+  * (one cheap semi-joined aggregation) and filter `cnt·k > n`, making
+  * the final result EXACT and oracle-checkable while the sketch bounds
+  * the memory (`graft.operators.TextAnalysis.heavyHitters`).
+  *
+  * Buffer ops: weighted add inserts/increments; on overflow past k-1
+  * counters the minimum count is subtracted from every counter and
+  * zeros evicted (the weighted Misra–Gries step). Eval emits the
+  * candidate items sorted ascending (deterministic output order).
+  */
+case class MisraGriesAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[Long, Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(k >= 2, "misra-gries needs k >= 2")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_misra_gries"
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long]()
+
+  private def add(buf: java.util.HashMap[Long, Long], item: Long, w: Long): Unit = {
+    val cur = buf.get(item) // 0L when absent (unboxed default)
+    buf.put(item, cur + w)
+    if (buf.size > k - 1) {
+      // weighted MG step: shed the minimum from every counter; at least
+      // the argmin hits zero, restoring size <= k-1
+      var mn = Long.MaxValue
+      val it0 = buf.values().iterator()
+      while (it0.hasNext) { val v = it0.next(); if (v < mn) mn = v }
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - mn
+        if (nv <= 0) it.remove() else e.setValue(nv)
+      }
+    }
+  }
+
+  override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long], 1L)
+    buf
+  }
+
+  override def merge(buf: java.util.HashMap[Long, Long], other: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); add(buf, e.getKey, e.getValue) }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
+    val keys = new Array[Long](buf.size)
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(keys)
+    new GenericArrayData(keys)
+  }
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.HashMap[Long, Long](n * 2)
+    var i = 0
+    while (i < n) { buf.put(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): MisraGriesAgg =
+    copy(child = c)
+}
+
+object SketchAggregates {
+  /** Misra–Gries candidate heavy hitters of a LongType column: an
+    * array of ≤ k-1 items guaranteed to contain every item with
+    * frequency > n/k. */
+  def misraGries(c: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MisraGriesAgg(ExpressionUtils.expression(c), k).toAggregateExpression())
+}

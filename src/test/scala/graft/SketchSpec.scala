@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.SketchAggregates
+
+/** The Misra–Gries aggregate must keep every true heavy hitter through
+  * partial aggregation + merges, and the exact re-count pass must turn
+  * the candidate superset into exactly the true heavy-hitter set. */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("MG candidates contain every item with freq > n/k across merges") {
+    // 10k values over 64 partitions: item 1 at ~40%, item 2 at ~15%,
+    // long tail over 500 ids — k=5 keeps at most 4 counters per buffer
+    val rnd = new scala.util.Random(11L)
+    val data = (1 to 10000).map { _ =>
+      val r = rnd.nextDouble()
+      if (r < 0.40) 1L else if (r < 0.55) 2L else 3L + rnd.nextInt(500)
+    }
+    val df = data.toDF("wh").repartition(64)
+    val cands = df.agg(SketchAggregates.misraGries(col("wh"), 5).as("c"))
+      .collect()(0).getSeq[Long](0).toSet
+    assert(cands.size <= 4)
+    assert(cands.contains(1L) && cands.contains(2L),
+      s"true heavy hitters evicted: $cands")
+  }
+
+  test("heavyHitters returns exactly the true frequency > n/k set") {
+    // text corpus shaped so 'aa' (50%) and 'bb' (30%) beat n/4, the rest
+    // never do; vocabulary (12) exceeds the counter budget (3)
+    val words = Seq.fill(50)("aa") ++ Seq.fill(30)("bb") ++
+      (0 until 20).map(i => s"t$i" * 1 + (i % 10))
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "s") }.toSeq
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.heavyHitters(docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exact expectation computed independently
+    val counts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = words.size
+    def ph(s: String): Long =
+      s.codePoints.toArray.map(_.toLong).reduceLeft((a, c) => (a * 31 + c) % 1000000007L)
+    val want = counts.collect { case (w, c) if c * 4 > n => ph(w) -> c }.toMap
+    assert(want.nonEmpty && got === want)
+  }
+}
