@@ -457,6 +457,51 @@ object RelationalQueries {
              |JOIN customer ON o_custkey = c_custkey
              |WHERE qty > 300""".stripMargin)),
 
+    // ---- TPC-H Q2 shape: minimum-cost supplier per part -----------------
+    // (no partsupp in the synthetic schema; lineitem is the part-supplier
+    // price relation: per EUROPE-region part sold, the supplier offering
+    // the minimum unit price, ties to the smallest suppkey — the Q2
+    // correlated-min essence as a window argmin over broadcast dims)
+    QueryDef("q28e_tpch_q2",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part").filter(col("p_size") === 15)
+        val sup = Tables.load(s, dir, "supplier")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+        // plain DOUBLE division: both columns are 2-decimal doubles and
+        // IEEE division rounds identically in Spark and DuckDB, whereas
+        // decimal-quotient scales differ cross-engine (Exact scaladoc)
+        val unitPrice = col("l_extendedprice") / col("l_quantity")
+        val w = Window.partitionBy(col("p_partkey"))
+          .orderBy(col("unit_price"), col("s_suppkey"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+            col("n_name"), unitPrice.as("unit_price"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("p_partkey").as("partkey"), col("s_suppkey").as("suppkey"),
+            col("s_name").as("sname"), col("n_name").as("nation"),
+            col("unit_price"))
+      },
+      Some("""SELECT p_partkey AS partkey, s_suppkey AS suppkey, s_name AS sname,
+             |       n_name AS nation, unit_price
+             |FROM (
+             |  SELECT p_partkey, s_suppkey, s_name, n_name,
+             |         l_extendedprice / l_quantity AS unit_price,
+             |         row_number() OVER (PARTITION BY p_partkey
+             |             ORDER BY l_extendedprice / l_quantity, s_suppkey) AS rn
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE p_size = 15 AND r_name = 'EUROPE') t
+             |WHERE rn = 1""".stripMargin)),
+
     // ---- exact interpolated percentiles ---------------------------------
     QueryDef("q23b_percentiles",
       (s, dir) => Tables.load(s, dir, "lineitem")

@@ -34,8 +34,11 @@ class QualityGatesSpec extends SparkSpec {
   // queries whose construction itself runs driver-side jobs (iterative
   // loops) — their per-round plans are covered by their own specs
   private val iterative = Set("q46_canonical", "q48_dedup_apply")
-  // documented brute-force baseline: broadcast non-equi join by design
-  private val bnljAllowed = Set("q51_ann_bruteforce")
+  // documented exceptions: q51 is the brute-force ANN baseline (broadcast
+  // non-equi join by design); q61's BNLJ is a ONE-ROW broadcast cross
+  // join (the scalar-subquery total for the heavy-hitter threshold) —
+  // O(n) work, not a quadratic plan
+  private val bnljAllowed = Set("q51_ann_bruteforce", "q61_heavy_hitters")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
