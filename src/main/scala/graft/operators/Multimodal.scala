@@ -93,4 +93,160 @@ object Multimodal {
       rows.map(decodePng)
     }
   }
+
+  // ---- audio (PCM WAV) -----------------------------------------------------
+
+  /** An opaque audio payload + typed metadata. */
+  final case class AudioRow(doc_id: Long, payload: Array[Byte],
+      sample_rate: Int, n_samples: Int)
+
+  /** Features from the DECODED stream: rate from the parsed RIFF header,
+    * counts/sums from the parsed PCM frames — a header or endianness bug
+    * cannot hide behind the metadata columns. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+      amp_sum: Long, first_amp: Int, n_nonneg: Long)
+
+  /** 16-bit mono PCM sample i = (digest(i mod 16) − 128) · 200. */
+  private def sampleAt(digest: Array[Byte], i: Int): Int =
+    ((digest(i % 16) & 0xff) - 128) * 200
+
+  private def encodeWav(digest: Array[Byte], n: Int, rate: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(sampleAt(digest, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Synthesize a real WAV audio table: payload = RIFF/PCM-encoded 16-bit
+    * mono whose samples cycle through the md5 digest of the text
+    * (amplitude (b−128)·200 at 8 kHz); length keyed off n_chars. */
+  def audioTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("digest"),
+        (col("n_chars") % 64 + 16).cast("int").as("n"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions(_.map { case (id, digest, n) =>
+        AudioRow(id, encodeWav(digest, n, 8000), 8000, n)
+      })
+      .toDF()
+  }
+
+  private def decodeWav(a: AudioRow): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(a.payload))
+    val fmt = ais.getFormat
+    require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+      s"unexpected decoded format: $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var sum = 0L
+    var nonneg = 0L
+    var first = 0
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      if (i == 0) first = s
+      sum += s
+      if (s >= 0) nonneg += 1
+      i += 1
+    }
+    AudioFeatures(a.doc_id, fmt.getSampleRate.toInt, n, sum, first, nonneg)
+  }
+
+  /** Audio decode pass: `javax.sound.sampled` parses the RIFF header and
+    * streams PCM frames; same once-per-partition kernel shape. */
+  def decodeAudioFeatures(audio: DataFrame)(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audio.as[AudioRow].mapPartitions(_.map(decodeWav))
+  }
+
+  // ---- video (framed PNG container) ----------------------------------------
+
+  /** An opaque video payload + typed metadata. */
+  final case class VideoRow(doc_id: Long, payload: Array[Byte],
+      n_frames: Int, width: Int, height: Int)
+
+  /** Per-SAMPLED-frame features from the decoded rasters. */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, px_sum: Long)
+
+  private val VideoMagic = "GVID".getBytes("US-ASCII")
+
+  /** Container: magic, frame count, then length-prefixed PNG frames.
+    * Frame f's pixels cycle the md5 digest of `text#f` — per-frame
+    * content, so sampling the wrong frame mismatches the oracle. */
+  private def encodeVideo(frameDigests: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val frames = frameDigests.map(encodePng(_, w, h))
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + frames.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(VideoMagic).putInt(frames.size)
+    frames.foreach(f => bb.putInt(f.length).put(f))
+    bb.array()
+  }
+
+  /** Synthesize the video table: doc_id % 6 + 2 frames per doc, each a
+    * real PNG; frame digests computed relationally (md5 is the engine's
+    * codegen'd expression), the container packed in the kernel. */
+  def videoTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val nf = (col("doc_id") % 6 + 2).cast("int")
+    docs.select(col("doc_id"), nf.as("n_frames"),
+        (col("n_chars") % 16 + 1).cast("int").as("width"),
+        (col("doc_id") % 12 + 1).cast("int").as("height"),
+        transform(sequence(lit(0), nf - 1),
+          f => unhex(md5(concat(col("text"), lit("#"), f.cast("string"))))).as("digests"))
+      .as[(Long, Int, Int, Int, Seq[Array[Byte]])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, n, w, h, digests) =>
+          VideoRow(id, encodeVideo(digests, w, h), n, w, h)
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling: parse the container, decode every `step`-th frame
+    * with the real PNG codec, emit per-frame pixel stats from the DECODED
+    * raster. The un-sampled frames are skipped WITHOUT decoding (length
+    * prefix hop) — the point of frame sampling at scale. */
+  def sampleFrames(video: DataFrame, step: Int)(implicit spark: SparkSession): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    video.as[VideoRow].mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { v =>
+        val bb = java.nio.ByteBuffer.wrap(v.payload).order(java.nio.ByteOrder.BIG_ENDIAN)
+        val magic = new Array[Byte](4)
+        bb.get(magic)
+        require(java.util.Arrays.equals(magic, VideoMagic), s"bad container for doc ${v.doc_id}")
+        val n = bb.getInt
+        (0 until n).flatMap { f =>
+          val len = bb.getInt
+          if (f % step != 0) { bb.position(bb.position() + len); None }
+          else {
+            val png = new Array[Byte](len)
+            bb.get(png)
+            val img = ImageIO.read(new ByteArrayInputStream(png))
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Some(FrameFeatures(v.doc_id, f, img.getWidth, img.getHeight, sum))
+          }
+        }
+      }
+    }
+  }
 }

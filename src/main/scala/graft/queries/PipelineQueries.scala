@@ -681,6 +681,68 @@ object PipelineQueries {
     // DuckDB verifies with its native ASOF LEFT JOIN against a right side
     // deduplicated per (user, ts) by highest event_id — the same tie
     // discipline the window ordering applies.
+    // audio modality: REAL RIFF/WAV round trip (manual PCM encode →
+    // javax.sound header+frame decode); the oracle derives the same
+    // stats arithmetically from the md5 generation formula without ever
+    // seeing a WAV, so an endianness/header bug mismatches
+    QueryDef("q62_audio_features",
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.decodeAudioFeatures(
+          Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id, md5(text) AS h,
+             |                 CAST(n_chars % 64 + 16 AS INTEGER) AS n_samples
+             |          FROM documents),
+             |b AS (SELECT doc_id, n_samples,
+             |             list_transform(generate_series(1, 16),
+             |               i -> (CAST(16 * (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1)
+             |                          + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS BIGINT)
+             |                     - 128) * 200) AS amps
+             |      FROM m)
+             |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, n_samples,
+             |       CAST(n_samples // 16 AS BIGINT) * list_reduce(amps, (a, b) -> a + b)
+             |         + CASE WHEN n_samples % 16 = 0 THEN 0
+             |                ELSE list_reduce(amps[1:(n_samples % 16)], (a, b) -> a + b) END AS amp_sum,
+             |       CAST(amps[1] AS INTEGER) AS first_amp,
+             |       CAST(n_samples // 16 AS BIGINT)
+             |         * len(list_filter(amps, x -> x >= 0))
+             |         + CASE WHEN n_samples % 16 = 0 THEN 0
+             |                ELSE len(list_filter(amps[1:(n_samples % 16)], x -> x >= 0)) END AS n_nonneg
+             |FROM b""".stripMargin)),
+
+    // video modality: framed-PNG container, every 2nd frame decoded (the
+    // rest are length-prefix hopped without decoding); per-frame digests
+    // are md5(text#f), so the oracle catches wrong-frame sampling
+    QueryDef("q63_video_frames",
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.sampleFrames(
+          Multimodal.videoTable(Tables.load(s, dir, "documents")), 2).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id, text,
+             |                 CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames,
+             |                 CAST(n_chars % 16 + 1 AS INTEGER) AS width,
+             |                 CAST(doc_id % 12 + 1 AS INTEGER) AS height
+             |          FROM documents),
+             |f AS (SELECT doc_id, text, width, height,
+             |             CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx
+             |      FROM m),
+             |s AS (SELECT doc_id, frame_idx, width, height,
+             |             md5(text || '#' || CAST(frame_idx AS VARCHAR)) AS h,
+             |             width * height AS n_px
+             |      FROM f WHERE frame_idx % 2 = 0),
+             |b AS (SELECT doc_id, frame_idx, width, height, n_px,
+             |             list_transform(generate_series(1, 16),
+             |               i -> CAST(16 * (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1)
+             |                         + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+             |      FROM s)
+             |SELECT doc_id, frame_idx, width, height,
+             |       CAST(n_px // 16 AS BIGINT) * list_reduce(bytes, (a, b) -> a + b)
+             |         + CASE WHEN n_px % 16 = 0 THEN 0
+             |                ELSE list_reduce(bytes[1:(n_px % 16)], (a, b) -> a + b) END AS px_sum
+             |FROM b""".stripMargin)),
+
     QueryDef("q72_asof_join",
       (s, dir) => {
         val ev = Tables.events(s, dir)
