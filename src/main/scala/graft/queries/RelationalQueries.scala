@@ -502,6 +502,63 @@ object RelationalQueries {
              |  WHERE p_size = 15 AND r_name = 'EUROPE') t
              |WHERE rn = 1""".stripMargin)),
 
+    // ---- TPC-H Q11 shape: parts above a global value threshold ----------
+    // (scalar-subquery pattern: per-part revenue kept iff > 1/1500 of the
+    // global total — ~6.5% of the near-uniform synthetic parts qualify;
+    // the comparison stays in EXACT decimal — val·1500 vs total — never
+    // a double fraction)
+    QueryDef("q28f_tpch_q11",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val rev = Exact.revenue(col("l_extendedprice"), col("l_discount"))
+        val parts = l.groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(rev).as("value"))
+        val total = l.agg(sum(rev).as("total"))
+        parts.crossJoin(broadcast(total))
+          .filter(col("value") * 1500 > col("total"))
+          .select(col("partkey"), col("value").cast("double").as("value"))
+      },
+      Some(s"""SELECT l_partkey AS partkey,
+             |       CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS value
+             |FROM lineitem GROUP BY l_partkey
+             |HAVING SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) * 1500
+             |       > (SELECT SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) FROM lineitem)""".stripMargin)),
+
+    // ---- TPC-H Q22 shape: dormant high-balance customers ----------------
+    // (above-global-average filter + anti join; the average test is the
+    // EXACT cross-multiplied form acctbal·n > Σbal — doubles averaged
+    // per-engine would round differently)
+    QueryDef("q28g_tpch_q22",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val pos = c.filter(col("c_acctbal") > 0.0)
+          .agg(sum(Exact.money(col("c_acctbal"))).as("sumbal"),
+            count(lit(1)).as("nbal"))
+        // "dormant" = no URGENT order (every synthetic customer has SOME
+        // order, so Q22's no-orders-at-all filter would be degenerate)
+        c.crossJoin(broadcast(pos))
+          .filter(Exact.money(col("c_acctbal")) * col("nbal") > col("sumbal"))
+          .join(Tables.load(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy((col("c_nationkey") % 10).cast("int").as("cgroup"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(Exact.money(col("c_acctbal"))).cast("double").as("totacctbal"))
+      },
+      Some("""WITH pos AS (
+             |  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sumbal,
+             |         CAST(count(*) AS BIGINT) AS nbal
+             |  FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE))
+             |SELECT CAST(c_nationkey % 10 AS INTEGER) AS cgroup,
+             |       CAST(count(*) AS BIGINT) AS numcust,
+             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+             |FROM customer, pos
+             |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * nbal > sumbal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY 1""".stripMargin)),
+
     // ---- exact interpolated percentiles ---------------------------------
     QueryDef("q23b_percentiles",
       (s, dir) => Tables.load(s, dir, "lineitem")

@@ -35,10 +35,12 @@ class QualityGatesSpec extends SparkSpec {
   // loops) — their per-round plans are covered by their own specs
   private val iterative = Set("q46_canonical", "q48_dedup_apply")
   // documented exceptions: q51 is the brute-force ANN baseline (broadcast
-  // non-equi join by design); q61's BNLJ is a ONE-ROW broadcast cross
-  // join (the scalar-subquery total for the heavy-hitter threshold) —
-  // O(n) work, not a quadratic plan
-  private val bnljAllowed = Set("q51_ann_bruteforce", "q61_heavy_hitters")
+  // non-equi join by design); the others are ONE-ROW broadcast cross
+  // joins (the scalar-subquery global-threshold pattern: heavy-hitter
+  // total, Q11 global value, Q22 global average) — O(n) work, not
+  // quadratic plans
+  private val bnljAllowed = Set("q51_ann_bruteforce", "q61_heavy_hitters",
+    "q28f_tpch_q11", "q28g_tpch_q22")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
