@@ -73,6 +73,32 @@ object Curation {
         (col("start") % seqLen).cast("long").as("off"))
   }
 
+  // ---- quality-filter verdicts ---------------------------------------------
+
+  /** C4/Gopher-style rule-table filtering with REASON CODES — the shape a
+    * curation pipeline actually ships (keep/drop plus why, so drops are
+    * auditable and rates monitorable per rule). Rules run in a fixed
+    * order and the first failure names the verdict; all ratios are exact
+    * integer-over-integer doubles, so the oracle agrees bit-for-bit.
+    * Narrow per-row work — a map-only stage at any scale. */
+  def qualityVerdicts(docs: DataFrame,
+      minTokens: Int = 20, minTtr: Double = 0.35,
+      maxStopRatio: Double = 0.12,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val t = TextHash.tokens(col("text"))
+    val n = size(t)
+    val ttr = size(array_distinct(t)).cast("double") / n.cast("double")
+    val stopRatio = size(filter(t, w => w.isInCollection(stopwords))).cast("double") /
+      n.cast("double")
+    val reason = when(n < minTokens, "too_short")
+      .when(ttr < minTtr, "low_ttr")
+      .when(stopRatio > maxStopRatio, "high_stop")
+      .otherwise("ok")
+    docs.select(col("doc_id"), n.as("n_tokens"),
+      ttr.as("ttr"), stopRatio.as("stop_ratio"),
+      reason.as("reason"), (reason === "ok").as("keep"))
+  }
+
   // ---- mixture sampling ----------------------------------------------------
 
   /** Epoch-weighted mixture sampling: each source's docs are repeated

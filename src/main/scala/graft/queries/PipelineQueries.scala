@@ -517,6 +517,29 @@ object PipelineQueries {
              |       CAST(start % 1024 AS BIGINT) AS off
              |FROM c""".stripMargin)),
 
+    // rule-table quality filtering with reason codes (first failing rule
+    // names the verdict; thresholds calibrated to split the corpus)
+    QueryDef("q64_quality_verdicts",
+      (s, dir) => Curation.qualityVerdicts(Tables.load(s, dir, "documents")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |m AS (
+             |  SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+             |         CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr,
+             |         CAST(len(list_filter(tk, w -> w IN ('the', 'a'))) AS DOUBLE)
+             |           / CAST(len(tk) AS DOUBLE) AS stop_ratio
+             |  FROM t)
+             |SELECT doc_id, n_tokens, ttr, stop_ratio,
+             |       CASE WHEN n_tokens < 20 THEN 'too_short'
+             |            WHEN ttr < 0.35 THEN 'low_ttr'
+             |            WHEN stop_ratio > 0.12 THEN 'high_stop'
+             |            ELSE 'ok' END AS reason,
+             |       CASE WHEN n_tokens < 20 THEN 'too_short'
+             |            WHEN ttr < 0.35 THEN 'low_ttr'
+             |            WHEN stop_ratio > 0.12 THEN 'high_stop'
+             |            ELSE 'ok' END = 'ok' AS keep
+             |FROM m""".stripMargin)),
+
     // epoch-weighted mixture sampling: src0 2.25 epochs, src1 0.5, src2
     // 1.0, src3 0.75 — binary-exact fractions so both engines compute the
     // same bucket threshold; the extra copy is content-hash gated

@@ -199,6 +199,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("range join with a STREAMING points side == batch (same operator)") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static intervals (micros): [0,90m], [60m,120m] overlap; [5h,6h] far
+    val mi = 60L * 1000000 * 60 / 60 // one minute in micros
+    val intervals = Seq((1L, 0L * mi, 90L * mi), (2L, 60L * mi, 120L * mi),
+      (3L, 300L * mi, 360L * mi)).toDF("iv_id", "lo_us", "hi_us")
+    val points = Seq((10L, 30L * mi), (11L, 75L * mi), (12L, 200L * mi))
+    val batch = RangeJoin.pointInInterval(
+        points.toDF("p_id", "ts_us"), intervals, "ts_us", "lo_us", "hi_us")
+      .select("p_id", "iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = MemoryStream[(Long, Long)]
+    val query = RangeJoin.pointInInterval(
+        stream.toDF().toDF("p_id", "ts_us"), intervals, "ts_us", "lo_us", "hi_us")
+      .select("p_id", "iv_id")
+      .writeStream.format("memory").queryName("range_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(points)
+      query.processAllAvailable()
+      val got = spark.table("range_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batch)
+      assert(got === Set((10L, 1L), (11L, 1L), (11L, 2L)))
+    } finally query.stop()
+  }
+
   test("stream-static ingest dedup against the band index == batch indexed path") {
     import graft.operators.Dedup
     import spark.implicits._
