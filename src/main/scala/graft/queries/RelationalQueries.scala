@@ -559,6 +559,214 @@ object RelationalQueries {
              |                    AND o_orderpriority = '1-URGENT')
              |GROUP BY 1""".stripMargin)),
 
+    // ---- TPC-H Q14 shape: promo revenue share over a month --------------
+    // (decimal numerator/denominator, ONE double division at the end —
+    // the q27e pattern)
+    QueryDef("q28h_tpch_q14",
+      (s, dir) => {
+        val zero = lit(0).cast("decimal(17,4)")
+        val rev = Exact.revenue(col("l_extendedprice"), col("l_discount"))
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP'1996-03-01 00:00:00'")
+            && col("l_shipdate") < expr("TIMESTAMP'1996-04-01 00:00:00'"))
+          .join(broadcast(Tables.load(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .agg((sum(when(col("p_type") === "PROMO", rev).otherwise(zero)).cast("double")
+            * 100.0 / sum(rev).cast("double")).as("promo_revenue"))
+      },
+      Some(s"""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |                      THEN ${Exact.revenueSql("l_extendedprice", "l_discount")}
+             |                      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+             |       * 100.0 / CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE)
+             |         AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
+
+    // ---- TPC-H Q15 shape: top supplier(s) by quarterly revenue ----------
+    // (scalar-subquery max compared in EXACT decimal, so ties — the Q15
+    // subtlety — are handled identically in both engines)
+    QueryDef("q28i_tpch_q15",
+      (s, dir) => {
+        val rev = Exact.revenue(col("l_extendedprice"), col("l_discount"))
+        val byS = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'")
+            && col("l_shipdate") < expr("TIMESTAMP'1996-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey")).agg(sum(rev).as("total_rev"))
+        val mx = byS.agg(max(col("total_rev")).as("max_rev"))
+        byS.crossJoin(broadcast(mx))
+          .filter(col("total_rev") === col("max_rev"))
+          .join(broadcast(Tables.load(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey").as("suppkey"), col("s_name").as("sname"),
+            col("total_rev").cast("double").as("total_rev"))
+      },
+      Some(s"""WITH r AS (
+             |  SELECT l_suppkey, SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey AS suppkey, s_name AS sname,
+             |       CAST(total_rev AS DOUBLE) AS total_rev
+             |FROM r JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = (SELECT max(total_rev) FROM r)""".stripMargin)),
+
+    // ---- TPC-H Q16 shape: supplier counts per part attribute ------------
+    // (lineitem is the part-supplier bridge — no partsupp in the synthetic
+    // schema; '%0'-named suppliers are the complaints-exclusion analog)
+    QueryDef("q28j_tpch_q16",
+      (s, dir) => {
+        val bridge = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val p = Tables.load(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 10)
+        val excluded = Tables.load(s, dir, "supplier")
+          .filter(col("s_name").endsWith("0")).select(col("s_suppkey"))
+        bridge.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand").as("brand"), col("p_type").as("ptype"),
+            col("p_size").as("psize"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand AS brand, p_type AS ptype, p_size AS psize,
+             |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_size <= 10
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- TPC-H Q17 shape: small-quantity revenue for one brand ----------
+    // (the correlated per-part average test cross-multiplied into exact
+    // decimal: qty·5·cnt < Σqty ⟺ qty < avg/5 — never a double average)
+    QueryDef("q28k_tpch_q17",
+      (s, dir) => {
+        val lp = Tables.load(s, dir, "lineitem")
+          .join(broadcast(Tables.load(s, dir, "part")
+            .filter(col("p_brand") === "Brand#5")),
+            col("l_partkey") === col("p_partkey"))
+        val perPart = lp.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(Exact.money(col("l_quantity"))).as("sq"),
+            count(lit(1)).as("cnt"))
+        lp.join(perPart, col("l_partkey") === col("pk"))
+          .filter(Exact.money(col("l_quantity")) * 5 * col("cnt") < col("sq"))
+          .agg((sum(Exact.money(col("l_extendedprice"))).cast("double") / 7.0)
+            .as("avg_yearly"))
+      },
+      Some("""WITH lp AS (
+             |  SELECT l_partkey, l_quantity, l_extendedprice
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#5'),
+             |g AS (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+             |             CAST(count(*) AS BIGINT) AS cnt
+             |      FROM lp GROUP BY 1)
+             |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lp JOIN g ON l_partkey = pk
+             |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq""".stripMargin)),
+
+    // ---- TPC-H Q19 shape: disjunctive brand/size/quantity predicates ----
+    // (OR-of-ANDs as a join condition — the predicate-normalization shape)
+    QueryDef("q28l_tpch_q19",
+      (s, dir) => {
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#7" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30))
+        Tables.load(s, dir, "lineitem")
+          .join(broadcast(Tables.load(s, dir, "part")),
+            col("l_partkey") === col("p_partkey") && cond)
+          .agg(sum(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand='Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand='Brand#7' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand='Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // ---- TPC-H Q20 shape: suppliers shipping excess 'gear' volume -------
+    QueryDef("q28m_tpch_q20",
+      (s, dir) => {
+        val qualifying = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'")
+            && col("l_shipdate") < expr("TIMESTAMP'1997-01-01 00:00:00'"))
+          .join(broadcast(Tables.load(s, dir, "part")
+            .filter(col("p_name").contains("gear"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(Exact.money(col("l_quantity"))).as("sq"))
+          .filter(col("sq") > 350)
+          .select(col("l_suppkey"))
+        Tables.load(s, dir, "supplier")
+          .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey").as("suppkey"), col("s_name").as("sname"))
+      },
+      Some("""SELECT s_suppkey AS suppkey, s_name AS sname
+             |FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  WHERE p_name LIKE '%gear%'
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  GROUP BY l_suppkey
+             |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 350)""".stripMargin)),
+
+    // ---- TPC-H Q21 shape: the sole latest-shipping supplier per order ---
+    // (the EXISTS + NOT-EXISTS correlated pair, expressed relationally:
+    // per (order, supplier) max ship, per order global max / #suppliers /
+    // #suppliers-at-max; a supplier waits an order iff it holds the
+    // unique max in a multi-supplier 'F' order — equivalent to Q21's
+    // "others exist, none shipped later-or-equal" formulation)
+    QueryDef("q28n_tpch_q21",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders")
+              .filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+        val perOS = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("l_shipdate")).as("s_max"))
+        val perO = perOS.groupBy(col("l_orderkey").as("okey"))
+          .agg(max(col("s_max")).as("o_max"),
+            count(lit(1)).as("n_supp"))
+        val atMax = perOS.join(perO, col("l_orderkey") === col("okey")
+            && col("s_max") === col("o_max"))
+        val winners = atMax
+          .withColumn("n_at_max", count(lit(1))
+            .over(Window.partitionBy(col("okey"))))
+          .filter(col("n_supp") > 1 && col("n_at_max") === 1)
+        winners.groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("suppkey"))
+          .limit(20)
+      },
+      Some("""WITH f AS (
+             |  SELECT l.* FROM lineitem l
+             |  WHERE EXISTS (SELECT 1 FROM orders
+             |                WHERE o_orderkey = l.l_orderkey AND o_orderstatus = 'F')),
+             |pos AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+             |        FROM f GROUP BY 1, 2),
+             |po AS (SELECT l_orderkey AS okey, max(s_max) AS o_max,
+             |              CAST(count(*) AS BIGINT) AS n_supp
+             |       FROM pos GROUP BY 1)
+             |SELECT suppkey, numwait FROM (
+             |  SELECT p1.l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS numwait
+             |  FROM pos p1 JOIN po ON p1.l_orderkey = okey AND p1.s_max = o_max
+             |  WHERE n_supp > 1
+             |    AND NOT EXISTS (SELECT 1 FROM pos p2
+             |                    WHERE p2.l_orderkey = p1.l_orderkey
+             |                      AND p2.l_suppkey <> p1.l_suppkey
+             |                      AND p2.s_max = o_max)
+             |  GROUP BY 1)
+             |ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin)),
+
     // ---- exact interpolated percentiles ---------------------------------
     QueryDef("q23b_percentiles",
       (s, dir) => Tables.load(s, dir, "lineitem")
