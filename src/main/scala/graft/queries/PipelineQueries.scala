@@ -766,6 +766,25 @@ object PipelineQueries {
              |                ELSE list_reduce(bytes[1:(n_px % 16)], (a, b) -> a + b) END AS px_sum
              |FROM b""".stripMargin)),
 
+    // semi-structured surface: the events.props JSON column parsed with a
+    // declared schema (from_json → typed struct; no UDF, stays in the
+    // optimized plan) and aggregated — the schema-on-read shape for
+    // sparse metadata at scale
+    QueryDef("q65_json_props",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             |       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+             |       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     QueryDef("q72_asof_join",
       (s, dir) => {
         val ev = Tables.events(s, dir)

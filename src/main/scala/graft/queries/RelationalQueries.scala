@@ -767,6 +767,31 @@ object RelationalQueries {
              |  GROUP BY 1)
              |ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin)),
 
+    // ---- set operations: INTERSECT / EXCEPT -----------------------------
+    // (customers ordering in BOTH Jan and Feb 1996 but NOT in Mar —
+    // set semantics, dedup implied, identical in both engines)
+    QueryDef("q28o_set_ops",
+      (s, dir) => {
+        def month(m: String, next: String) = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr(s"TIMESTAMP'$m'")
+            && col("o_orderdate") < expr(s"TIMESTAMP'$next'"))
+          .select(col("o_custkey").as("custkey"))
+        month("1996-01-01 00:00:00", "1996-02-01 00:00:00")
+          .intersect(month("1996-02-01 00:00:00", "1996-03-01 00:00:00"))
+          .except(month("1996-03-01 00:00:00", "1996-04-01 00:00:00"))
+      },
+      Some("""(SELECT o_custkey AS custkey FROM orders
+             | WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |   AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+             | INTERSECT
+             | SELECT o_custkey AS custkey FROM orders
+             | WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+             |   AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00')
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
+
     // ---- exact interpolated percentiles ---------------------------------
     QueryDef("q23b_percentiles",
       (s, dir) => Tables.load(s, dir, "lineitem")
