@@ -9,15 +9,18 @@ import graft.functions.VectorExprs
   * (or `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`).
   *
   * Injects `graft_fdot` (codegen'd float-vector dot product,
-  * [[graft.functions.FloatVectorDot]]) and the planner strategy for the
+  * [[graft.functions.FloatVectorDot]]), the planner strategy for the
   * whole-operator as-of join
   * ([[org.apache.spark.sql.graftnative.AsOfJoinExec]] — the (c) tier of
   * the custom-operator ladder: logical node + strategy + physical
-  * sort-merge operator).
+  * sort-merge operator), and the optimizer rule that rewrites naive
+  * point-in-interval joins into the bucketed equi-join shape
+  * ([[org.apache.spark.sql.graftnative.RangeJoinRewrite]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExprs.fdotFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.RangeJoinRewrite)
   }
 }

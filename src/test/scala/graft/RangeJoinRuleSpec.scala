@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.RangeJoinRewrite
+
+/** The RangeJoinRewrite optimizer rule must turn a naive BETWEEN join
+  * (no equi key → nested-loop plan) into the bucketed equi join, with
+  * output identical to both the naive join and the hand-bucketed
+  * operator. */
+class RangeJoinRuleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val mi = 60L * 1000000 // one minute in micros
+
+  private def points = Seq((10L, 30L * mi), (11L, 75L * mi), (12L, 200L * mi),
+    (13L, 359L * mi)).toDF("p_id", "ts_us")
+  private def intervals = Seq((1L, 0L * mi, 90L * mi), (2L, 60L * mi, 120L * mi),
+    (3L, 300L * mi, 360L * mi), (4L, 500L * mi, 400L * mi)) // 4 is degenerate (lo > hi)
+    .toDF("iv_id", "lo_us", "hi_us")
+
+  private def naiveJoin = points.join(intervals,
+    col("ts_us") >= col("lo_us") && col("ts_us") <= col("hi_us"))
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("rule rewrites the naive join: no nested loop, same result") {
+    val expected = pairs(naiveJoin) // planned WITHOUT the rule: the BNLJ baseline
+    assert(naiveJoin.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "precondition: the naive plan should be a nested loop")
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      val rewritten = naiveJoin
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"rule did not remove the nested loop:\n$plan")
+      assert(plan.contains("Generate explode"), s"no interval explode in:\n$plan")
+      assert(pairs(rewritten) === expected)
+      assert(expected === Set((10L, 1L), (11L, 1L), (11L, 2L), (13L, 3L)))
+      // and it agrees with the hand-bucketed operator
+      val manual = pairs(RangeJoin.pointInInterval(
+        points, intervals, "ts_us", "lo_us", "hi_us"))
+      assert(manual === expected)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rule leaves equi joins alone") {
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      val withKey = points.withColumn("k", col("p_id") % 2)
+        .join(intervals.withColumn("k", col("iv_id") % 2), Seq("k"))
+        .filter(col("ts_us") >= col("lo_us") && col("ts_us") <= col("hi_us"))
+      val plan = withKey.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("_graft_bkt"), s"rule fired on an equi join:\n$plan")
+      assert(withKey.count() >= 0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
