@@ -73,6 +73,22 @@ object Curation {
         (col("start") % seqLen).cast("long").as("off"))
   }
 
+  /** Assembly of [[sequencePack]]'s bins into training batches: one row
+    * per (source, bin) with the doc ids in pack order and the bin's
+    * token count — the materialization step that hands sequences to a
+    * trainer. `sort_array` on (doc_id) structs makes the collected order
+    * deterministic regardless of partitioning; one shuffle on the
+    * (source, bin) key. */
+  def packAssembly(docs: DataFrame, seqLen: Int = 1024): DataFrame =
+    sequencePack(docs, seqLen)
+      .groupBy(col("source"), col("bin"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"))
+      .select(col("source"), col("bin"),
+        concat_ws(",", col("doc_ids")).as("doc_ids"),
+        col("n_docs"), col("bin_tokens"))
+
   // ---- quality-filter verdicts ---------------------------------------------
 
   /** C4/Gopher-style rule-table filtering with REASON CODES — the shape a

@@ -517,6 +517,25 @@ object PipelineQueries {
              |       CAST(start % 1024 AS BIGINT) AS off
              |FROM c""".stripMargin)),
 
+    // pack-bin assembly: the training-batch materialization downstream of
+    // q57 — doc ids per (source, bin) in deterministic order + token count
+    QueryDef("q57b_pack_assembly",
+      (s, dir) => Curation.packAssembly(Tables.load(s, dir, "documents"), 1024),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             |  FROM t)
+             |SELECT source, CAST(start // 1024 AS BIGINT) AS bin,
+             |       list_aggregate(list_sort(list(doc_id)), 'string_agg', ',') AS doc_ids,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
     // rule-table quality filtering with reason codes (first failing rule
     // names the verdict; thresholds calibrated to split the corpus)
     QueryDef("q64_quality_verdicts",
