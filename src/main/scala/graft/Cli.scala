@@ -33,6 +33,7 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftRuntime.enable(spark)
     try run(spark, args.toList)
     finally spark.stop()
   }

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftRuntime.enable(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q05,q13 → run just those queries (local iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftnative.{AsOfJoinStrategy, RangeJoinRewrite}
+
+/** Runtime enablement of the engine's Catalyst extensions on an ALREADY
+  * RUNNING session — the programmatic twin of setting
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at launch. Every
+  * engine entry point (Verify, Bench, Cli, the test session) calls this,
+  * so the custom planner strategy and optimizer rule are part of the
+  * engine's standard configuration, not demo-only: the driver's own
+  * correctness gate runs THROUGH them (q73b exercises RangeJoinRewrite
+  * end-to-end against the DuckDB oracle). Idempotent. */
+object GraftRuntime {
+  def enable(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        AsOfJoinStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        RangeJoinRewrite +: spark.experimental.extraOptimizations
+  }
+}

@@ -903,6 +903,54 @@ object PipelineQueries {
              |FROM p JOIN w ON p_us >= lo_us AND p_us <= hi_us
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // q73's semantics written the NAIVE way — a plain BETWEEN join with
+    // no equi key. The engine's standard runtime (GraftRuntime /
+    // GraftExtensions) carries the RangeJoinRewrite optimizer rule, so
+    // this plans as the bucketed equi join anyway: the registry-wide
+    // no-nested-loop gate proves the rule fired, and the oracle proves
+    // the rewrite is output-identical — the custom rule is exercised by
+    // the driver's own correctness gate, not just a spec.
+    QueryDef("q73b_range_join_rule",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), unix_micros(col("ts")).as("us"),
+            to_date(col("ts")).as("d"))
+        val wo = Window.partitionBy(col("d")).orderBy(col("us"), col("event_id"))
+        val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wins = err
+          .withColumn("prev", lag(col("us"), 1).over(wo))
+          .withColumn("nw",
+            when(col("prev").isNull || col("us") - col("prev") > 600000000L, 1).otherwise(0))
+          .withColumn("wid", sum(col("nw")).over(wr))
+          .groupBy(col("d"), col("wid"))
+          .agg((min(col("us")) - 300000000L).as("lo_us"),
+            (max(col("us")) + 300000000L).as("hi_us"),
+            count(lit(1)).as("n_errors"))
+          .select("lo_us", "hi_us", "n_errors")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(unix_micros(col("ts")).as("p_us"))
+        purchases.join(wins,
+            col("p_us") >= col("lo_us") && col("p_us") <= col("hi_us"))
+          .groupBy(col("lo_us"), col("hi_us"), col("n_errors"))
+          .agg(count(lit(1)).as("n_purchases"))
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |err AS (SELECT event_id, epoch_us(ts) AS us, CAST(ts AS DATE) AS d
+             |        FROM e WHERE event_type = 'error'),
+             |l AS (SELECT *, lag(us) OVER (PARTITION BY d ORDER BY us, event_id) AS prev FROM err),
+             |n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END AS nw FROM l),
+             |s AS (SELECT *, SUM(nw) OVER (PARTITION BY d ORDER BY us, event_id
+             |                              ROWS UNBOUNDED PRECEDING) AS wid FROM n),
+             |w AS (SELECT d, wid, min(us) - 300000000 AS lo_us, max(us) + 300000000 AS hi_us,
+             |             CAST(count(*) AS BIGINT) AS n_errors
+             |      FROM s GROUP BY 1, 2),
+             |p AS (SELECT epoch_us(ts) AS p_us FROM e WHERE event_type = 'purchase')
+             |SELECT lo_us, hi_us, n_errors, CAST(count(*) AS BIGINT) AS n_purchases
+             |FROM p JOIN w ON p_us >= lo_us AND p_us <= hi_us
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // ==== streaming shape (batch equivalent; stream path in StreamOps) =====
 
     QueryDef("q70_stream_hourly",

@@ -26,35 +26,38 @@ class RangeJoinRuleSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame) =
     df.select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  // The rule is part of the standard test-session runtime
+  // (SparkSpec calls GraftRuntime.enable); the baseline measurement
+  // temporarily strips it and RESTORES the saved list — setting Nil
+  // would disable the engine runtime for every later suite.
+
   test("rule rewrites the naive join: no nested loop, same result") {
-    val expected = pairs(naiveJoin) // planned WITHOUT the rule: the BNLJ baseline
-    assert(naiveJoin.queryExecution.executedPlan.toString.contains("NestedLoop"),
-      "precondition: the naive plan should be a nested loop")
-    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
-    try {
-      val rewritten = naiveJoin
-      val plan = rewritten.queryExecution.executedPlan.toString
-      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
-        s"rule did not remove the nested loop:\n$plan")
-      assert(plan.contains("Generate explode"), s"no interval explode in:\n$plan")
-      assert(pairs(rewritten) === expected)
-      assert(expected === Set((10L, 1L), (11L, 1L), (11L, 2L), (13L, 3L)))
-      // and it agrees with the hand-bucketed operator
-      val manual = pairs(RangeJoin.pointInInterval(
-        points, intervals, "ts_us", "lo_us", "hi_us"))
-      assert(manual === expected)
-    } finally spark.experimental.extraOptimizations = Nil
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(_ == RangeJoinRewrite)
+    val expected = try {
+      assert(naiveJoin.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "precondition: without the rule the naive plan should be a nested loop")
+      pairs(naiveJoin) // the BNLJ baseline result
+    } finally spark.experimental.extraOptimizations = saved
+    val rewritten = naiveJoin // standard runtime: rule active
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rule did not remove the nested loop:\n$plan")
+    assert(plan.contains("Generate explode"), s"no interval explode in:\n$plan")
+    assert(pairs(rewritten) === expected)
+    assert(expected === Set((10L, 1L), (11L, 1L), (11L, 2L), (13L, 3L)))
+    // and it agrees with the hand-bucketed operator
+    val manual = pairs(RangeJoin.pointInInterval(
+      points, intervals, "ts_us", "lo_us", "hi_us"))
+    assert(manual === expected)
   }
 
   test("rule leaves equi joins alone") {
-    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
-    try {
-      val withKey = points.withColumn("k", col("p_id") % 2)
-        .join(intervals.withColumn("k", col("iv_id") % 2), Seq("k"))
-        .filter(col("ts_us") >= col("lo_us") && col("ts_us") <= col("hi_us"))
-      val plan = withKey.queryExecution.optimizedPlan.toString
-      assert(!plan.contains("_graft_bkt"), s"rule fired on an equi join:\n$plan")
-      assert(withKey.count() >= 0)
-    } finally spark.experimental.extraOptimizations = Nil
+    val withKey = points.withColumn("k", col("p_id") % 2)
+      .join(intervals.withColumn("k", col("iv_id") % 2), Seq("k"))
+      .filter(col("ts_us") >= col("lo_us") && col("ts_us") <= col("hi_us"))
+    val plan = withKey.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("_graft_bkt"), s"rule fired on an equi join:\n$plan")
+    assert(withKey.count() >= 0)
   }
 }

@@ -25,6 +25,7 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftRuntime.enable(s)
     s
   }
 }
