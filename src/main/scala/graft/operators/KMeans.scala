@@ -142,14 +142,20 @@ object KMeans {
           }.toMap
         prev.indices.map(i => rows.getOrElse(i, prev(i)))
       case _ =>
-        val medoidIds = (cfg.strategy match {
+        val medoidDf = cfg.strategy match {
           case SampledMedoid(s) => sampledMedoids(members, s, cfg.hashtagWeight)
           case _ => medoids(members, cfg.hashtagWeight)
-        }).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val wanted = prev.indices.map(i => medoidIds.getOrElse(i, prev(i).id))
-        val resolved = resolveCentroids(features, wanted.distinct)
-          .map(f => f.id -> f).toMap
-        prev.indices.map(i => resolved(wanted(i)))
+        }
+        // resolve the medoid ids to feature rows INSIDE the same job (one
+        // broadcast join over the cached features) instead of a second
+        // isin-filter action per iteration
+        import features.sparkSession.implicits._
+        val resolved = features.toDF()
+          .join(broadcast(medoidDf), col("id") === col("medoid_id"))
+          .select(col("cluster"), struct(featureCols.map(col): _*).as("f"))
+          .as[(Int, TweetFeatures)]
+          .collect().toMap
+        prev.indices.map(i => resolved.getOrElse(i, prev(i)))
     }
 
   /** The full iterative loop (§3.2): assign → update centroids → converge?
