@@ -131,6 +131,27 @@ object StreamOps {
       .filter(col("jacc") >= minJaccard)
   }
 
+  /** Streaming decontamination: arriving docs checked against a STATIC
+    * benchmark gram set — the ingest-time face of
+    * [[graft.operators.Dedup.contaminatedDocs]]. The stream side is
+    * narrow (native Gram13Hashes + explode), the benchmark side is tiny
+    * and broadcast, and the per-doc hit count is a watermarked streaming
+    * aggregation (each doc's grams arrive in one micro-batch, so Append
+    * mode emits its final count once the watermark passes).
+    * Output: (doc_id, n_contaminated_grams). */
+  def streamingDecontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    import graft.functions.TextHash
+    val benchGrams = benchmark
+      .select(explode(TextHash.gram13Hashes(col("text"))).as("g")).distinct()
+    docs.withWatermark("ts", "2 hours")
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(TextHash.gram13Hashes(col("text")))).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .select(col("doc_id"), col("n_contaminated_grams"))
+  }
+
   // ---- streaming as-of enrichment -----------------------------------------
 
   /** One interleaved left/right event for [[asOfEnrich]]: `ts` drives the

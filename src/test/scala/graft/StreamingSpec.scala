@@ -228,6 +228,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination == batch gram-overlap counts") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val run = (1 to 14).map(i => s"w$i").mkString(" ") // 14 tokens → 2 grams
+    val bench = Seq((100L, run, "eval")).toDF("doc_id", "text", "source")
+    // doc 1 shares the full run (2 gram hits); doc 2 shares a shifted
+    // 13-token suffix run (1 hit); doc 3 is clean
+    val arriving = Seq(
+      (1L, "2024-01-01 00:01:00", run),
+      (2L, "2024-01-01 00:02:00", (2 to 14).map(i => s"w$i").mkString(" ") + " z1"),
+      (3L, "2024-01-01 00:03:00", (1 to 14).map(i => s"q$i").mkString(" ")))
+    val batchWant = Dedup.contaminatedDocs(
+        arriving.map { case (id, _, t) => (id, t, "s") }.toDF("doc_id", "text", "source"),
+        bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamOps.streamingDecontaminate(
+        stream.toDF().toDF("doc_id", "ts", "text"), bench)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(arriving.map { case (id, t, txt) => (id, ts(t), txt) })
+      query.processAllAvailable()
+      // push the watermark past the batch so its append results emit
+      stream.addData(Seq((99L, ts("2024-01-01 06:00:00"), "tick")))
+      query.processAllAvailable()
+      val got = spark.table("decon").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batchWant)
+      assert(got === Set((1L, 2L), (2L, 1L)))
+    } finally query.stop()
+  }
+
   test("stream-static ingest dedup against the band index == batch indexed path") {
     import graft.operators.Dedup
     import spark.implicits._
