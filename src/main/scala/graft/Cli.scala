@@ -134,6 +134,27 @@ object Cli {
       println(s"[graft] ingest-dedup: ${spark.read.parquet(s"$outDir/clean").count()} of " +
         s"${batch.count()} batch docs are new (jaccard < $tau vs corpus) -> $outDir")
 
+    // end-to-end curation pass over a (doc_id, text, source) corpus:
+    // quality verdicts (+ per-rule drop rates), PII-redaction counts, and
+    // packed training bins for the keepers — the audit artifacts a data
+    // curation run ships alongside the data
+    case "curate" :: corpusPath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val seqLen = o.get("seq-len").map(_.toInt).getOrElse(1024)
+      val corpus = spark.read.parquet(corpusPath)
+      val verdicts = graft.operators.Curation.qualityVerdicts(corpus)
+      verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts")
+      graft.operators.Curation.redactPii(corpus)
+        .write.mode("overwrite").parquet(s"$outDir/pii")
+      val kept = corpus.join(
+        verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      graft.operators.Curation.packAssembly(kept, seqLen)
+        .write.mode("overwrite").parquet(s"$outDir/packed")
+      val rates = spark.read.parquet(s"$outDir/verdicts")
+        .groupBy("reason").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[graft] curate: $rates; packed bins -> $outDir/packed")
+
     case _ =>
       System.err.println(
         """usage: graft.Cli <command> ...
@@ -144,7 +165,8 @@ object Cli {
           |  sample   <features> <k> <seed> <outDir>
           |  dedup    <corpusParquet> <outDir> [--jaccard T]
           |  bandindex    <corpusParquet> <indexDir> [--buckets N]
-          |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N]""".stripMargin)
+          |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N]
+          |  curate       <corpusParquet> <outDir> [--seq-len N]""".stripMargin)
       sys.exit(2)
   }
 

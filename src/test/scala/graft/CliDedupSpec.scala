@@ -52,4 +52,23 @@ class CliDedupSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_idx_sets")
     }
   }
+
+  test("curate subcommand writes verdicts, pii counts, and packed bins") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clicurate").toString
+    val long40 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, long40, "s"), // keeper: 40 distinct tokens
+      (2L, "a b c", "s"), // too_short
+      (5L, long40 + " tail", "s")) // keeper + injected-PII id (5 % 5 == 0)
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/corpus")
+    Cli.run(spark, List("curate", s"$dir/corpus", s"$dir/out"))
+    val verdicts = spark.read.parquet(s"$dir/out/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(verdicts === Map(1L -> "ok", 2L -> "too_short", 5L -> "ok"))
+    val packedIds = spark.read.parquet(s"$dir/out/packed")
+      .collect().flatMap(_.getString(2).split(",")).map(_.toLong).toSet
+    assert(packedIds === Set(1L, 5L)) // only keepers are packed
+    assert(spark.read.parquet(s"$dir/out/pii").count() === 3)
+  }
 }
