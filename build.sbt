@@ -30,5 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 60+ whole-stage-codegen queries x 3 bench reps overflow the 240m
   // default JIT code cache -> flushing/deopt churn showed up as
   // intermittent 10-50x slowdowns mid-bench; headroom removes it
-  "-XX:ReservedCodeCacheSize=512m",
+  // 94 registry queries x 3 bench reps of whole-stage codegen overflowed
+  // 512m the same way 66 x 3 overflowed the JDK default 240m in round 2
+  // (flush/deopt churn: q65 0.3s -> 20s -> 141s, instant recovery on the
+  // next query); 1g holds the full suite
+  "-XX:ReservedCodeCacheSize=1g",
 )
