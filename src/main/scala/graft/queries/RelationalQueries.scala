@@ -792,6 +792,51 @@ object RelationalQueries {
              |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
              |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
 
+    // ---- explicit GROUPING SETS + grouping_id ---------------------------
+    // (the general form rollup/cube special-case: a hand-picked set list
+    // plus the grouping_id bitmask that disambiguates NULL-as-group from
+    // NULL-as-aggregate)
+    QueryDef("q28p_grouping_sets",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+        s.sql("""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+                |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                |       CAST(count(*) AS BIGINT) AS n
+                |FROM gs_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                |                        (l_returnflag), ())""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+             |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), ())""".stripMargin)),
+
+    // ---- moving-average window (bounded ROWS frame) ---------------------
+    // (exact: decimal sum over the frame divided by the frame's actual
+    // row count — both integers/decimals until one final double division)
+    QueryDef("q17b_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-3, Window.currentRow)
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+            (sum(Exact.money(col("o_totalprice"))).over(w).cast("double")
+              / count(lit(1)).over(w).cast("double")).as("mavg"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS okey,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |       / CAST(COUNT(*)
+             |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mavg
+             |FROM orders""".stripMargin)),
+
     // ---- exact interpolated percentiles ---------------------------------
     QueryDef("q23b_percentiles",
       (s, dir) => Tables.load(s, dir, "lineitem")
