@@ -184,6 +184,38 @@ object Dedup {
       .filter(col("jacc") >= minJaccard)
   }
 
+  // ---- winnow-fingerprint near-dups ----------------------------------------
+
+  /** Near-dup candidates from SHARED WINNOW FINGERPRINTS: docs that share
+    * any selected window-minimum shingle (graftnative.WinnowHashes) are
+    * candidates; survivors verify with exact Jaccard. A third bucketed
+    * pair generator besides MinHash-LSH bands and SimHash pigeonhole
+    * bands, with a different recall shape: winnowing guarantees a shared
+    * fingerprint for any shared CONTIGUOUS run of ≥ w+2 tokens, so it
+    * catches clone-with-local-edits pairs at ~1/(w/2) the index size of
+    * full shingle sets — the MOSS trade. The candidate join is an
+    * equi-join on the fingerprint hash (bucketed shuffle, never
+    * all-pairs). Output: (id_a, id_b, jacc ≥ minJaccard). */
+  def winnowPairs(corpus: DataFrame, w: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val fps = corpus.select(col("doc_id"),
+      explode(TextHash.winnowHashes(col("text"), w)).as("fp"))
+    val cand = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = shingled(corpus).select(col("doc_id"),
+      array_distinct(col("shs")).as("set"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    val uni = size(col("set_a")) + size(col("set_b")) - inter
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / uni.cast("double")).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+  }
+
   // ---- canonicalization (connected components over near-dup pairs) --------
 
   /** Collapse a near-dup PAIR list into per-document canonical ids: each

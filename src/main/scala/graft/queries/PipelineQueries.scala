@@ -448,6 +448,26 @@ object PipelineQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
              |FROM gc JOIN gb USING (g) GROUP BY doc_id""".stripMargin)),
 
+    // winnow-fingerprint near-dup pairs: candidates from shared window
+    // minima (the MOSS index), verified with exact Jaccard — a third
+    // bucketed pair-generator family with a contiguous-run recall shape
+    QueryDef("q66_winnow_pairs",
+      (s, dir) => Dedup.winnowPairs(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH $nearDupCorpus,
+             |$shingleCtes,
+             |wf AS (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+             |sets AS (SELECT doc_id, list_distinct(shs) AS st FROM sh),
+             |v AS (SELECT id_a, id_b,
+             |             len(list_intersect(sa.st, sb.st)) AS inter,
+             |             len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)) AS uni
+             |      FROM cand JOIN sets sa ON sa.doc_id = id_a
+             |                JOIN sets sb ON sb.doc_id = id_b)
+             |SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jacc
+             |FROM v WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin)),
+
     // exact heavy hitters through a bounded-memory Misra-Gries candidate
     // pass (custom TypedImperativeAggregate) + exact re-count of the <= k-1
     // candidates; the oracle computes the true frequency filter directly,
