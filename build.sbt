@@ -33,6 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 94 registry queries x 3 bench reps of whole-stage codegen overflowed
   // 512m the same way 66 x 3 overflowed the JDK default 240m in round 2
   // (flush/deopt churn: q65 0.3s -> 20s -> 141s, instant recovery on the
-  // next query); 1g holds the full suite
-  "-XX:ReservedCodeCacheSize=1g",
+  // next query); 1g held the builder's full-suite run but NOT the round-3
+  // driver run, so round 4 (a) chunks the bench across fresh child JVMs
+  // (Bench.scala — no JVM compiles more than ~chunk x reps queries) and
+  // (b) reserves 2g as belt-and-braces for the inline fallback path
+  // (reserve is address space, not committed memory)
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -20,6 +20,21 @@ import graft.operators.KMeans
   * `min_total` (Σ per-query minima) is also reported: it is the better
   * cross-machine comparison number because per-query minima approximate
   * the contention-free cost.
+  *
+  * JVM-chunked execution (round 4): rounds 1–3 each saw the FULL-suite
+  * run degrade 10–70× on scattered rows while the same rows re-ran fast
+  * in isolation — the signature of JIT code-cache flush/deopt churn as
+  * ~97 queries × 3 reps of whole-stage codegen accumulate in one JVM
+  * (see build.sbt). Rather than keep chasing the cache ceiling, the
+  * parent process now splits the registry into chunks of
+  * `SPARK_GRAFT_BENCH_CHUNK` (default 24) queries and runs each chunk in
+  * a FRESH child JVM (same classpath and JVM flags, sequential), so no
+  * JVM ever compiles more than ~chunk×reps generated classes. Children
+  * write per-query rows (median, min, all runs, code-cache occupancy,
+  * GC-time delta) to partial files; the parent merges them into the one
+  * JSON line. JVM/session startup is NOT counted — only the timed query
+  * calls are. If spawning fails for a chunk, that chunk runs inline in
+  * the parent (the pre-round-4 behavior) so the bench always completes.
   */
 object Bench {
 
@@ -47,12 +62,35 @@ object Bench {
     result.assignments.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // floor at 3: with n=2 the reported "median" is the worse run, and a
-    // single contended rep can't be told apart from a real regression
-    val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+  /** One measured query: name, per-rep seconds (sorted), code-cache
+    * occupancy after the last rep (MB), cumulative-GC delta across the
+    * reps (s). The latter two make a degraded run self-diagnosing: churn
+    * shows as cc_mb pinned at the reserve and gc_sec spiking together. */
+  final case class QueryResult(name: String, runs: Seq[Double],
+                               ccMb: Double, gcSec: Double) {
+    def median: Double = runs(runs.size / 2)
+    def min: Double = runs.head
+  }
+
+  private def codeCacheUsedMb(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum / 1e6
+  }
+
+  private def gcTotalSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum / 1e3
+  }
+
+  /** All registry queries plus the flagship loop, in stable name order. */
+  def registry: Seq[(String, (SparkSession, String) => DataFrame)] =
+    (SparkEntry.queries.toSeq ++ Seq("q00_flagship_kmedoids" -> (flagshipKMedoids _)))
+      .sortBy(_._1)
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,18 +98,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftRuntime.enable(spark)
+    spark
+  }
+
+  /** Runs the named queries (reps each) in THIS JVM and returns rows.
+    * Shared by child processes and the parent's inline fallback. */
+  def runQueries(spark: SparkSession, sfDir: String, names: Seq[String],
+                 reps: Int): Seq[QueryResult] = {
+    val byName = registry.toMap
     // untimed warmup: JIT + codegen + parquet footer caches
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-
-    // optional comma-separated prefix filter for local iteration, e.g.
-    // SPARK_GRAFT_BENCH_ONLY=q46,q48 — the driver never sets it
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    val benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
-      (SparkEntry.queries.toSeq ++ Seq("q00_flagship_kmedoids" -> (flagshipKMedoids _)))
-        .sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -80,17 +118,110 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = benchQueries.map { case (name, fn) =>
-      val runs = (1 to reps).map(_ => timeOnce(name, fn)).sorted
-      val median = runs(runs.size / 2)
-      System.err.println(f"[bench] $name median $median%.2f s  runs ${runs.map(r => f"$r%.2f").mkString("/")}")
-      (name, median, runs.head)
+    names.flatMap { name =>
+      byName.get(name) match {
+        case None => System.err.println(s"[bench] unknown query $name — skipped"); None
+        case Some(fn) =>
+          val gc0 = gcTotalSec()
+          val runs = (1 to reps).map(_ => timeOnce(name, fn)).sorted
+          val r = QueryResult(name, runs, codeCacheUsedMb(), gcTotalSec() - gc0)
+          System.err.println(f"[bench] $name median ${r.median}%.2f s  runs ${runs.map(x => f"$x%.2f").mkString("/")}  cc ${r.ccMb}%.0f MB  gc ${r.gcSec}%.2f s")
+          Some(r)
+      }
     }
-    val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val minTotal = results.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_total":$minTotal,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  // ---- child protocol: tab-separated rows, no JSON parser needed ----
+  private def encodeRow(r: QueryResult): String =
+    s"${r.name}\t${r.runs.mkString(",")}\t${r.ccMb}\t${r.gcSec}"
+
+  private def decodeRow(line: String): QueryResult = {
+    val parts = line.split('\t')
+    QueryResult(parts(0), parts(1).split(',').map(_.toDouble).toSeq.sorted,
+      parts(2).toDouble, parts(3).toDouble)
+  }
+
+  /** Child-JVM entry: runs the chunk named (exactly) in
+    * SPARK_GRAFT_BENCH_ONLY, writes rows to SPARK_GRAFT_BENCH_OUT. */
+  private def childMain(sfDir: String, cpus: String, reps: Int): Unit = {
+    val names = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "").split(',').toSeq.filter(_.nonEmpty)
+    val out = sys.env("SPARK_GRAFT_BENCH_OUT")
+    val spark = newSession(cpus)
+    val rows = runQueries(spark, sfDir, names, reps)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      rows.map(encodeRow).mkString("", "\n", "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+
+  /** Spawns one child JVM for a chunk; returns its rows, or None if the
+    * spawn/run failed (parent then falls back to inline). The child gets
+    * the parent's exact JVM flags (add-opens, heap, code-cache) and
+    * classpath, so it behaves identically to an sbt-forked run. */
+  private def runChunkInChild(chunk: Seq[String], partial: java.nio.file.Path): Option[Seq[QueryResult]] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", partial.toString)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val exit = pb.start().waitFor()
+      if (exit != 0) { System.err.println(s"[bench] child exited $exit"); None }
+      else if (!java.nio.file.Files.exists(partial)) { System.err.println(s"[bench] child wrote no $partial"); None }
+      else Some(java.nio.file.Files.readAllLines(partial).asScala.toSeq
+        .filter(_.nonEmpty).map(decodeRow))
+    } catch { case e: Throwable => System.err.println(s"[bench] child spawn failed: $e"); None }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // floor at 3 UNLESS the user set the env var themselves: with n=2 the
+    // reported "median" is the worse run, but silently overriding an
+    // explicit reps=1 for a quick local loop is worse (ADVICE r3)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt) match {
+      case Some(n) if n < 3 =>
+        System.err.println(s"[bench] honoring explicit SPARK_GRAFT_BENCH_REPS=$n (< recommended 3; medians degrade to worst/only run)")
+        n.max(1)
+      case Some(n) => n
+      case None => 3
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) return childMain(sfDir, cpus, reps)
+
+    // optional comma-separated prefix filter for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q46,q48 — the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val names = registry.map(_._1).filter(n => only.forall(_.exists(n.startsWith)))
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "24").toInt.max(1)
+    val chunks = names.grouped(chunkSize).toSeq
+
+    // lazily created only if a child spawn fails and a chunk runs inline
+    lazy val inlineSpark = newSession(cpus)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench")
+    val results = chunks.zipWithIndex.flatMap { case (chunk, i) =>
+      System.err.println(s"[bench] chunk ${i + 1}/${chunks.size}: ${chunk.head}..${chunk.last} (${chunk.size} queries, fresh JVM)")
+      runChunkInChild(chunk, tmpDir.resolve(s"chunk$i.tsv"))
+        .getOrElse(runQueries(inlineSpark, sfDir, chunk, reps))
+    }
+
+    def jmap(f: QueryResult => String): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val total = results.map(_.median).sum
+    val minTotal = results.map(_.min).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_total":$minTotal,""" +
+      s""""chunks":${chunks.size},"chunk_size":$chunkSize,""" +
+      s""""queries":${jmap(_.median.toString)},""" +
+      s""""runs":${jmap(_.runs.mkString("[", ",", "]"))},""" +
+      s""""codecache_mb":${jmap(r => f"${r.ccMb}%.1f")},""" +
+      s""""gc_sec":${jmap(r => f"${r.gcSec}%.2f")},""" +
+      s""""sf":"$sfDir"}"""
     // durability against log-tail truncation (round 2 lost q00-q03 from the
     // captured artifact): persist the line to a file first, stop Spark so
     // its shutdown chatter precedes the payload, then print the JSON as the
@@ -99,7 +230,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
-    spark.stop()
+    try { SparkSession.getActiveSession.foreach(_.stop()) } catch { case _: Throwable => () }
     println(json)
     System.out.flush()
     System.err.println(json)

@@ -186,6 +186,13 @@ object Dedup {
 
   // ---- winnow-fingerprint near-dups ----------------------------------------
 
+  /** Default document-frequency cap for [[winnowPairs]] — deliberately
+    * high (it exists to cut off the quadratic tail of boilerplate
+    * fingerprints at corpus scale, not to tune recall; at 100 TB a single
+    * ubiquitous fingerprint is a straggler task). Mirrored by the q66
+    * oracle SQL so the cap logic itself is hash-gated. */
+  val DefaultMaxFpDf: Int = 1024
+
   /** Near-dup candidates from SHARED WINNOW FINGERPRINTS: docs that share
     * any selected window-minimum shingle (graftnative.WinnowHashes) are
     * candidates; survivors verify with exact Jaccard. A third bucketed
@@ -195,12 +202,34 @@ object Dedup {
     * catches clone-with-local-edits pairs at ~1/(w/2) the index size of
     * full shingle sets — the MOSS trade. The candidate join is an
     * equi-join on the fingerprint hash (bucketed shuffle, never
-    * all-pairs). Output: (id_a, id_b, jacc ≥ minJaccard). */
+    * all-pairs).
+    *
+    * HOT-FINGERPRINT GUARD (standard MOSS practice: "ignore fingerprints
+    * that occur in many documents"): the candidate self-join is quadratic
+    * in each fingerprint's collision group, and winnow minima are exactly
+    * the kind of key that goes ubiquitous on boilerplate corpora (license
+    * headers, generated preambles). Fingerprints whose DOCUMENT frequency
+    * exceeds `maxFpDf` are dropped before the join — a boilerplate fp
+    * shared by m docs would contribute m²/2 candidates while carrying no
+    * near-dup signal, so the cap turns the one remaining quadratic
+    * straggler into a bounded cost: post-cap candidate count ≤
+    * Σ_fp min(df, cap)²/2. Recall cost is quantified by WinnowSpec: pairs
+    * sharing ONLY ubiquitous runs are dropped (they were false candidates
+    * anyway — the exact-Jaccard verify would kill almost all of them);
+    * pairs sharing any run rarer than the cap keep their guarantee.
+    * df is counted over per-doc DISTINCT fingerprints so a doc repeating
+    * a fingerprint internally can't push it over the cap.
+    * Output: (id_a, id_b, jacc ≥ minJaccard). */
   def winnowPairs(corpus: DataFrame, w: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxFpDf: Int = DefaultMaxFpDf): DataFrame = {
     val fps = corpus.select(col("doc_id"),
-      explode(TextHash.winnowHashes(col("text"), w)).as("fp"))
-    val cand = fps.as("a").join(fps.as("b"),
+      explode(array_distinct(TextHash.winnowHashes(col("text"), w))).as("fp"))
+    // document frequency per fingerprint — vocabulary-sized aggregate with
+    // map-side partials, same pattern as jaccardPairs' canonical order
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") <= maxFpDf).select("fp")
+    val kept = fps.join(rare, "fp")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()

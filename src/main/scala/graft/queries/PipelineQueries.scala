@@ -456,9 +456,12 @@ object PipelineQueries {
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
       Some(s"""WITH $nearDupCorpus,
              |$shingleCtes,
-             |wf AS (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh),
+             |wf AS (SELECT DISTINCT doc_id, fp FROM
+             |       (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh)),
+             |rare AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= ${Dedup.DefaultMaxFpDf}),
+             |wk AS (SELECT w.doc_id, w.fp FROM wf w JOIN rare USING (fp)),
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |         FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+             |         FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
              |sets AS (SELECT doc_id, list_distinct(shs) AS st FROM sh),
              |v AS (SELECT id_a, id_b,
              |             len(list_intersect(sa.st, sb.st)) AS inter,

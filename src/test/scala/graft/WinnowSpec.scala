@@ -47,4 +47,52 @@ class WinnowSpec extends SparkSpec {
       texts.foreach(t => assert(got(t) === brute(t, w), s"w=$w text='$t'"))
     }
   }
+
+  /** Boilerplate corpus: every doc ends with the same license-footer run
+    * (one ubiquitous fingerprint family, df = corpus size), and five docs
+    * have a true near-dup copy (first token dropped — shares the doc's
+    * RARE unique-content run, df = 2). The df cap must kill the
+    * boilerplate collision group (quadratic candidates, zero signal)
+    * without losing any true pair. */
+  test("winnowPairs hot-fingerprint cap: candidates drop, recall holds until cap < 2") {
+    val rnd = new scala.util.Random(11L)
+    val footer = "licensed under the apache license version two point zero see the file"
+    val docs = (0 until 30).map { i =>
+      val body = (0 until 25).map(_ => f"w${rnd.nextInt(100000)}%05d").mkString(" ")
+      (i.toLong, s"$body $footer", "src")
+    }
+    val nearDups = docs.take(5).map { case (id, text, s) =>
+      (id + 1000L, text.substring(text.indexOf(' ') + 1), s)
+    }
+    val corpus = spark.createDataFrame(docs ++ nearDups)
+      .toDF("doc_id", "text", "source")
+
+    // candidate volume before the verify, by cap — the quantity the cap bounds
+    def candidates(cap: Int): Long = {
+      val fps = corpus.select(col("doc_id"),
+        explode(array_distinct(TextHash.winnowHashes(col("text"), 4))).as("fp"))
+      val rare = fps.groupBy("fp").count().filter(col("count") <= cap).select("fp")
+      val kept = fps.join(rare, "fp")
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    def pairs(cap: Int): Set[(Long, Long)] =
+      graft.operators.Dedup.winnowPairs(corpus, maxFpDf = cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val truePairs = docs.take(5).map { case (id, _, _) => (id, id + 1000L) }.toSet
+    val uncapped = pairs(10000)
+    assert(uncapped === truePairs) // verify kills boilerplate-only pairs
+
+    // cap below the boilerplate df (30+) but above the near-dup df (2):
+    // ~30^2/2 boilerplate candidates vanish, every true pair survives
+    assert(candidates(8) < candidates(10000) - 300)
+    assert(pairs(8) === truePairs) // recall 1.0 at the cap
+
+    // cap below the near-dup df: recall collapses to 0 — quantifies the
+    // floor a caller must respect (cap must exceed expected dup-group size)
+    assert(pairs(1) === Set.empty)
+  }
 }
