@@ -133,6 +133,15 @@ object Cli {
       clean.write.mode("overwrite").parquet(s"$outDir/clean")
       println(s"[graft] ingest-dedup: ${spark.read.parquet(s"$outDir/clean").count()} of " +
         s"${batch.count()} batch docs are new (jaccard < $tau vs corpus) -> $outDir")
+      // --fold true: append the ACCEPTED docs into the index so the next
+      // batch dedups against them too (continuous ingest, no rebuild) —
+      // read back the materialized survivors so the appended rows can't
+      // drift from what was just reported
+      if (o.get("fold").contains("true")) {
+        val accepted = spark.read.parquet(s"$outDir/clean")
+        graft.operators.Dedup.appendToBandIndex(spark, accepted, "graft_idx")
+        println(s"[graft] ingest-dedup: folded ${accepted.count()} accepted docs into the index")
+      }
 
     // end-to-end curation pass over a (doc_id, text, source) corpus:
     // quality verdicts (+ per-rule drop rates), PII-redaction counts, and
@@ -165,7 +174,7 @@ object Cli {
           |  sample   <features> <k> <seed> <outDir>
           |  dedup    <corpusParquet> <outDir> [--jaccard T]
           |  bandindex    <corpusParquet> <indexDir> [--buckets N]
-          |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N]
+          |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N] [--fold true]
           |  curate       <corpusParquet> <outDir> [--seq-len N]""".stripMargin)
       sys.exit(2)
   }

@@ -392,6 +392,26 @@ object Dedup {
   private def withBandKey(bands: DataFrame): DataFrame =
     bands.withColumn("bkey", bandKey(col("band"), col("s")))
 
+  /** The bkey packing gives `band` 6 bits; more than 64 bands would
+    * silently collide keys (correct output — the exact-Jaccard verify
+    * still runs — but degraded candidate selectivity). Fail fast instead.
+    * Applied on every path that packs or probes (write, append, batch
+    * probe, streaming probe). */
+  private[graft] def requireBandCount(numHashes: Int, rowsPerBand: Int): Unit =
+    require(numHashes / rowsPerBand <= 64,
+      s"bkey packs the band id into 6 bits: numHashes/rowsPerBand must be <= 64 " +
+        s"bands, got ${numHashes / rowsPerBand} (numHashes=$numHashes, rowsPerBand=$rowsPerBand)")
+
+  /** The persisted index schema (and [[registerBandIndex]]'s re-attach
+    * DDL) fixes doc_id to BIGINT; writing any other type would fail only
+    * at read time with an obscure parquet-schema error. Fail at write. */
+  private def requireLongDocId(df: DataFrame, caller: String): Unit = {
+    val dt = df.schema("doc_id").dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"$caller requires doc_id to be LongType (the persisted index and its " +
+        s"re-attach DDL fix BIGINT), got $dt — cast before indexing")
+  }
+
   /** Precompute the corpus half of incremental dedup as two bucketed
     * tables — the engine's one persisted intermediate (the analog of the
     * reference's `preprocess` table, `kmeans.java:130-136`):
@@ -411,6 +431,8 @@ object Dedup {
   def writeBandIndex(corpus: DataFrame, name: String, buckets: Int = 8,
       numHashes: Int = 16, rowsPerBand: Int = 4,
       location: Option[String] = None): Unit = {
+    requireBandCount(numHashes, rowsPerBand)
+    requireLongDocId(corpus, "writeBandIndex")
     Bucketing.writeBucketed(
       withBandKey(lshBands(minhashSignatures(corpus, numHashes), rowsPerBand)),
       s"${name}_bands", "bkey", buckets, sortKey = Some("bkey"),
@@ -447,6 +469,7 @@ object Dedup {
   private[graft] def indexedBandJoin(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, name: String, numHashes: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
+    requireBandCount(numHashes, rowsPerBand)
     val nb = withBandKey(lshBands(minhashSignatures(newDocs, numHashes), rowsPerBand))
     val cb = Bucketing.readBucketed(spark, s"${name}_bands")
     // the (mn, mx) matches are two-sided INEQUALITIES on purpose: written
@@ -460,6 +483,31 @@ object Dedup {
           && col("a.mn") <= col("b.mn") && col("a.mn") >= col("b.mn")
           && col("a.mx") <= col("b.mx") && col("a.mx") >= col("b.mx"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+  }
+
+  /** Fold a new batch INTO the persisted band index — the append half of
+    * continuous ingest (without it the production story is "rebuild
+    * nightly"; the reference's analog table likewise grows per ingest
+    * run, `kmeans.java:146-158`). `insertInto` resolves the catalog
+    * table's bucket spec, so the appended files land hashed to the SAME
+    * bucket layout — a later probe still sort-merges the index in place
+    * with zero corpus-side Exchange (each append adds one file per
+    * bucket; the scan unions per-bucket file lists and re-sorts within
+    * the merge, no shuffle — IncrementalIndexSpec pins the plan after an
+    * append). Periodic compaction = rewrite via [[writeBandIndex]] when
+    * the per-bucket file count gets large. Idempotence is the caller's
+    * contract: append each accepted batch exactly once. */
+  def appendToBandIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, name: String, numHashes: Int = 16,
+      rowsPerBand: Int = 4): Unit = {
+    requireBandCount(numHashes, rowsPerBand)
+    requireLongDocId(batch, "appendToBandIndex")
+    // insertInto matches columns by POSITION — select in table order
+    withBandKey(lshBands(minhashSignatures(batch, numHashes), rowsPerBand))
+      .select("doc_id", "band", "s", "mn", "mx", "bkey")
+      .write.insertInto(s"${name}_bands")
+    shingled(batch).select(col("doc_id"), array_distinct(col("shs")).as("set"))
+      .write.insertInto(s"${name}_sets")
   }
 
   def incrementalNearDupPairsIndexed(spark: org.apache.spark.sql.SparkSession,

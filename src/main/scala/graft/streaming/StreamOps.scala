@@ -92,6 +92,7 @@ object StreamOps {
       minJaccard: Double = 0.5): DataFrame = {
     import graft.functions.TextHash
     import graft.operators.Bucketing
+    graft.operators.Dedup.requireBandCount(numHashes, rowsPerBand)
     val numBands = numHashes / rowsPerBand
     val shingled = docs
       .select(col("doc_id"), col("ts"), TextHash.shingleHashes(col("text")).as("shs"))

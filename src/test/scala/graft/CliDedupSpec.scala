@@ -40,13 +40,24 @@ class CliDedupSpec extends SparkSpec {
       spark.sql("DROP TABLE graft_idx_bands")
       spark.sql("DROP TABLE graft_idx_sets")
       Cli.run(spark, List("ingest-dedup", s"$dir/batch", s"$dir/idx", s"$dir/out",
-        "--buckets", "4"))
+        "--buckets", "4", "--fold", "true"))
       val pairs = spark.read.parquet(s"$dir/out/pairs")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(pairs === Seq((10L, 1L)))
       val clean = spark.read.parquet(s"$dir/out/clean")
         .collect().map(_.getLong(0)).toSeq
       assert(clean === Seq(11L))
+      // --fold appended the accepted doc 11: a later batch duplicating it
+      // must now pair against the index (continuous ingest, no rebuild).
+      // Exact copy on purpose: identical shingles guarantee a band match,
+      // so this pins the fold plumbing, not LSH recall odds
+      Seq((20L, "q1 q2 q3 q4 q5 q6 q7 q8", "s"))
+        .toDF("doc_id", "text", "source").write.parquet(s"$dir/batch2")
+      Cli.run(spark, List("ingest-dedup", s"$dir/batch2", s"$dir/idx", s"$dir/out2",
+        "--buckets", "4"))
+      val pairs2 = spark.read.parquet(s"$dir/out2/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs2 === Seq((20L, 11L)), "folded doc not probed by the next batch")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_idx_bands")
       spark.sql("DROP TABLE IF EXISTS graft_idx_sets")

@@ -73,6 +73,53 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("append folds a batch into the index: dups found vs corpus AND appendee, still zero corpus-side Exchange") {
+    cleanup()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      Dedup.writeBandIndex(corpus, "idx", buckets = 4)
+      // fold batch 1 (ids 1010/1020/1030) into the index, then probe with
+      // batch 2: near-copies of BOTH an original corpus doc (20) and an
+      // appended batch-1 doc (1010)
+      Dedup.appendToBandIndex(spark, batch, "idx")
+      val batch2 = Seq(
+        (2020L, "two three four five six seven eight nine", "web"), // ~ corpus 20 & appended 1020
+        (2010L, "gamma delta epsilon zeta eta theta", "web")        // ~ appended 1010 (beta dropped)
+      ).toDF("doc_id", "text", "source")
+      val pairs = Dedup.incrementalNearDupPairsIndexed(spark, batch2, "idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((2020L, 20L)), s"dup vs original corpus lost after append: $pairs")
+      assert(pairs.contains((2010L, 1010L)), s"dup vs appended batch not found: $pairs")
+      // the appended files landed in the existing bucket layout: the probe
+      // plan still sort-merges the index in place (no corpus-side Exchange)
+      val plan = Dedup.indexedBandJoin(spark, batch2, "idx")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      val corpusSide = lines.drop(lines.lastIndexWhere(_.contains("+- Sort [bkey")))
+      assert(corpusSide.nonEmpty && !corpusSide.exists(_.contains("Exchange")),
+        s"append broke the bucket layout — corpus side re-shuffles:\n$plan")
+      assert(corpusSide.exists(_.contains("Bucketed: true")), s"scan not bucket-aware:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      cleanup()
+    }
+  }
+
+  test("writeBandIndex fails fast on >64 bands and non-Long doc_id") {
+    cleanup()
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.writeBandIndex(corpus, "idx", numHashes = 260, rowsPerBand = 4)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.writeBandIndex(corpus.withColumn("doc_id", col("doc_id").cast("int")), "idx")
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.appendToBandIndex(spark, batch, "idx", numHashes = 260, rowsPerBand = 4)
+      }
+    } finally cleanup()
+  }
+
   test("external index re-attaches via DDL after catalog loss") {
     cleanup()
     val loc = java.nio.file.Files.createTempDirectory("graft-bandindex").toString
