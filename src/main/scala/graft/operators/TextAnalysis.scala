@@ -136,16 +136,23 @@ object TextAnalysis {
     * plan needs never happens — at 100 TB the sketch pass is map-side
     * constant memory and the re-count touches ≤ k-1 keys. Final output
     * is exact, so the oracle checks it against DuckDB's true frequency
-    * filter. Output: (wh, cnt) for each heavy-hitter token hash. */
+    * filter. Output: (wh, cnt) for each heavy-hitter token hash.
+    *
+    * The corpus total rides the SKETCH aggregate (one agg producing
+    * (candidates, total)), so the whole operator is exactly two scans of
+    * the exploded tokens: sketch+total, then the candidate re-count — a
+    * separate count() pass would re-read the corpus a third time for a
+    * number the first pass already saw. */
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftnative.SketchAggregates
     val toks = docs.select(explode(TextHash.wordHashes(col("text"))).as("wh"))
-    val cands = toks.agg(SketchAggregates.misraGries(col("wh"), k).as("cand"))
-      .select(explode(col("cand")).as("wh"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    val cands = toks.agg(SketchAggregates.misraGries(col("wh"), k).as("cand"),
+        count(lit(1)).as("total"))
+      .select(explode(col("cand")).as("wh"), col("total"))
+    // `total` is a single repeated value riding the broadcast candidate
+    // rows; grouping by it is free and replaces the old scalar crossJoin
     toks.join(broadcast(cands), "wh")
-      .groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .groupBy(col("wh"), col("total")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > col("total"))
       .select(col("wh"), col("cnt"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 
 /** Optimizer rule — the (c)-tier `Rule[LogicalPlan]` rung of the custom
   * ladder: an INNER join whose only cross-side predicates are an
@@ -22,11 +22,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Conservative by construction: fires only on Inner joins with NO
   * cross-side equality conjunct (if one exists the planner already has
-  * an equi key), with both bounds inclusive attribute comparisons on
-  * LongType, point attribute on one side and both bounds on the other.
-  * The rewritten join HAS a cross-side equality, so the rule is
-  * idempotent. Inject via `GraftExtensions` (spark.sql.extensions) or
-  * `spark.experimental.extraOptimizations`.
+  * an equi key), with both bounds inclusive comparisons over a supported
+  * ordered domain, point expression on one side and both bounds on the
+  * other. Supported operands are any DETERMINISTIC single-side
+  * expressions of LongType (micros) or TimestampType — so a bare column,
+  * a literal-padded bound (`ts <= hi + 300000000L`, the sliding-window
+  * shape), or a TIMESTAMP column (normalized to epoch micros with the
+  * same monotone mapping as `AsOfJoinNative.toLong`) all fire; the
+  * normalization is order-preserving, so bucket membership — and hence
+  * the match set — is unchanged. The rewritten join HAS a cross-side
+  * equality, so the rule is idempotent. Inject via `GraftExtensions`
+  * (spark.sql.extensions) or `spark.experimental.extraOptimizations`.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -39,21 +45,37 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   }
 
   // ts >= lo, written either way around
-  private def asLower(e: Expression): Option[(Attribute, Attribute)] = e match {
-    case GreaterThanOrEqual(t: Attribute, lo: Attribute) => Some((t, lo))
-    case LessThanOrEqual(lo: Attribute, t: Attribute) => Some((t, lo))
+  private def asLower(e: Expression): Option[(Expression, Expression)] = e match {
+    case GreaterThanOrEqual(t, lo) => Some((t, lo))
+    case LessThanOrEqual(lo, t) => Some((t, lo))
     case _ => None
   }
 
   // ts <= hi, written either way around
-  private def asUpper(e: Expression): Option[(Attribute, Attribute)] = e match {
-    case LessThanOrEqual(t: Attribute, hi: Attribute) => Some((t, hi))
-    case GreaterThanOrEqual(hi: Attribute, t: Attribute) => Some((t, hi))
+  private def asUpper(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThanOrEqual(t, hi) => Some((t, hi))
+    case GreaterThanOrEqual(hi, t) => Some((t, hi))
     case _ => None
   }
 
+  /** Order-preserving normalization to long micros (the rule-level twin
+    * of `AsOfJoinNative.toLong`): identity on LongType, epoch micros on
+    * TimestampType. Monotone, so floor-bucketing the normalized value
+    * yields the same membership as bucketing the original domain. */
+  private def norm(e: Expression): Option[Expression] = e.dataType match {
+    case LongType => Some(e)
+    case TimestampType => Some(UnixMicros(e))
+    case _ => None
+  }
+
+  /** A usable operand: deterministic (it is duplicated into the bucket
+    * key), references exactly one side (checked by the caller), over a
+    * normalizable domain. */
+  private def supported(e: Expression): Boolean =
+    e.deterministic && e.references.nonEmpty && norm(e).isDefined
+
   private def bucketOf(e: Expression): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(BucketWidthUs.toDouble, DoubleType)))
+    Floor(Divide(Cast(norm(e).get, DoubleType), Literal(BucketWidthUs.toDouble, DoubleType)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -67,13 +89,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val matched = if (hasCrossEqui) None else (for {
         (t1, lo) <- conjuncts.flatMap(asLower)
         (t2, hi) <- conjuncts.flatMap(asUpper)
-        if t1.semanticEquals(t2) && t1.dataType == LongType &&
-          lo.dataType == LongType && hi.dataType == LongType
-        pi <- if (left.outputSet.contains(t1) && right.outputSet.contains(lo)
-              && right.outputSet.contains(hi))
+        if t1.semanticEquals(t2) && supported(t1) && supported(lo) && supported(hi)
+        boundRefs = lo.references ++ hi.references
+        pi <- if (t1.references.subsetOf(left.outputSet)
+              && boundRefs.subsetOf(right.outputSet))
             Some((left, right, t1, lo, hi, false))
-          else if (right.outputSet.contains(t1) && left.outputSet.contains(lo)
-              && left.outputSet.contains(hi))
+          else if (t1.references.subsetOf(right.outputSet)
+              && boundRefs.subsetOf(left.outputSet))
             Some((right, left, t1, lo, hi, true))
           else None
       } yield pi).headOption

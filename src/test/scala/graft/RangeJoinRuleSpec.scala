@@ -52,6 +52,43 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(manual === expected)
   }
 
+  /** Strip the rule, collect the baseline pairs, restore, re-plan with
+    * the rule active, and pin both the plan shape and result equality. */
+  private def assertRewrites(mkJoin: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(_ == RangeJoinRewrite)
+    val expected = try {
+      assert(mkJoin.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "precondition: without the rule this shape should be a nested loop")
+      pairs(mkJoin)
+    } finally spark.experimental.extraOptimizations = saved
+    val rewritten = mkJoin
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rule did not remove the nested loop:\n$plan")
+    assert(pairs(rewritten) === expected)
+    expected
+  }
+
+  test("rule fires on TIMESTAMP bounds (normalized to epoch micros)") {
+    val ptsTs = points.select(col("p_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val ivTs = intervals.select(col("iv_id"),
+      timestamp_micros(col("lo_us")).as("lo_ts"), timestamp_micros(col("hi_us")).as("hi_ts"))
+    val expected = assertRewrites(ptsTs.join(ivTs,
+      col("ts") >= col("lo_ts") && col("ts") <= col("hi_ts")))
+    assert(expected === Set((10L, 1L), (11L, 1L), (11L, 2L), (13L, 3L)))
+  }
+
+  test("rule fires on literal-padded bounds (the sliding-window shape)") {
+    // ts <= hi + 5min: the q73-windows shape that used to silently stay
+    // a nested loop because the bound was Add(attr, literal), not attr
+    val expected = assertRewrites(points.join(intervals,
+      col("ts_us") >= col("lo_us") && col("ts_us") <= col("hi_us") + lit(5L * mi)))
+    // interval 2's padded end (125min) now catches nothing new; point 12
+    // (200min) still matches nothing; degenerate 4 still empty
+    assert(expected === Set((10L, 1L), (11L, 1L), (11L, 2L), (13L, 3L)))
+  }
+
   test("rule leaves equi joins alone") {
     val withKey = points.withColumn("k", col("p_id") % 2)
       .join(intervals.withColumn("k", col("iv_id") % 2), Seq("k"))
