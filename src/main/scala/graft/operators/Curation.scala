@@ -123,13 +123,24 @@ object Curation {
     * falls under the fractional part. Deterministic, replayable, and
     * content-keyed (exact dups up/downsample identically). Explode is the
     * only row expansion; no shuffle at all. Output: (doc_id, source,
-    * copy ∈ [1, n_copies]). */
+    * copy ∈ [1, n_copies]).
+    *
+    * The fractional threshold is FLOOR((w − ⌊w⌋)·1000) on both engines —
+    * floor, not round or a bare integer cast, because the two must agree
+    * on every IEEE double: Spark's long cast truncates while e.g.
+    * DuckDB's BIGINT cast rounds, so weight 0.3 (whose fractional product
+    * is 299.999…97) would diverge 299 vs 300 cross-engine. Floor of the
+    * same double is engine-independent and has no .5 tie cases. The cost
+    * is a ≤ 1/1000 downward bias on weights whose fractional part isn't
+    * exactly representable (0.3 samples at 299/1000). */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
     val weight = weights.foldLeft(lit(1.0)) { case (els, (src, w)) =>
       when(col("source") === src, lit(w)).otherwise(els)
     }
     val base = floor(weight).cast("int")
-    val frac = ((weight - floor(weight)) * 1000).cast("long")
+    // cast("long") truncates toward zero == floor for this non-negative
+    // product; floor() spelled explicitly so the contract is visible
+    val frac = floor((weight - floor(weight)) * 1000).cast("long")
     val extra = (pmod(TextHash.polyHash(col("text")), lit(1000L)) < frac).cast("int")
     val n = base + extra
     // sequence(1, 0) DESCENDS in Spark — only build it when n >= 1, and

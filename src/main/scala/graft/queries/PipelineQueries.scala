@@ -586,19 +586,22 @@ object PipelineQueries {
     // 1.0, src3 0.75 — binary-exact fractions so both engines compute the
     // same bucket threshold; the extra copy is content-hash gated
     QueryDef("q58_mixture_sample",
+      // src3's 0.3 is deliberately NOT binary-exact: its fractional
+      // product is 299.999…97, so this row exercises the cross-engine
+      // floor contract (see Curation.mixtureSample) on every run
       (s, dir) => Curation.mixtureSample(Tables.load(s, dir, "documents"),
-        Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 0.75)),
+        Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 0.3)),
       Some(s"""WITH w AS (
              |  SELECT doc_id, source, text,
              |         CASE source WHEN 'src0' THEN 2.25 WHEN 'src1' THEN 0.5
-             |                     WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.75
+             |                     WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.3
              |                     ELSE 1.0 END AS wt
              |  FROM documents),
              |n AS (
              |  SELECT doc_id, source,
              |         CAST(floor(wt) AS INTEGER)
              |         + CASE WHEN ${TextHash.polyHashSql("text")} % 1000
-             |                     < CAST((wt - floor(wt)) * 1000 AS BIGINT)
+             |                     < CAST(floor((wt - floor(wt)) * 1000) AS BIGINT)
              |                THEN 1 ELSE 0 END AS n_copies
              |  FROM w)
              |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy
