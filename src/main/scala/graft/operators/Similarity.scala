@@ -82,6 +82,112 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Squared L2 distance between a float-array column and a LITERAL
+    * double-array centroid, as one left fold in element order —
+    * Σ (xᵢ − cᵢ)² accumulated left-to-right, so Spark and the DuckDB
+    * oracle (`list_reduce` over `list_zip`) round identically. */
+  private def d2ToCentroid(x: Column, centroid: Seq[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(zip_with(x, c, (a, b) => {
+      val d = a.cast("double") - b
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** SQL twin of [[d2ToCentroid]] — same zip, same fold order. The SQL
+    * fold seeds from the first element where the Column form seeds from
+    * 0.0; identical IEEE results because 0.0 + v == v for the
+    * non-negative squared terms. */
+  private[graft] def d2Sql(x: String, c: String): String =
+    s"list_reduce(list_transform(list_zip($x, $c), p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), (a, v) -> a + v)"
+
+  /** Coarse quantizer LEARNED from the corpus — k-MEDIANS Lloyd rounds
+    * (assign to nearest cell, recenter on the per-dimension MEDIAN of
+    * members), not k-means: the median is a selection plus at most one
+    * two-value average, so the learned centroids are bit-identical
+    * across engines, where a distributed mean of doubles rounds
+    * differently per partition order and could never be oracle-gated.
+    * Init = the first `kCells` vectors in vec_id order; `iters` fixed
+    * rounds, no convergence test — a deterministic, replayable recipe
+    * (the unrolled SQL oracle mirrors it round for round).
+    *
+    * Driver loop like KMeans.run: each round is ONE distributed job
+    * (assign + per-(cell,dim) median) whose kCells×dim result collects
+    * to the driver and re-enters round r+1 as literals — the classic
+    * broadcast-back k-means shape; centroid count is tiny by design.
+    * Returns the learned centroids in cell order. */
+  def learnCells(corpus: DataFrame, kCells: Int, iters: Int): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    var centroids: Seq[Seq[Double]] =
+      corpus.orderBy(col("vec_id")).limit(kCells).collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, centroids)
+      // median spelled out (sort, pick, explicit two-middle average)
+      // rather than the median() aggregate, so the arithmetic is the
+      // exact op sequence the oracle SQL writes — no dependence on
+      // either engine's percentile interpolation convention
+      val xs = array_sort(collect_list(col("x").cast("double")))
+      val med = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(xs.as("xs"))
+        .select(col("cell"), col("i"),
+          when(size(col("xs")) % 2 === 1,
+            element_at(col("xs"), ((size(col("xs")) + 1) / 2).cast("int")))
+          .otherwise((element_at(col("xs"), (size(col("xs")) / 2).cast("int"))
+            + element_at(col("xs"), (size(col("xs")) / 2).cast("int") + 1)) / 2.0).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      centroids = centroids.zipWithIndex.map { case (old, cell) =>
+        // a cell that lost every member keeps its previous centroid
+        old.indices.map(i => med.getOrElse((cell, i), old(i)))
+      }
+    }
+    centroids
+  }
+
+  /** (corpus columns…, cell) — nearest learned cell per vector, ties to
+    * the lower cell id. kCells literal-centroid distance folds per row;
+    * argmin via `least`-free explicit fold keeps it one projection. */
+  private[graft] def assignCells(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, idx) =>
+      struct(d2ToCentroid(col("embedding"), c).as("d"), lit(idx).as("cell"))
+    }
+    // array_min on (d, cell) structs: lexicographic = min distance, ties
+    // to the smaller cell id — the documented tie-break
+    vecs.withColumn("cell", array_min(array(dists: _*)).getField("cell"))
+  }
+
+  /** IVF top-k over a LEARNED coarse quantizer — [[ivfTopK]] with the
+    * stand-in `label` cells replaced by [[learnCells]] k-medians cells,
+    * plus multi-cell probing: each query scores against the members of
+    * its `nprobe` nearest cells (explode on the tiny probe list, then an
+    * equi-join on the cell id — the corpus is never cross-joined).
+    * Candidates per query are plan-bounded by nprobe/kCells of the
+    * corpus; SimilaritySpec quantifies recall vs the brute-force
+    * baseline on the real testdata. */
+  def ivfLearnedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      kCells: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val centroids = learnCells(corpus, kCells, iters)
+    val assigned = assignCells(withNorm(corpus), centroids)
+    val qDists = centroids.zipWithIndex.map { case (c, idx) =>
+      struct(d2ToCentroid(col("embedding"), c).as("d"), lit(idx).as("cell"))
+    }
+    val q = broadcast(withNorm(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(slice(array_sort(array(qDists: _*)), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("probe.cell").as("q_cell")))
+    val scored = assigned.join(q,
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (fdot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-vector int8 scalar quantization: qᵢ = round((xᵢ − min) / scale)
     * with scale = (max − min)/255 — 4× storage cut for ANN shortlists at
     * 100 TB (rerank on full precision). Output exploded

@@ -63,6 +63,62 @@ object PipelineQueries {
 
   private val tokCte = "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"
 
+  /** Unrolled SQL mirror of [[Similarity.ivfLearnedTopK]]: deterministic
+    * init (first kCells vectors by vec_id), `iters` k-medians rounds
+    * (medians spelled out — sorted list, middle pick, explicit two-middle
+    * average — the exact arithmetic the Scala driver loop runs), final
+    * assignment, nprobe probe, exact-cosine top-k. The hash gate
+    * therefore covers the LEARNING rounds, not just the final join. */
+  private def ivfLearnedOracleSql(kCells: Int, nprobe: Int, k: Int, iters: Int): String = {
+    def d2(x: String, c: String) = Similarity.d2Sql(x, c)
+    def assign(name: String, cSrc: String) =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, f.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.embedding", "f.c")}, f.cell) AS rn
+         |    FROM embeddings e, $cSrc f) WHERE rn = 1)"""
+    def recenter(r: Int, aName: String, prevC: String, cName: String) =
+      s"""m$r AS (
+         |  SELECT cell, j, list_sort(list(CAST(x AS DOUBLE))) AS xs FROM (
+         |    SELECT cell, unnest(generate_series(1, len(embedding))) AS j,
+         |           unnest(embedding) AS x FROM $aName)
+         |  GROUP BY cell, j),
+         |mv$r AS (
+         |  SELECT cell, j, CASE WHEN len(xs) % 2 = 1 THEN xs[(len(xs) + 1) // 2]
+         |                       ELSE (xs[len(xs) // 2] + xs[len(xs) // 2 + 1]) / 2.0 END AS m
+         |  FROM m$r),
+         |grid$r AS (SELECT cell, c, unnest(generate_series(1, len(c))) AS j FROM $prevC),
+         |$cName AS (
+         |  SELECT g.cell, list(COALESCE(v.m, g.c[g.j]) ORDER BY g.j) AS c
+         |  FROM grid$r g LEFT JOIN mv$r v ON v.cell = g.cell AND v.j = g.j
+         |  GROUP BY g.cell)"""
+    val rounds = (1 to iters).map { r =>
+      val prevC = if (r == 1) "init" else s"c${r - 1}"
+      s"${assign(s"a$r", prevC)},\n${recenter(r, s"a$r", prevC, s"c$r")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kCells)),
+       |$rounds,
+       |${assign("af", cFinal)},
+       |qp AS (
+       |  SELECT query_id, q_emb, q_norm, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+       |           ${Similarity.fnormSql("e.embedding")} AS q_norm, f.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.embedding", "f.c")}, f.cell) AS rn
+       |    FROM embeddings e, $cFinal f WHERE e.vec_id < 10) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT qp.query_id, a.vec_id,
+       |         ${Similarity.fdotSql("qp.q_emb", "a.embedding")} / (qp.q_norm * ${Similarity.fnormSql("a.embedding")}) AS cos
+       |  FROM af a JOIN qp ON a.cell = qp.cell AND a.vec_id != qp.query_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+       |      FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= $k""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ==== text analysis ====================================================
@@ -640,6 +696,21 @@ object PipelineQueries {
              |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
              |      FROM scored)
              |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""".stripMargin)),
+
+    // IVF over a LEARNED coarse quantizer: k-medians cells (deterministic
+    // init + 2 fixed Lloyd rounds, medians spelled out so both engines
+    // run the same arithmetic), nprobe=2 probing. The oracle unrolls the
+    // training loop round for round — the learned centroids themselves
+    // are hash-gated through the final top-k, not just the probe join.
+    // Recall vs brute force on true near neighbors is pinned >= 0.95
+    // (measured 1.0) in SimilaritySpec.
+    QueryDef("q52b_ann_ivf_learned",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.ivfLearnedTopK(emb.filter(col("vec_id") < 10), emb, 5,
+          kCells = 8, nprobe = 2, iters = 2)
+      },
+      Some(ivfLearnedOracleSql(kCells = 8, nprobe = 2, k = 5, iters = 2))),
 
     QueryDef("q53_embed_neardup",
       (s, dir) => Similarity.hyperplaneLshNearDupPairs(
