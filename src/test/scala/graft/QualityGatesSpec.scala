@@ -89,4 +89,56 @@ class QualityGatesSpec extends SparkSpec {
     pushed("q25_tpch_q3", "EqualTo(c_mktsegment")
     pushed("q27c_tpch_q9", "StringContains(p_name,gear)")
   }
+
+  test("registry-wide: every literal source predicate reaches PushedFilters") {
+    // MECHANICAL enumeration (not a hand-picked list): walk every registry
+    // query's optimized logical plan; any Filter sitting over a parquet
+    // relation (through projections/aliases only) whose conjuncts compare
+    // a bare source column to literals is pushable BY CONSTRUCTION — the
+    // parquet source translates exactly these shapes — so its column must
+    // appear in some PushedFilters of the executed plan. Catches the
+    // classic regression where an operator edit wraps a source column
+    // (cast, arithmetic) and silently turns a pruned scan into a full
+    // read wearing a Filter node.
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BinaryComparison, Expression, In, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project => LProject, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    def overRelation(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case LProject(_, c) => overRelation(c)
+      case SubqueryAlias(_, c) => overRelation(c)
+      case _ => false
+    }
+    def pushableAttrs(plan: LogicalPlan): Seq[String] = plan.collect {
+      case LFilter(cond, child) if overRelation(child) =>
+        conjuncts(cond).collect {
+          case BinaryComparison(a: AttributeReference, _: Literal) => a.name
+          case BinaryComparison(_: Literal, a: AttributeReference) => a.name
+          case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) => a.name
+        }
+    }.flatten.distinct
+
+    val checked = scala.collection.mutable.ArrayBuffer[String]()
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if iterative(name) => None
+      case (name, fn) =>
+        val qe = fn(spark, dir).queryExecution
+        val attrs = pushableAttrs(qe.optimizedPlan)
+        if (attrs.isEmpty) None else {
+          checked += name
+          val pushedLines = qe.executedPlan.toString
+            .linesIterator.filter(_.contains("PushedFilters: [")).mkString("\n")
+          val missing = attrs.filterNot(pushedLines.contains)
+          if (missing.isEmpty) None else Some(s"$name: $missing not in PushedFilters")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+    assert(checked.size >= 10,
+      s"gate degenerated — only ${checked.size} queries carry literal source predicates: $checked")
+  }
 }
