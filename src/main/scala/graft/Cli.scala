@@ -143,6 +143,16 @@ object Cli {
         println(s"[graft] ingest-dedup: folded ${accepted.count()} accepted docs into the index")
       }
 
+    // periodic maintenance for a long-lived index: fold the one-file-per-
+    // append accumulation back to one file per bucket (same location,
+    // same bucket layout, probes unchanged)
+    case "compact-index" :: indexDir :: opts =>
+      val o = parseOpts(opts)
+      val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
+      graft.operators.Dedup.registerBandIndex(spark, "graft_idx", indexDir, buckets)
+      graft.operators.Dedup.compactBandIndex(spark, "graft_idx", indexDir, buckets)
+      println(s"[graft] compact-index: $indexDir rewritten to one file per bucket ($buckets buckets)")
+
     // end-to-end curation pass over a (doc_id, text, source) corpus:
     // quality verdicts (+ per-rule drop rates), PII-redaction counts, and
     // packed training bins for the keepers — the audit artifacts a data
@@ -175,6 +185,7 @@ object Cli {
           |  dedup    <corpusParquet> <outDir> [--jaccard T]
           |  bandindex    <corpusParquet> <indexDir> [--buckets N]
           |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N] [--fold true]
+          |  compact-index <indexDir> [--buckets N]
           |  curate       <corpusParquet> <outDir> [--seq-len N]""".stripMargin)
       sys.exit(2)
   }

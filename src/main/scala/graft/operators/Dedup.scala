@@ -494,9 +494,9 @@ object Dedup {
     * with zero corpus-side Exchange (each append adds one file per
     * bucket; the scan unions per-bucket file lists and re-sorts within
     * the merge, no shuffle — IncrementalIndexSpec pins the plan after an
-    * append). Periodic compaction = rewrite via [[writeBandIndex]] when
-    * the per-bucket file count gets large. Idempotence is the caller's
-    * contract: append each accepted batch exactly once. */
+    * append). Run [[compactBandIndex]] periodically to fold the
+    * accumulated per-bucket files back to one. Idempotence is the
+    * caller's contract: append each accepted batch exactly once. */
   def appendToBandIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, name: String, numHashes: Int = 16,
       rowsPerBand: Int = 4): Unit = {
@@ -508,6 +508,49 @@ object Dedup {
       .write.insertInto(s"${name}_bands")
     shingled(batch).select(col("doc_id"), array_distinct(col("shs")).as("set"))
       .write.insertInto(s"${name}_sets")
+  }
+
+  /** Compact the persisted index back to ONE file per bucket. Every
+    * [[appendToBandIndex]] adds a file per bucket, so after k appends a
+    * probe's bucketed scan unions k+1 sorted runs per bucket — correct
+    * (the merge re-sorts in place, still zero Exchange) but the per-file
+    * open/footer cost grows linearly with appends. This is the periodic
+    * counterpart: read the current index, `repartition(buckets, key)` —
+    * the SAME murmur3 `HashPartitioning` the bucket writer uses, so each
+    * task holds exactly one bucket's rows and writes exactly one file —
+    * rewrite to a sibling directory, then swap directories under the
+    * stable `location` and re-attach the DDL. Readers in THIS session see
+    * the compacted table immediately; other sessions keep the stable
+    * location contract of [[registerBandIndex]]. External-location
+    * indexes only (the continuous-ingest shape) — a managed index is
+    * cheap enough to rebuild with [[writeBandIndex]]. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, location: String, buckets: Int = 8): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
+    def swap(table: String, key: String, sub: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$location/$sub")
+      val next = new org.apache.hadoop.fs.Path(s"$location/${sub}__compact")
+      fs.delete(next, true) // stale leftover from a crashed compaction
+      // read the FILES, not the catalog table: a catalog read carries the
+      // bucket metadata, so the planner elides the repartition as already
+      // satisfied while the standalone scan's tasks are file-split, not
+      // bucket-aligned — and the rewrite lands task-split files again. A
+      // plain parquet read forces the shuffle, whose target partition
+      // (pmod(murmur3(key), n)) IS the writer's bucket id.
+      Bucketing.writeBucketed(
+        spark.read.parquet(live.toString).repartition(buckets, col(key)),
+        s"${table}__compact", key, buckets, sortKey = Some(key),
+        path = Some(next.toString))
+      // dropping EXTERNAL tables removes metadata only, never files
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      fs.delete(live, true)
+      require(fs.rename(next, live), s"compactBandIndex: rename $next -> $live failed")
+    }
+    swap(s"${name}_bands", "bkey", "bands")
+    swap(s"${name}_sets", "doc_id", "sets")
+    registerBandIndex(spark, name, location, buckets)
   }
 
   def incrementalNearDupPairsIndexed(spark: org.apache.spark.sql.SparkSession,

@@ -297,6 +297,32 @@ object Similarity {
     * verified exhaustively against the brute-force baseline in
     * SimilaritySpec; the output (candidates ∩ cos ≥ threshold) is
     * deterministic because the hyperplanes are. */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): find embedding-cosine near-duplicate groups and
+    * keep ONE representative per group — the training-data curation step
+    * that removes semantically redundant documents whose text differs
+    * too much for the shingle/MinHash families to pair.
+    *
+    * Composition of two already-verified pieces: candidate pairs from
+    * [[hyperplaneLshNearDupPairs]] (banded sign-sketch LSH — near-linear
+    * at 100 TB where the paper's within-cluster all-pairs is O(cell²)),
+    * then [[Dedup.canonicalAssignments]]' min-label propagation to close
+    * the groups transitively, then one anti equi-join. Representative =
+    * the group's minimum vec_id — the same keep-one contract as the text
+    * path ([[Dedup.dedupApply]]); the paper keeps the most centroid-
+    * distant member instead, but a cross-engine-deterministic centroid
+    * would need a median vector per group (see [[learnCells]]' rationale)
+    * for a tie-break that changes nothing about WHAT is deduplicated.
+    * Output: (vec_id, label) of surviving vectors. */
+  def semDedupApply(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val pairs = hyperplaneLshNearDupPairs(embeddings, threshold)
+    val removed = Dedup.canonicalAssignments(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(removed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   def hyperplaneLshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
       numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
     val e = withNorm(embeddings)

@@ -26,6 +26,18 @@ object PipelineQueries {
       |  SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text, source
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** Mirror of [[Similarity.withNearDupEmbeddings]] (q53, q67). */
+  private val augEmbCte =
+    """aug AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT orig_id + 1000000 AS vec_id, label,
+      |         list_transform(generate_series(1, len(emb0)),
+      |           j -> CAST(CAST(emb0[j] AS DOUBLE)
+      |                     + (CAST((orig_id*31 + (j-1)*7 + 1) % 97 AS DOUBLE)/3880.0 - 0.0125) AS FLOAT)) AS embedding
+      |  FROM (SELECT vec_id AS orig_id, label, embedding AS emb0
+      |        FROM embeddings WHERE vec_id % 10 = 0))""".stripMargin
+
   /** Mirror of [[Dedup.withExactDuplicates]]. */
   private val exactDupCorpus =
     """corpus AS (
@@ -720,20 +732,36 @@ object PipelineQueries {
       // per-pair miss probability < 3e-5 at cos ≥ 0.9 and is verified
       // exhaustively recall-1.0 on the fixed testdata (SimilaritySpec),
       // so the deterministic sketch reproduces the exact output here.
-      Some(s"""WITH aug AS (
-             |  SELECT vec_id, label, embedding FROM embeddings
-             |  UNION ALL
-             |  SELECT orig_id + 1000000 AS vec_id, label,
-             |         list_transform(generate_series(1, len(emb0)),
-             |           j -> CAST(CAST(emb0[j] AS DOUBLE)
-             |                     + (CAST((orig_id*31 + (j-1)*7 + 1) % 97 AS DOUBLE)/3880.0 - 0.0125) AS FLOAT)) AS embedding
-             |  FROM (SELECT vec_id AS orig_id, label, embedding AS emb0
-             |        FROM embeddings WHERE vec_id % 10 = 0)),
+      Some(s"""WITH $augEmbCte,
              |n AS (SELECT vec_id, embedding, ${Similarity.fnormSql("embedding")} AS norm FROM aug)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |       ${Similarity.fdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
              |FROM n a JOIN n b ON a.vec_id < b.vec_id
              |WHERE ${Similarity.fdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.9""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023) end-to-end: q53's near-dup pairs →
+    // q46's min-label connected components → anti-join survivors. The
+    // oracle replays exact all-pairs edges + recursive reachability; the
+    // Spark side's LSH candidate generation reproduces the exact edge set
+    // on this corpus (recall 1.0, SimilaritySpec), so survivors hash-gate.
+    QueryDef("q67_semantic_dedup",
+      (s, dir) => Similarity.semDedupApply(
+        Similarity.withNearDupEmbeddings(Tables.load(s, dir, "embeddings")), 0.9),
+      Some(s"""WITH RECURSIVE $augEmbCte,
+             |n AS (SELECT vec_id, embedding, ${Similarity.fnormSql("embedding")} AS norm FROM aug),
+             |edges AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |          FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |          WHERE ${Similarity.fdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.9),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |       UNION ALL SELECT id_b, id_a FROM edges),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM bi
+             |  UNION
+             |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+             |noncanon AS (SELECT src AS vec_id FROM reach GROUP BY src
+             |             HAVING least(src, min(dst)) < src)
+             |SELECT a.vec_id, a.label FROM aug a
+             |WHERE a.vec_id NOT IN (SELECT vec_id FROM noncanon)""".stripMargin)),
 
     // Int8 shortlist + exact rerank cascade (Similarity scaladoc): the
     // oracle replays quantize → dequantized scoring → shortlist window →

@@ -32,7 +32,8 @@ class IncrementalIndexSpec extends SparkSpec {
     .select((col("doc_id") + 1000L).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"), col("source"))
 
-  private def cleanup(): Unit = Seq("idx_bands", "idx_sets", "xidx_bands", "xidx_sets")
+  private def cleanup(): Unit = Seq("idx_bands", "idx_sets", "xidx_bands", "xidx_sets",
+      "xidx_bands__compact", "xidx_sets__compact")
     .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   test("indexed incremental pairs equal the recompute path") {
@@ -118,6 +119,50 @@ class IncrementalIndexSpec extends SparkSpec {
         Dedup.appendToBandIndex(spark, batch, "idx", numHashes = 260, rowsPerBand = 4)
       }
     } finally cleanup()
+  }
+
+  test("compaction folds appended files to one per bucket; pairs and plan unchanged") {
+    cleanup()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val loc = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    def bandFiles(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(loc, "bands")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    try {
+      Dedup.writeBandIndex(corpus, "xidx", buckets = 4, location = Some(loc))
+      // two appends -> up to three files per bucket
+      Dedup.appendToBandIndex(spark, batch, "xidx")
+      Dedup.appendToBandIndex(spark,
+        batch.select((col("doc_id") + 1000L).as("doc_id"), col("text"), col("source")), "xidx")
+      val before = Dedup.incrementalNearDupPairsIndexed(spark, corpus.limit(2), "xidx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filesBefore = bandFiles().size
+      assert(filesBefore > 4, s"expected appends to accumulate files, got $filesBefore")
+
+      Dedup.compactBandIndex(spark, "xidx", loc, buckets = 4)
+
+      val filesAfter = bandFiles().size
+      assert(filesAfter <= 4 && filesAfter < filesBefore,
+        s"compaction should leave at most one file per bucket: $filesBefore -> $filesAfter\n" +
+          bandFiles().map(_.getFileName).mkString("\n"))
+      val after = Dedup.incrementalNearDupPairsIndexed(spark, corpus.limit(2), "xidx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === before, "compaction changed the pair set")
+      assert(after.nonEmpty, "probe of corpus docs vs their own index should pair up")
+      // the compacted files keep the bucket layout: probe still merges in place
+      val plan = Dedup.indexedBandJoin(spark, batch, "xidx")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      val corpusSide = lines.drop(lines.lastIndexWhere(_.contains("+- Sort [bkey")))
+      assert(corpusSide.nonEmpty && !corpusSide.exists(_.contains("Exchange")),
+        s"compaction broke the bucket layout:\n$plan")
+      assert(corpusSide.exists(_.contains("Bucketed: true")), s"scan not bucket-aware:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      cleanup()
+    }
   }
 
   test("external index re-attaches via DDL after catalog loss") {

@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("semDedup keeps each near-dup group's min id, drops the rest, passes non-dups through") {
+    val aug = Similarity.withNearDupEmbeddings(Tables.load(spark, dir, "embeddings"))
+    val survivors = Similarity.semDedupApply(aug, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val all = aug.select("vec_id").collect().map(_.getLong(0)).toSet
+    val copies = all.filter(_ >= 1000000)
+    assert(copies.nonEmpty)
+    // every injected copy pairs with its original (smaller id) -> dropped;
+    // every original survives as its group's canonical
+    assert(copies.forall(c => !survivors.contains(c)),
+      s"copies not deduplicated: ${copies.filter(survivors.contains).take(5)}")
+    assert(copies.forall(c => survivors.contains(c - 1000000)),
+      "an original lost to its own copy — canonical rule broken")
+    // non-dup vectors (near-orthogonal corpus) pass through untouched
+    assert(survivors === all -- copies)
+  }
+
   /** Learned-centroid IVF (q52b): recall vs the brute-force baseline on
     * TRUE near neighbors (each injected near-dup's top-1 is its original,
     * cos ≈ 0.99 — the workload ANN exists for), and the candidate cut
