@@ -52,4 +52,39 @@ object AsOfJoin {
       .filter(col("_is_left") === 1)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"_match.$c").as(c)): _*)
   }
+
+  /** As-of join with a staleness bound (pandas `merge_asof(tolerance=)`):
+    * the most recent prior right row counts only if it is at most
+    * `toleranceUs` old; staler matches null out, keeping left-join
+    * semantics. `tsCol` must be numeric (epoch micros) on both sides so
+    * the age is a plain subtraction inside the window pass — the
+    * tolerance adds ZERO extra shuffles or joins over [[asOf]]: the
+    * matched timestamp rides the running window state alongside the
+    * payload, and one residual `when` applies the bound. */
+  def asOfWithin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String], tieCol: String,
+      toleranceUs: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightCols.map(col): _*)
+    val l = left.select(
+      col(keyCol).as("_k") +: col(tsCol).cast("long").as("_ts") +:
+        lit(1).as("_is_left") +: lit(null).cast("long").as("_tie") +:
+        lit(null).cast(right.select(payload).schema.head.dataType).as("_r") +:
+        leftCols.map(col): _*)
+    val r = right.select(
+      col(keyCol).as("_k") +: col(tsCol).cast("long").as("_ts") +:
+        lit(0).as("_is_left") +: col(tieCol).cast("long").as("_tie") +: payload.as("_r") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_is_left"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = col("_ts") - col("_mts") <= toleranceUs
+    l.unionAll(r)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_mts",
+        last(when(col("_is_left") === 0, col("_ts")), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => when(fresh, col(s"_match.$c")).as(c)): _*)
+  }
 }

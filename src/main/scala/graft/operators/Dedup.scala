@@ -621,6 +621,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** Duplicated-span mining — the k-gram approximation of exact-substring
+    * train-data dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499): a 13-gram window
+    * is "duplicated" when it occurs in ≥ `minDocs` distinct docs; the
+    * output scores each doc by how much of it is covered by such spans
+    * (`dup_frac`), the signal used to crop or drop boilerplate-heavy
+    * docs. Unlike [[contaminatedDocs]] the reference set is the corpus
+    * ITSELF, so neither side is broadcastable: the gram-frequency table
+    * and the flag-back join both shuffle on the gram hash — two linear
+    * shuffles, partial aggregation map-side, no quadratic pair step at
+    * any corpus size (the frequency CAP is what the pair generators need;
+    * span mining only counts). */
+  def duplicateSpans(corpus: DataFrame, minDocs: Int = 2): DataFrame = {
+    val grams = gram13Hashes(corpus)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("g"))
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = grams.join(dupGrams, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          col("n_spans").cast("double")).as("dup_frac"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 24-bit SimHash over token hashes (with multiplicity): bit b is set

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators for a continuously-ingested corpus: CDC
+  * upsert (apply a change batch to a keyed snapshot) and incremental
+  * aggregate maintenance (fold a delta's partial aggregates into a
+  * standing aggregate without rescanning the base).
+  *
+  * The reference's closest analog is the grow-only `preprocess` table
+  * reloaded per ingest run (`kmeans.java:130-158`) — it has no update or
+  * delete story at all; these operators supply the missing lifecycle for
+  * a 100 TB corpus where full rebuilds are not an option.
+  *
+  * Scale shape: everything here is a plain shuffle on the snapshot key
+  * (or the aggregate's group key). No broadcasts of unbounded sides, no
+  * windows over anything wider than one key's change history, no
+  * driver-side state.
+  */
+object Maintenance {
+
+  /** Apply a CDC change batch to a keyed snapshot, last-write-wins.
+    *
+    * `changes` carries the full base payload plus `opCol` (one of
+    * 'I'/'U'/'D') and `seqCol` (change sequence number — higher wins;
+    * ties break on the op string descending, so 'U' outranks 'I' and
+    * 'D' outranks both, making replays deterministic even on malformed
+    * feeds that reuse a sequence number).
+    *
+    * Result = base rows whose key is untouched, plus the latest
+    * surviving change row per touched key (deletes drop the key).
+    * Exactly two shuffles on the key (the per-key window and the
+    * anti-join), each linear; a key's cost is bounded by ITS change
+    * count, so the operator survives any corpus size and any number of
+    * appends — the production MERGE INTO shape. */
+  def cdcUpsert(base: DataFrame, changes: DataFrame,
+      keyCol: String, seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.toSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(desc(seqCol), desc(opCol))
+    val latest = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val untouched = base.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D").select(payload.map(col): _*)
+    untouched.select(payload.map(col): _*).unionByName(upserts)
+  }
+
+  /** Fold partial-aggregate tables (a standing snapshot aggregate plus
+    * one or more delta aggregates, unioned by the caller) into one
+    * merged aggregate: sums/counts re-sum, mins take min, maxs take max.
+    * Every column in `partials` must be a group key or one of the
+    * declared mergeable columns — averages and other ratios are NOT
+    * mergeable and must be derived AFTER the merge (sum/count), which is
+    * why this API does not accept them.
+    *
+    * This is incremental materialized-view maintenance: the base table
+    * is never rescanned; the delta contributes |delta| rows of partials
+    * and one shuffle on the group key merges them. */
+  def mergePartials(partials: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    partials.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -157,6 +157,31 @@ object TextAnalysis {
       .select(col("wh"), col("cnt"))
   }
 
+  /** Per-GROUP heavy hitters: [[heavyHitters]] with the Misra–Gries
+    * sketch keyed by a group column — one sketch of bounded size per
+    * group, map-side partials merged per group, so the shuffle carries
+    * ≤ (k−1) counters per (partition, group) however large the corpus.
+    * The exact re-count joins tokens back on (group, token): candidates
+    * are NOT broadcast here because the candidate set grows with the
+    * group count — the equi-join shuffles on the compound key instead,
+    * which is the shape that survives millions of groups. Output is
+    * EXACT (the sketch only shortlists; the re-count and the `cnt·k >
+    * total` threshold decide), so the oracle gate covers it. */
+  def groupHeavyHitters(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.SketchAggregates
+    val toks = docs.select(col(groupCol),
+      explode(TextHash.wordHashes(col("text"))).as("wh"))
+    val cands = toks.groupBy(col(groupCol))
+      .agg(SketchAggregates.misraGries(col("wh"), k).as("cand"),
+        count(lit(1)).as("total"))
+      .select(col(groupCol), explode(col("cand")).as("wh"), col("total"))
+    toks.join(cands, Seq(groupCol, "wh"))
+      .groupBy(col(groupCol), col("wh"), col("total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > col("total"))
+      .select(col(groupCol), col("wh"), col("cnt"))
+  }
+
   /** Deterministic stratified sample: the first `perStratum` docs of each
     * stratum in content-hash order (ties to doc_id) — replayable
     * class-balanced subsets for eval sets / ablations. One shuffle on the

@@ -516,6 +516,24 @@ object PipelineQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
              |FROM gc JOIN gb USING (g) GROUP BY doc_id""".stripMargin)),
 
+    // duplicated-span mining (Lee et al. 2021's exact-substring dedup,
+    // k-gram approximation): per-doc fraction of 13-gram windows that
+    // occur in >= 2 distinct docs of the corpus — corpus-vs-ITSELF
+    // decontamination, two linear shuffles on the gram hash, no pair step
+    QueryDef("q75_duplicate_spans",
+      (s, dir) => Dedup.duplicateSpans(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH $nearDupCorpus,
+             |tok AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM corpus),
+             |gs AS (SELECT doc_id, unnest(${Dedup.gram13Sql("whs")}) AS g FROM tok),
+             |dg AS (SELECT g FROM gs GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+             |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM gs GROUP BY doc_id),
+             |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+             |        FROM gs JOIN dg USING (g) GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_spans, COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+             |       CAST(COALESCE(d.n_dup_spans, 0) AS DOUBLE) / CAST(t.n_spans AS DOUBLE) AS dup_frac
+             |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id""".stripMargin)),
+
     // winnow-fingerprint near-dup pairs: candidates from shared window
     // minima (the MOSS index), verified with exact Jaccard — a third
     // bucketed pair-generator family with a contiguous-run recall shape
@@ -550,6 +568,34 @@ object PipelineQueries {
              |c AS (SELECT wh, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY wh)
              |SELECT wh, cnt FROM c
              |WHERE cnt * 30 > (SELECT count(*) FROM tok)""".stripMargin)),
+
+    // per-GROUP heavy hitters: one bounded Misra-Gries sketch per lang
+    // (map-side partials merged per group) + exact re-count on the
+    // compound (group, token) key — candidates are NOT broadcast because
+    // the candidate set grows with the group count
+    QueryDef("q79_group_heavy_hitters",
+      (s, dir) => TextAnalysis.groupHeavyHitters(
+        Tables.load(s, dir, "documents"), "lang", 40),
+      Some(s"""WITH tok AS (
+             |  SELECT lang, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM documents),
+             |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS total FROM tok GROUP BY lang),
+             |c AS (SELECT lang, wh, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY lang, wh)
+             |SELECT c.lang, c.wh, c.cnt FROM c JOIN tot USING (lang)
+             |WHERE c.cnt * 40 > tot.total""".stripMargin)),
+
+    // Z-order (Morton) clustering key — the multi-column data-skipping
+    // layout (Delta/Iceberg OPTIMIZE ZORDER): bit-interleave two scan
+    // dimensions; ZOrderSpec proves the file-pruning effect, this row
+    // hash-gates the interleave arithmetic itself against unrolled
+    // bitwise SQL
+    QueryDef("q80_zorder_key",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          graft.operators.ZOrder.zValue(
+            col("user_id"), floor(col("value") * 1000).cast("long")).as("zkey")),
+      Some(s"""SELECT event_id,
+             |  ${graft.operators.ZOrder.zValueSql("user_id", "CAST(floor(value * 1000) AS BIGINT)")} AS zkey
+             |FROM events""".stripMargin)),
 
     // winnowed fingerprints (MOSS): per-doc distinct sliding-window minima
     // of the shingle hashes — the storage-bounded fingerprint set a
@@ -953,6 +999,37 @@ object PipelineQueries {
              |       epoch_us(v.ts) AS view_us, v.value AS view_value
              |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin)),
 
+    // As-of with a STALENESS BOUND (pandas merge_asof tolerance): the
+    // most recent prior view counts only if it is at most 30 minutes
+    // old; staler matches null out but the click row stays (left join).
+    // The bound rides the same single window pass — zero extra shuffles.
+    QueryDef("q72b_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            unix_micros(col("ts")).as("view_us"), col("value").as("view_value"))
+        graft.operators.AsOfJoin.asOfWithin(clicks, views, "user_id", "ts_us",
+            Seq("view_us", "view_value"), "event_id", toleranceUs = 1800000000L)
+          .select(col("click_id"), col("user_id"), col("ts_us").as("click_us"),
+            col("view_us"), col("view_value"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+             |           FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, ts, epoch_us(ts) AS click_us
+             |      FROM e WHERE event_type = 'click'),
+             |v AS (SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+             |      FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+             |SELECT c.click_id, c.user_id, c.click_us,
+             |       CASE WHEN c.click_us - epoch_us(v.ts) <= 1800000000
+             |            THEN epoch_us(v.ts) END AS view_us,
+             |       CASE WHEN c.click_us - epoch_us(v.ts) <= 1800000000
+             |            THEN v.value END AS view_value
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin)),
+
     // Same as-of semantics through the CUSTOM CATALYST OPERATOR
     // (graftnative.AsOfJoinExec: logical node + planner strategy + native
     // sort-merge physical operator) — oracle identical to q72's, so the
@@ -1075,6 +1152,33 @@ object PipelineQueries {
              |SELECT lo_us, hi_us, n_errors, CAST(count(*) AS BIGINT) AS n_purchases
              |FROM p JOIN w ON p_us >= lo_us AND p_us <= hi_us
              |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // interval × interval OVERLAP join (no equi key): purchase attention
+    // windows [ts, ts+5min] × signup windows [ts, ts+3min], emitted via
+    // the bucket-tiling equi-join with the emit-once rule — the naive
+    // θ-join the oracle runs is O(|A|·|B|); the engine's plan is a plain
+    // shuffle hash join on the bucket id.
+    QueryDef("q78_interval_overlap",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val a = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_lo"),
+            (unix_micros(col("ts")) + 300000000L).as("a_hi"))
+        val b = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_lo"),
+            (unix_micros(col("ts")) + 180000000L).as("b_hi"))
+        graft.operators.RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi")
+          .select(col("a_id"), col("b_id"),
+            (least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+              .as("overlap_us"))
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |a AS (SELECT event_id AS a_id, epoch_us(ts) AS a_lo, epoch_us(ts) + 300000000 AS a_hi
+             |      FROM e WHERE event_type = 'purchase'),
+             |b AS (SELECT event_id AS b_id, epoch_us(ts) AS b_lo, epoch_us(ts) + 180000000 AS b_hi
+             |      FROM e WHERE event_type = 'signup')
+             |SELECT a_id, b_id, least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_us
+             |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin)),
 
     // ==== streaming shape (batch equivalent; stream path in StreamOps) =====
 

@@ -848,6 +848,97 @@ object RelationalQueries {
              |       quantile_cont(l_quantity, 0.9) AS p90
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- CDC upsert: apply a change batch to a keyed snapshot ----------
+    // Deterministic change feed derived from orders itself: updates
+    // (%13), deletes (%17), inserts (%19, shifted keys). Keys divisible
+    // by both 13 and 17 carry TWO changes with different sequence
+    // numbers, so the last-write-wins discipline is exercised every run,
+    // not just documented. Output = the merged snapshot.
+    QueryDef("q76_cdc_upsert",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val updates = orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        val deletes = orders.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+        val inserts = orders.filter(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        val changes = updates.unionByName(deletes).unionByName(inserts)
+        graft.operators.Maintenance.cdcUpsert(orders, changes, "o_orderkey", "seq", "op")
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("ckey"),
+            col("o_orderstatus").as("status"), col("o_totalprice").as("price"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+            col("o_orderpriority").as("priority"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             |         o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
+             |         'U' AS op, 1 AS seq
+             |  FROM orders WHERE o_orderkey % 13 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             |         o_orderpriority, 'D', 2
+             |  FROM orders WHERE o_orderkey % 17 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority, 'I', 1
+             |  FROM orders WHERE o_orderkey % 19 = 0),
+             |latest AS (
+             |  SELECT * FROM (
+             |    SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey
+             |                                    ORDER BY seq DESC, op DESC) AS rn
+             |    FROM ch) t WHERE rn = 1),
+             |merged AS (
+             |  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+             |         o.o_orderdate, o.o_orderpriority
+             |  FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey
+             |  WHERE l.o_orderkey IS NULL
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             |         o_orderpriority
+             |  FROM latest WHERE op != 'D')
+             |SELECT o_orderkey AS okey, o_custkey AS ckey, o_orderstatus AS status,
+             |       o_totalprice AS price, epoch_us(o_orderdate) AS odate_us,
+             |       o_orderpriority AS priority
+             |FROM merged""".stripMargin)),
+
+    // ---- incremental aggregate maintenance ------------------------------
+    // A standing per-supplier aggregate over 90% of lineitem plus a
+    // delta's partial aggregates, merged WITHOUT rescanning the base
+    // (sums re-sum, counts re-sum, min/max re-min/max; avg derived after
+    // the merge). The oracle recomputes from the full table — the hash
+    // gate proves merged partials == full recompute.
+    QueryDef("q77_incremental_agg",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("l_suppkey"))
+          .agg(sum(Exact.money(col("l_quantity"))).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+        val snapshot = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+        val delta = partial(li.filter(col("l_orderkey") % 10 === 0))
+        graft.operators.Maintenance.mergePartials(
+            snapshot.unionByName(delta), Seq("l_suppkey"),
+            Seq("sum_qty", "n_rows"), Seq("min_price"), Seq("max_price"))
+          .select(col("l_suppkey").as("skey"),
+            col("sum_qty").cast("double").as("sum_qty"),
+            col("n_rows").cast("long").as("n_rows"),
+            col("min_price").as("min_price"), col("max_price").as("max_price"),
+            (col("sum_qty").cast("double") / col("n_rows").cast("double")).as("avg_qty"))
+      },
+      Some("""SELECT l_suppkey AS skey,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       MIN(l_extendedprice) AS min_price,
+             |       MAX(l_extendedprice) AS max_price,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             |         / CAST(count(*) AS DOUBLE) AS avg_qty
+             |FROM lineitem GROUP BY l_suppkey""".stripMargin)),
+
     // ---- approx distinct (HLL sketch; rows-only check — approx values
     // are engine-specific by construction, so no DuckDB oracle) ----------
     QueryDef("q29_approx_distinct",
