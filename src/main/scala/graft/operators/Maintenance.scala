@@ -48,6 +48,22 @@ object Maintenance {
     untouched.select(payload.map(col): _*).unionByName(upserts)
   }
 
+  /** Build a type-2 slowly-changing-dimension history from a version
+    * feed: each key's versions ordered by (`tsCol`, `seqCol`) become
+    * rows with `valid_from_us` = the version's timestamp,
+    * `valid_to_us` = the NEXT version's timestamp (null while current)
+    * and an `is_current` flag — the standard warehouse dimension-history
+    * shape. One window pass per key; a key's cost is its own version
+    * count, so the build parallelizes over keys at any history size. */
+  def scd2(versions: DataFrame, keyCol: String, tsUsCol: String,
+      seqCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(seqCol))
+    versions
+      .withColumn("valid_from_us", col(tsUsCol))
+      .withColumn("valid_to_us", lead(col(tsUsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** Fold partial-aggregate tables (a standing snapshot aggregate plus
     * one or more delta aggregates, unioned by the caller) into one
     * merged aggregate: sums/counts re-sum, mins take min, maxs take max.

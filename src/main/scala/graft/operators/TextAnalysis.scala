@@ -157,6 +157,32 @@ object TextAnalysis {
       .select(col("wh"), col("cnt"))
   }
 
+  /** TF-IDF top terms per doc, with a RATIONAL idf — `(tf/len)·(N/df)`
+    * instead of the textbook `log(N/df)` — because `log` is a libm call
+    * whose last-ulp rounding differs across engines and the ranking is
+    * unchanged by the monotone transform. Shuffle profile: one groupBy
+    * on (doc, term) for tf, one on term for df (both map-side partial),
+    * one equi-join on term (no broadcast — the vocabulary grows with the
+    * corpus), one per-doc window for the top-k. Every step is linear and
+    * key-partitioned at any corpus size. */
+  def tfIdfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextHash.wordHashes(col("text"))).as("wh"))
+    val tf = toks.groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("tf"))
+    val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val df = tf.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docLen, "doc_id").join(df, "wh").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast("double") / col("len").cast("double")) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("wh"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("wh"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
   /** Per-GROUP heavy hitters: [[heavyHitters]] with the Misra–Gries
     * sketch keyed by a group column — one sketch of bounded size per
     * group, map-side partials merged per group, so the shuffle carries

@@ -583,6 +583,26 @@ object PipelineQueries {
              |SELECT c.lang, c.wh, c.cnt FROM c JOIN tot USING (lang)
              |WHERE c.cnt * 40 > tot.total""".stripMargin)),
 
+    // TF-IDF top terms per doc with a RATIONAL idf ((tf/len)·(N/df) —
+    // log is a libm call whose rounding differs across engines and the
+    // monotone transform doesn't change the ranking); vocabulary-sized
+    // df table equi-joined, never broadcast
+    QueryDef("q83_tfidf",
+      (s, dir) => TextAnalysis.tfIdfTopTerms(Tables.load(s, dir, "documents"), 3),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM documents),
+             |tf AS (SELECT doc_id, wh, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+             |ln AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+             |df AS (SELECT wh, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.wh, tf.tf, df.df,
+             |              (CAST(tf.tf AS DOUBLE) / CAST(ln.len AS DOUBLE))
+             |                * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+             |       FROM tf JOIN ln USING (doc_id) JOIN df USING (wh) CROSS JOIN n),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, wh) AS INTEGER) AS rank FROM sc)
+             |SELECT doc_id, wh, tf, df, score, rank FROM r WHERE rank <= 3""".stripMargin)),
+
     // Z-order (Morton) clustering key — the multi-column data-skipping
     // layout (Delta/Iceberg OPTIMIZE ZORDER): bit-interleave two scan
     // dimensions; ZOrderSpec proves the file-pruning effect, this row
@@ -1179,6 +1199,28 @@ object PipelineQueries {
              |      FROM e WHERE event_type = 'signup')
              |SELECT a_id, b_id, least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_us
              |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin)),
+
+    // two-step funnel: per user, first click and first purchase at or
+    // after it, converted iff within 1 h — aggregate + equi-join +
+    // aggregate, never a window over the raw log
+    QueryDef("q82_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        graft.operators.Funnels.conversion(ev, "event_type", "user_id", "ts_us",
+          "click", "purchase", windowUs = 3600000000L)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |a AS (SELECT user_id, min(us) AS a_us FROM e
+             |      WHERE event_type = 'click' GROUP BY 1),
+             |b AS (SELECT a.user_id, a.a_us, min(e.us) AS b_us
+             |      FROM a LEFT JOIN e ON e.user_id = a.user_id
+             |                        AND e.event_type = 'purchase' AND e.us >= a.a_us
+             |      GROUP BY 1, 2)
+             |SELECT user_id, a_us, b_us,
+             |       b_us IS NOT NULL AND b_us - a_us <= 3600000000 AS converted
+             |FROM b""".stripMargin)),
 
     // ==== streaming shape (batch equivalent; stream path in StreamOps) =====
 

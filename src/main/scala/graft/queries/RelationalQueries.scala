@@ -939,6 +939,30 @@ object RelationalQueries {
              |         / CAST(count(*) AS DOUBLE) AS avg_qty
              |FROM lineitem GROUP BY l_suppkey""".stripMargin)),
 
+    // ---- SCD2 dimension history --------------------------------------
+    // lineitem as a version feed: each order's lines ordered by
+    // (shipdate, linenumber) become valid_from/valid_to/is_current rows —
+    // the warehouse dimension-history build, one window pass per key.
+    QueryDef("q81_scd2",
+      (s, dir) => {
+        val versions = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ts_us"))
+        graft.operators.Maintenance.scd2(versions, "l_orderkey", "ts_us", "l_linenumber")
+          .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+            col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ts_us
+             |  FROM lineitem)
+             |SELECT l_orderkey AS okey, l_linenumber AS lnum,
+             |       ts_us AS valid_from_us,
+             |       lead(ts_us) OVER (PARTITION BY l_orderkey
+             |                         ORDER BY ts_us, l_linenumber) AS valid_to_us,
+             |       lead(ts_us) OVER (PARTITION BY l_orderkey
+             |                         ORDER BY ts_us, l_linenumber) IS NULL AS is_current
+             |FROM v""".stripMargin)),
+
     // ---- approx distinct (HLL sketch; rows-only check — approx values
     // are engine-specific by construction, so no DuckDB oracle) ----------
     QueryDef("q29_approx_distinct",

@@ -13,6 +13,10 @@ final case class SessionState(start: Long, end: Long, n: Int)
   * maximum view seen so far for a user. */
 final case class AsOfState(ts_us: Long, tie: Long, value: Double)
 
+/** Per-entity funnel progress for [[StreamOps.funnelStream]]: the first
+  * step-A timestamp and (once seen) the first eligible step-B. */
+final case class FunnelState(aUs: Long, bUs: Option[Long])
+
 /** Structured Streaming surface: event-time windowed aggregation with
   * watermarks, and custom sessionization state via mapGroupsWithState.
   * The reference is batch-only (SURVEY §2.7); this is the engine's
@@ -267,5 +271,77 @@ object StreamOps {
         max(unix_micros(col("ts"))).as("end_us"),
         count(lit(1)).cast("int").as("n_events"))
       .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
+  // ---- funnel --------------------------------------------------------------
+
+  final case class FunnelIn(user_id: Long, ts: Timestamp, ts_us: Long, event_type: String)
+  final case class FunnelOut(user_id: Long, a_us: Long, b_us: Option[Long], converted: Boolean)
+
+  /** Streaming face of [[graft.operators.Funnels.conversion]]: per-user
+    * running state (first step-A, first eligible step-B — two longs per
+    * key, O(keys) memory, no buffered history). Update mode: each
+    * trigger re-emits the funnel rows whose state changed, so the sink
+    * always holds the latest conversion status per user — the standard
+    * live-dashboard upsert-sink shape. Like [[asOfEnrich]], equality
+    * with the batch operator holds under per-key event-time-ordered
+    * replay (pinned in StreamingSpec); the batch operator backfills
+    * unordered history. */
+  def funnelStream(events: Dataset[FunnelIn], stepA: String, stepB: String,
+      windowUs: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[FunnelState]) =>
+          val sorted = evs.toArray.sortBy(_.ts_us)
+          val before = state.getOption
+          var cur = before
+          sorted.foreach { e =>
+            if (e.event_type == stepA && cur.isEmpty)
+              cur = Some(FunnelState(e.ts_us, None))
+            else if (e.event_type == stepB)
+              cur = cur.map {
+                case FunnelState(a, None) if e.ts_us >= a => FunnelState(a, Some(e.ts_us))
+                case s => s
+              }
+          }
+          if (cur != before) cur.foreach(state.update)
+          cur match {
+            case Some(s) if before != cur =>
+              Iterator.single(FunnelOut(user, s.aUs, s.bUs,
+                s.bUs.exists(_ - s.aUs <= windowUs)))
+            case _ => Iterator.empty
+          }
+      }
+  }
+
+  // ---- CDC apply -----------------------------------------------------------
+
+  /** Continuous CDC apply: change batches arriving on a stream fold into
+    * a keyed snapshot via `foreachBatch` + the SAME
+    * [[graft.operators.Maintenance.cdcUpsert]] the batch path uses —
+    * stream-batch unification for table maintenance. The snapshot lives
+    * as a localCheckpointed DataFrame handed to `onSnapshot` after every
+    * batch (a production deployment would write a table version instead;
+    * the checkpoint keeps the test harness driver-local). Sequential
+    * batch application equals one batch apply of the concatenated feed
+    * because the upsert is last-write-wins on (seq, op) — pinned in
+    * StreamingSpec. */
+  def streamingCdcApply(changes: DataFrame, base: DataFrame,
+      keyCol: String, seqCol: String, opCol: String)(
+      onSnapshot: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var snapshot = base.localCheckpoint(eager = true)
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        snapshot = graft.operators.Maintenance
+          .cdcUpsert(snapshot, batch.toDF(), keyCol, seqCol, opCol)
+          .localCheckpoint(eager = true)
+        onSnapshot(snapshot)
+      }
+      .start()
   }
 }

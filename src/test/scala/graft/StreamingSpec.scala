@@ -299,4 +299,65 @@ class StreamingSpec extends SparkSpec {
     } finally
       Seq("sidx_bands", "sidx_sets").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("streaming funnel == batch conversion (ordered replay, real events)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val in = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[StreamOps.FunnelIn].collect().sortBy(_.ts_us)
+    val stream = MemoryStream[StreamOps.FunnelIn]
+    val query = StreamOps.funnelStream(stream.toDS(), "click", "purchase", 3600000000L)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // two triggers: only users whose state changed re-emit in trigger 2
+      val (first, second) = in.splitAt(in.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      stream.addData(second.toSeq)
+      query.processAllAvailable()
+      // per user, emissions grow monotonically more complete (a_us fixed
+      // once set, b_us set at most once) — the most complete row is final
+      val got = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+        .groupBy(_._1)
+        .map { case (_, rows) => rows.maxBy(x => (x._3.isDefined, x._3)) }.toSet
+      val batch = graft.operators.Funnels.conversion(
+        ev.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")),
+        "event_type", "user_id", "ts_us", "click", "purchase", 3600000000L)
+      val want = batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toSet
+      assert(got.nonEmpty && got === want)
+    } finally query.stop()
+  }
+
+  test("streaming CDC apply: sequential batches == one batch apply of the full feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val feed1 = Seq((2L, "B", 21.0, "U", 1L), (4L, "d", 40.0, "I", 2L))
+    val feed2 = Seq((3L, "c", 0.0, "D", 3L), (4L, "D2", 41.0, "U", 4L))
+    val stream = MemoryStream[(Long, String, Double, String, Long)]
+    @volatile var last: Option[org.apache.spark.sql.DataFrame] = None
+    val query = StreamOps.streamingCdcApply(
+      stream.toDF().toDF("k", "s", "v", "op", "seq"), base, "k", "seq", "op")(
+      snap => last = Some(snap))
+    try {
+      stream.addData(feed1); query.processAllAvailable()
+      stream.addData(feed2); query.processAllAvailable()
+      val got = last.get.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val want = graft.operators.Maintenance.cdcUpsert(base,
+          (feed1 ++ feed2).toDF("k", "s", "v", "op", "seq"), "k", "seq", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === want)
+      assert(got === Set((1L, "a", 10.0), (2L, "B", 21.0), (4L, "D2", 41.0)))
+    } finally query.stop()
+  }
 }
