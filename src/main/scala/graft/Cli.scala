@@ -153,6 +153,18 @@ object Cli {
       graft.operators.Dedup.compactBandIndex(spark, "graft_idx", indexDir, buckets)
       println(s"[graft] compact-index: $indexDir rewritten to one file per bucket ($buckets buckets)")
 
+    // takedown / retention expiry: rewrite the index without the
+    // tombstoned doc_ids (doubles as a compaction — one file per bucket)
+    case "delete-index" :: indexDir :: idsPath :: opts =>
+      val o = parseOpts(opts)
+      val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
+      graft.operators.Dedup.registerBandIndex(spark, "graft_idx", indexDir, buckets)
+      // materialize first: the tombstone frame must not lazily re-read
+      // the index mid-swap (deleteFromBandIndex's caller contract)
+      val ids = spark.read.parquet(idsPath).select("doc_id").localCheckpoint()
+      graft.operators.Dedup.deleteFromBandIndex(spark, ids, "graft_idx", indexDir, buckets)
+      println(s"[graft] delete-index: ${ids.count()} doc_ids removed from $indexDir")
+
     // end-to-end curation pass over a (doc_id, text, source) corpus:
     // quality verdicts (+ per-rule drop rates), PII-redaction counts, and
     // packed training bins for the keepers — the audit artifacts a data
@@ -186,6 +198,7 @@ object Cli {
           |  bandindex    <corpusParquet> <indexDir> [--buckets N]
           |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N] [--fold true]
           |  compact-index <indexDir> [--buckets N]
+          |  delete-index  <indexDir> <idsParquet> [--buckets N]
           |  curate       <corpusParquet> <outDir> [--seq-len N]""".stripMargin)
       sys.exit(2)
   }

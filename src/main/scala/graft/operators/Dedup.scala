@@ -525,7 +525,33 @@ object Dedup {
     * indexes only (the continuous-ingest shape) — a managed index is
     * cheap enough to rebuild with [[writeBandIndex]]. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
-      name: String, location: String, buckets: Int = 8): Unit = {
+      name: String, location: String, buckets: Int = 8): Unit =
+    rewriteBandIndex(spark, name, location, buckets, identity)
+
+  /** Delete documents FROM the persisted index — the tombstone half of
+    * continuous ingest (takedowns, retention expiry, corpus pruning all
+    * land here). Parquet files are immutable, so a delete is a filtered
+    * REWRITE: the same read-files → repartition-to-bucket-layout →
+    * directory-swap cycle as [[compactBandIndex]], with the tombstoned
+    * doc_ids anti-joined out of both tables on the way through — one
+    * operation doubles as the periodic compaction. Deletes are rare and
+    * batched in production (the probe path is never blocked; it just
+    * keeps matching until the next rewrite), exactly how Delta/Iceberg
+    * DELETE + OPTIMIZE behave. `tombstones` must not derive from the
+    * index tables themselves (it is re-evaluated while the directories
+    * are mid-swap) — materialize it first if it does. */
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+      tombstones: DataFrame, name: String, location: String,
+      buckets: Int = 8): Unit = {
+    requireLongDocId(tombstones, "deleteFromBandIndex")
+    val ids = tombstones.select("doc_id")
+    rewriteBandIndex(spark, name, location, buckets,
+      _.join(ids, Seq("doc_id"), "left_anti"))
+  }
+
+  private def rewriteBandIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, location: String, buckets: Int,
+      transform: DataFrame => DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
     def swap(table: String, key: String, sub: String): Unit = {
@@ -539,14 +565,14 @@ object Dedup {
       // plain parquet read forces the shuffle, whose target partition
       // (pmod(murmur3(key), n)) IS the writer's bucket id.
       Bucketing.writeBucketed(
-        spark.read.parquet(live.toString).repartition(buckets, col(key)),
+        transform(spark.read.parquet(live.toString)).repartition(buckets, col(key)),
         s"${table}__compact", key, buckets, sortKey = Some(key),
         path = Some(next.toString))
       // dropping EXTERNAL tables removes metadata only, never files
       spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
       spark.sql(s"DROP TABLE IF EXISTS $table")
       fs.delete(live, true)
-      require(fs.rename(next, live), s"compactBandIndex: rename $next -> $live failed")
+      require(fs.rename(next, live), s"rewriteBandIndex: rename $next -> $live failed")
     }
     swap(s"${name}_bands", "bkey", "bands")
     swap(s"${name}_sets", "doc_id", "sets")

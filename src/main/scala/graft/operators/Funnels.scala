@@ -35,4 +35,28 @@ object Funnels {
         col("b_us").isNotNull && col("b_us") - col("a_us") <= windowUs)
       .select(col(keyCol), col("a_us"), col("b_us"), col("converted"))
   }
+
+  private val DayUs = 86400000000L
+
+  /** Cohort retention: cohort each entity by its FIRST active day, then
+    * count, per (cohort day, day offset), the entities active again
+    * `offset` days later — the triangle every growth dashboard plots.
+    *
+    * Shape: distinct (entity, day) first (collapses each entity's event
+    * volume to its active-day set — the skew bound), one aggregate for
+    * the cohort day, one equi-join on the entity key, one final count.
+    * Both shuffles key on the entity id (high-cardinality); nothing is
+    * windowed over the raw log and nothing broadcasts an unbounded side. */
+  def retention(events: DataFrame, keyCol: String, tsUsCol: String,
+      maxOffsetDays: Int): DataFrame = {
+    val days = events
+      .select(col(keyCol), expr(s"CAST($tsUsCol AS BIGINT) div $DayUs").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col(keyCol)).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq(keyCol))
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

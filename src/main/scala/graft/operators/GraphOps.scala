@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists. PageRank (Page et al. 1999) runs in
+  * exact FIXED-POINT integer arithmetic: ranks are BIGINTs scaled by
+  * `scale`, every contribution is `(rank * w) div W` (integer floor
+  * division), and the damping mix is `(num * sum) div den`. Integer
+  * sums are order-independent, so the result is bit-identical across
+  * engines and across partitionings — unlike floating-point PageRank,
+  * whose per-vertex Σ depends on aggregation order. The quantization
+  * error is bounded by (in-degree + 2) ulps of 1/scale per iteration.
+  *
+  * Scale shape per iteration: one equi-join ranks⨝edges on src, one
+  * groupBy dst — both shuffles keyed on vertex id (high cardinality on
+  * real graphs); out-weights are joined once, up front. The driver loop
+  * only chains plans (no action per iteration); with iters ≤ ~10 the
+  * lineage stays shallow.
+  */
+object GraphOps {
+
+  /** Weighted PageRank over `edges(src, dst, w)`; returns
+    * (node, rank_scaled) with Σ rank_scaled ≈ scale (floor-division
+    * dust stays with the damping base term). Dangling mass (vertices
+    * with no out-edges) is dropped, as in the original formulation.
+    *
+    * dampNum/dampDen is the damping factor as an exact rational
+    * (default 17/20 = 0.85). */
+  def pageRankScaled(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val withOut = edges.join(outW, "src")
+    var ranks = nodes.crossJoin(
+        broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("node"), expr(s"$scale div n_nodes").as("rank_scaled"),
+        col("n_nodes"))
+    for (i <- 1 to iters) {
+      val contrib = withOut
+        .join(ranks.select(col("node").as("src"), col("rank_scaled")), "src")
+        .select(col("dst").as("node"),
+          expr("(rank_scaled * w) div w_out").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      ranks = ranks.select(col("node"), col("n_nodes"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
+            expr(s"($dampNum * ${coalesceSql("in_sum")}) div $dampDen"))
+            .as("rank_scaled"),
+          col("n_nodes"))
+      // lazy lineage cut every few rounds: analysis/optimization cost of
+      // the chained plan stays bounded, nothing materializes until used
+      if (i % 6 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
+    }
+    ranks.select(col("node"), col("rank_scaled"))
+  }
+
+  private def coalesceSql(c: String): String = s"coalesce($c, 0L)"
+
+  /** Transition digraph over a categorical column: per entity, each
+    * consecutive (state, next state) step ordered by (ts, tieCol)
+    * becomes one edge; edge weight = step count across all entities.
+    * The window partitions by the entity key, so the single shuffle is
+    * keyed on the (high-cardinality) entity, never on the small state
+    * alphabet. */
+  def transitionEdges(events: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(stateCol).as("src"), col(tsCol), col(tieCol))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+}

@@ -183,6 +183,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("wh"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** BM25 document ranking (Robertson–Spärck Jones) for a FIXED query
+    * term set, with the idf in its RATIONAL form
+    * `(N − df + 0.5)/(df + 0.5)` — the textbook `ln(·)` is a monotone
+    * libm call whose last-ulp rounding differs across engines and does
+    * not change the ranking. Per-term scores are pure row-wise double
+    * arithmetic in one fixed operation order; the per-doc Σ over query
+    * terms is pivoted into per-term columns and added LEFT-TO-RIGHT, so
+    * the result is bit-identical regardless of aggregation order (each
+    * pivot cell sums at most one value).
+    *
+    * Shuffle profile: tokens filtered to the query terms BEFORE the
+    * (doc, term) tf groupBy (the scan reduces to query-term hits), df
+    * is |terms| rows (broadcast), doc lengths shuffle on doc_id, the
+    * corpus-wide (N, Σlen) scalar rides a one-row broadcast, and the
+    * final top-k is a distributed TakeOrdered — no global window over
+    * the corpus. */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, s"1..16 terms, got ${terms.size}")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextHash.tokens(col("text"))).as("tok"))
+    val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
+    val tf = toks.filter(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_len").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val denom = col("tf").cast("double") +
+      (lit(1.2) * (lit(0.25) + (lit(0.75) * (col("len").cast("double") / avgdl))))
+    val scored = tf.join(docLen, "doc_id").join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * ((col("tf").cast("double") * lit(2.2)) / denom))
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("s"))).as(s"s_$i")
+    }
+    val grouped = scored.groupBy(col("doc_id")).agg(pivots.head, pivots.tail: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val top = grouped.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+  }
+
   /** Per-GROUP heavy hitters: [[heavyHitters]] with the Misra–Gries
     * sketch keyed by a group column — one sketch of bounded size per
     * group, map-side partials merged per group, so the shuffle carries

@@ -1222,6 +1222,139 @@ object PipelineQueries {
              |       b_us IS NOT NULL AND b_us - a_us <= 3600000000 AS converted
              |FROM b""".stripMargin)),
 
+    // ---- cohort retention: the growth triangle — cohort by first active
+    // day, count entities re-active at each day offset; distinct
+    // (entity, day) first so each entity's event volume collapses before
+    // any join ----------------------------------------------------------
+    QueryDef("q84_retention",
+      (s, dir) => graft.operators.Funnels.retention(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
+        "user_id", "ts_us", maxOffsetDays = 30),
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |           FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+             |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+             |       CAST(count(*) AS BIGINT) AS n_users
+             |FROM d JOIN c ON d.user_id = c.user_id
+             |WHERE d.day - c.cohort_day <= 30
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- BM25 ranking over the documents table for a fixed query; the
+    // idf is the RATIONAL form (monotone in the textbook log), per-term
+    // scores pivot to columns and add in one fixed order, so the double
+    // output is bit-identical across engines (see bm25TopDocs scaladoc)
+    QueryDef("q86_bm25",
+      (s, dir) => TextAnalysis.bm25TopDocs(
+        Tables.load(s, dir, "documents"), Seq("spark", "merge", "window"), topK = 10),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |ln AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |              CAST(sum(len) AS BIGINT) AS tot_len FROM ln),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+             |       WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+             |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id, tf.tok,
+             |         ((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+             |            / (CAST(df.df AS DOUBLE) + 0.5))
+             |         * ((CAST(tf.tf AS DOUBLE) * 2.2)
+             |            / (CAST(tf.tf AS DOUBLE)
+             |               + (1.2 * (0.25 + (0.75 * (CAST(ln.len AS DOUBLE)
+             |                  / (CAST(st.tot_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))) AS s
+             |       FROM tf JOIN ln USING (doc_id) JOIN df USING (tok) CROSS JOIN st),
+             |g AS (SELECT doc_id,
+             |        sum(CASE WHEN tok = 'spark' THEN s END) AS s_0,
+             |        sum(CASE WHEN tok = 'merge' THEN s END) AS s_1,
+             |        sum(CASE WHEN tok = 'window' THEN s END) AS s_2
+             |      FROM sc GROUP BY 1),
+             |sg AS (SELECT doc_id,
+             |         ((coalesce(s_0, 0.0) + coalesce(s_1, 0.0)) + coalesce(s_2, 0.0)) AS score
+             |       FROM g)
+             |SELECT doc_id, score,
+             |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+             |FROM sg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- PageRank over the event-type transition digraph, in exact
+    // fixed-point integer arithmetic (order-independent sums — a floating
+    // PageRank's Σ depends on aggregation order); the oracle UNROLLS the
+    // three iterations in SQL with the same floor divisions, so the gate
+    // covers the iteration arithmetic itself ---------------------------
+    QueryDef("q87_pagerank",
+      (s, dir) => graft.operators.GraphOps.pageRankScaled(
+        graft.operators.GraphOps.transitionEdges(
+          Tables.events(s, dir), "user_id", "event_type", "ts", "event_id"),
+        iters = 3),
+      Some {
+        def iter(i: Int, prev: String) =
+          s"""c$i AS (SELECT e.dst AS node,
+             |         CAST(sum((r.rank_scaled * e.w) // o.w_out) AS BIGINT) AS in_sum
+             |       FROM edges e JOIN ow o ON o.src = e.src
+             |                    JOIN $prev r ON r.node = e.src
+             |       GROUP BY 1),
+             |r$i AS (SELECT n.node,
+             |         ((1000000000000 * 3) // 20 // nn.n_nodes)
+             |           + ((17 * coalesce(c.in_sum, 0)) // 20) AS rank_scaled
+             |       FROM nodes n CROSS JOIN nn LEFT JOIN c$i c ON c.node = n.node)"""
+        s"""WITH l AS (SELECT user_id, event_type, ts, event_id,
+           |            lead(event_type) OVER (PARTITION BY user_id
+           |                                   ORDER BY ts, event_id) AS dst
+           |           FROM events),
+           |edges AS (SELECT event_type AS src, dst, CAST(count(*) AS BIGINT) AS w
+           |          FROM l WHERE dst IS NOT NULL GROUP BY 1, 2),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+           |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM edges GROUP BY 1),
+           |r0 AS (SELECT node, 1000000000000 // nn.n_nodes AS rank_scaled
+           |       FROM nodes CROSS JOIN nn),
+           |${iter(1, "r0")},
+           |${iter(2, "r1")},
+           |${iter(3, "r2")}
+           |SELECT node, rank_scaled FROM r3""".stripMargin
+      }),
+
+    // ---- per-slice z-score outliers: Σv and Σv² in exact DECIMAL (order-
+    // independent), final μ/σ arithmetic in one fixed double order ------
+    QueryDef("q89_anomaly",
+      (s, dir) => graft.operators.QualityChecks.zScoreOutliers(
+        Tables.events(s, dir), "event_type", "value",
+        Seq("event_id"), threshold = 2.5),
+      Some("""WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |                   sum(CAST(value AS DECIMAL(9,2))) AS s1,
+             |                   sum(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS s2
+             |            FROM events GROUP BY 1),
+             |z AS (SELECT e.event_id, e.event_type, e.value,
+             |             (e.value - (CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE)))
+             |               / sqrt((CAST(st.s2 AS DOUBLE)
+             |                       - ((CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+             |                          / CAST(st.n AS DOUBLE)))
+             |                      / (CAST(st.n AS DOUBLE) - 1.0)) AS z
+             |      FROM events e JOIN st USING (event_type)
+             |      WHERE st.n > 1
+             |        AND ((CAST(st.s2 AS DOUBLE)
+             |              - ((CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+             |                 / CAST(st.n AS DOUBLE)))
+             |             / (CAST(st.n AS DOUBLE) - 1.0)) > 0.0
+             |      )
+             |SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2.5""".stripMargin)),
+
+    // ---- ORC round trip: the other columnar interchange format — write
+    // a projection as ORC, read it back, aggregate; the oracle never saw
+    // the ORC file, so any encode/decode drift hash-mismatches ----------
+    QueryDef("q90_orc_roundtrip",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        graft.sources.ColumnarIO.orcRoundTrip(s, docs, "q90")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      },
+      Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS chars,
+             |       min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY 1, 2""".stripMargin)),
+
     // ==== streaming shape (batch equivalent; stream path in StreamOps) =====
 
     QueryDef("q70_stream_hourly",

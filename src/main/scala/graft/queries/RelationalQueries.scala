@@ -963,6 +963,53 @@ object RelationalQueries {
              |                         ORDER BY ts_us, l_linenumber) IS NULL AS is_current
              |FROM v""".stripMargin)),
 
+    // ---- ANALYZE-style stats profile: one aggregate pass produces every
+    // column's count/nulls/distinct/min/max (numeric and string slots
+    // typed separately — a stringified min renders differently per
+    // engine); the catalog pass that seeds data-skipping metadata -------
+    QueryDef("q85_stats_profile",
+      (s, dir) => graft.operators.QualityChecks.statsProfile(
+        Tables.load(s, dir, "lineitem")
+          .withColumn("ship_us", unix_micros(col("l_shipdate").cast("timestamp"))),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "ship_us"),
+        Seq("l_returnflag", "l_linestatus")),
+      Some {
+        val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount", "ship_us")
+        val strings = Seq("l_returnflag", "l_linestatus")
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+             |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |       CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+             |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM li""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+             |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |       min($c) AS min_str, max($c) AS max_str
+             |FROM li""".stripMargin
+        "WITH li AS (SELECT *, epoch_us(l_shipdate) AS ship_us FROM lineitem)\n" +
+          (numeric.map(num) ++ strings.map(str)).mkString("\nUNION ALL\n")
+      }),
+
+    // ---- blocked fuzzy record linkage: entity resolution as blocking +
+    // edit-distance gate — candidate pairs only within (nation, segment)
+    // blocks, so the self-join is an equi-join, never a cross join ------
+    QueryDef("q88_fuzzy_linkage",
+      (s, dir) => graft.operators.Linkage.blockedPairs(
+        Tables.load(s, dir, "customer"), "c_custkey", "c_name",
+        Seq("c_nationkey", "c_mktsegment"), maxDist = 1),
+      Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey
+             | AND a.c_mktsegment = b.c_mktsegment
+             | AND a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
+
     // ---- approx distinct (HLL sketch; rows-only check — approx values
     // are engine-specific by construction, so no DuckDB oracle) ----------
     QueryDef("q29_approx_distinct",

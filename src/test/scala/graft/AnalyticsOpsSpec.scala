@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{Funnels, GraphOps, Linkage, QualityChecks, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the round-4 analytics additions: fixed-point
+  * PageRank (+ transition-edge builder), cohort retention, blocked fuzzy
+  * linkage, the stats profile, z-score outliers, and BM25 ranking. The
+  * cross-engine arithmetic of each is hash-gated by its registry row;
+  * these specs pin the SEMANTICS on constructed inputs where the answer
+  * is known in closed form. */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  test("pageRank: symmetric 2-cycle splits the mass evenly, sum ~ scale") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val ranks = GraphOps.pageRankScaled(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("a") === ranks("b"))
+    val total = ranks.values.sum
+    assert(total <= Scale && total > Scale - 100,
+      s"floor dust should be a handful of ulps: $total vs $Scale")
+  }
+
+  test("pageRank: a node every edge points at outranks the spokes") {
+    // hub: a,b,c each -> d; d -> a (so d has out-mass and nothing
+    // dangles). Mass oscillates a<->d with period 2 and decays by
+    // d^2 = 0.7225 per round trip, so run enough iterations for the
+    // fixpoint gap (d ~ 0.480 vs a ~ 0.445) to dominate the transient
+    val edges = Seq(("a", "d", 1L), ("b", "d", 1L), ("c", "d", 1L), ("d", "a", 1L))
+      .toDF("src", "dst", "w")
+    val ranks = GraphOps.pageRankScaled(edges, iters = 24)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("d") > ranks("a"), s"hub must outrank: $ranks")
+    assert(ranks("a") > ranks("b"), s"d's only successor outranks plain spokes: $ranks")
+    assert(ranks("b") === ranks("c"), s"symmetric spokes tie exactly: $ranks")
+  }
+
+  test("pageRank: edge weights steer the split") {
+    // a sends 3/4 of its mass to b, 1/4 to c; b,c return to a
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val ranks = GraphOps.pageRankScaled(edges, iters = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("b") > ranks("c"), s"heavier edge must carry more mass: $ranks")
+  }
+
+  test("transitionEdges counts consecutive per-entity steps in ts order") {
+    val ev = Seq(
+      (1L, "view", 10L, 100L), (1L, "click", 20L, 101L), (1L, "buy", 30L, 102L),
+      (2L, "view", 10L, 200L), (2L, "click", 15L, 201L),
+      (3L, "solo", 99L, 300L) // single event: no transition
+    ).toDF("uid", "state", "ts", "eid")
+    val edges = GraphOps.transitionEdges(ev, "uid", "state", "ts", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(edges === Map(("view", "click") -> 2L, ("click", "buy") -> 1L))
+  }
+
+  test("retention counts distinct users per (cohort day, offset)") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 10L), (1L, day + 5L), // user 1: day 0 twice, day 1
+      (2L, day), (2L, 3 * day),            // user 2: cohort day 1, back day 3
+      (3L, 0L)                             // user 3: day 0 only
+    ).toDF("user_id", "ts_us")
+    val rows = Funnels.retention(ev, "user_id", "ts_us", maxOffsetDays = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
+  test("blockedPairs: edit-distance gate within blocks, oversized blocks skipped") {
+    val recs = Seq(
+      (1L, "smith", "b1"), (2L, "smyth", "b1"), (3L, "jones", "b1"),
+      (4L, "brown", "big"), (5L, "browne", "big"), (6L, "browm", "big"), (7L, "brown", "big")
+    ).toDF("id", "name", "blk")
+    val pairs = Linkage.blockedPairs(recs, "id", "name", Seq("blk"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 1)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "jones matches nothing at dist 1")
+    assert(pairs.contains((4L, 7L, 0)), "exact dupes are distance 0")
+    // now cap blocks at 3: the 4-record block must vanish, b1 survives
+    val capped = Linkage.blockedPairs(recs, "id", "name", Seq("blk"), maxDist = 1,
+        maxBlockSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)), s"oversized block must be skipped: $capped")
+  }
+
+  test("statsProfile: typed min/max slots, nulls counted, one row per column") {
+    val df = Seq(
+      (Some(1.0), Some("x")), (Some(5.0), None), (None, Some("a"))
+    ).toDF("num", "str")
+    val out = QualityChecks.statsProfile(df, Seq("num"), Seq("str"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("num", "str"))
+    val n = out("num")
+    assert(n.getLong(1) === 3L && n.getLong(2) === 1L && n.getLong(3) === 2L)
+    assert(n.getDouble(4) === 1.0 && n.getDouble(5) === 5.0 && n.isNullAt(6) && n.isNullAt(7))
+    val s = out("str")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.isNullAt(4) && s.isNullAt(5) && s.getString(6) === "a" && s.getString(7) === "x")
+  }
+
+  test("zScoreOutliers flags the planted spike; degenerate groups yield nothing") {
+    val base = (1 to 50).map(i => (i.toLong, "g", 10.0 + (if (i % 2 == 0) 0.5 else -0.5)))
+    val rows = base ++ Seq((99L, "g", 50.0),      // the spike
+      (100L, "const", 1.0), (101L, "const", 1.0), // zero variance
+      (102L, "single", 7.0))                      // n = 1
+    val out = QualityChecks.zScoreOutliers(
+        rows.toDF("event_id", "event_type", "value"),
+        "event_type", "value", Seq("event_id"), threshold = 3.0)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out === Set(99L), s"only the spike is 3 sigma out: $out")
+  }
+
+  test("bm25: term frequency wins at equal length; rare terms outweigh common ones") {
+    val filler = (1 to 20).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"spark spark spark $filler"),   // tf=3 for spark
+      (2L, s"spark pad0 pad00 $filler"),    // tf=1 for spark, same length
+      (3L, s"rare pad0 pad00 $filler"),     // tf=1 for rare (df=1)
+      (4L, s"spark rare spark $filler")
+    ).toDF("doc_id", "text")
+    val ranks = TextAnalysis.bm25TopDocs(docs, Seq("spark", "rare"), topK = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // doc 4 holds both terms; doc 1 beats doc 2 on tf; doc 3's single
+    // rare hit (df=2 vs spark's df=3) beats doc 2's single common hit
+    assert(ranks(4L) === 1, s"both-terms doc must rank first: $ranks")
+    assert(ranks(1L) < ranks(2L), s"higher tf must outrank at equal length: $ranks")
+    assert(ranks(3L) < ranks(2L), s"rarer term must outweigh commoner: $ranks")
+  }
+}

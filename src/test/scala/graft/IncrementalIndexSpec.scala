@@ -165,6 +165,45 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("tombstone delete rewrites the index without the deleted docs; layout intact") {
+    cleanup()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val loc = java.nio.file.Files.createTempDirectory("graft-delete").toString
+    def bandFiles(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(loc, "bands")).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    try {
+      import spark.implicits._
+      Dedup.writeBandIndex(corpus, "xidx", buckets = 4, location = Some(loc))
+      val before = Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before.map(_._2).contains(20L), s"need doc 20 paired before the delete: $before")
+
+      // take down doc 20; 10 and 30 must keep matching
+      Dedup.deleteFromBandIndex(spark, Seq(20L).toDF("doc_id"), "xidx", loc, buckets = 4)
+
+      val after = Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!after.map(_._2).contains(20L), s"deleted doc still matches: $after")
+      assert(after === before.filterNot(_._2 == 20L),
+        s"delete disturbed other docs' pairs: before=$before after=$after")
+      // a delete doubles as compaction: one file per bucket, layout intact
+      assert(bandFiles() <= 4, s"delete should leave at most one file per bucket, got ${bandFiles()}")
+      val plan = Dedup.indexedBandJoin(spark, batch, "xidx")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      val corpusSide = lines.drop(lines.lastIndexWhere(_.contains("+- Sort [bkey")))
+      assert(corpusSide.nonEmpty && !corpusSide.exists(_.contains("Exchange")),
+        s"delete broke the bucket layout:\n$plan")
+      assert(corpusSide.exists(_.contains("Bucketed: true")), s"scan not bucket-aware:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      cleanup()
+    }
+  }
+
   test("external index re-attaches via DDL after catalog loss") {
     cleanup()
     val loc = java.nio.file.Files.createTempDirectory("graft-bandindex").toString

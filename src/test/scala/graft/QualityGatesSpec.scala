@@ -40,7 +40,8 @@ class QualityGatesSpec extends SparkSpec {
   // total, Q11 global value, Q22 global average) — O(n) work, not
   // quadratic plans
   private val bnljAllowed = Set("q51_ann_bruteforce", "q61_heavy_hitters",
-    "q28f_tpch_q11", "q28g_tpch_q22", "q28i_tpch_q15", "q83_tfidf")
+    "q28f_tpch_q11", "q28g_tpch_q22", "q28i_tpch_q15", "q83_tfidf",
+    "q86_bm25", "q87_pagerank")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
