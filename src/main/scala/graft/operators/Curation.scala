@@ -12,6 +12,25 @@ import graft.functions.TextHash
   */
 object Curation {
 
+  // ---- text normalization --------------------------------------------------
+
+  /** Canonical text normalization — the first pass of every curation
+    * pipeline (and the reason two byte-different crawls of one page can
+    * dedup): lowercase, every non-alphanumeric to a space, runs of
+    * spaces collapsed, ends trimmed. Pure narrow regexp work (map-only
+    * at any scale); the patterns are POSIX-portable so the DuckDB
+    * mirror applies the identical transform. */
+  def normalizeText(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("norm",
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
+        " +", " ")))
+
+  /** SQL mirror of [[normalizeText]] (DuckDB needs the explicit global
+    * flag; Spark's regexp_replace is always global). */
+  def normalizeTextSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   // ---- PII redaction -------------------------------------------------------
 
   /** The synthetic corpus carries no PII, so the redaction queries run on

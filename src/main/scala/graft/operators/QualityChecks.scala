@@ -92,24 +92,91 @@ object QualityChecks {
     * filter — two scans, no window. Groups with fewer than 2 rows or
     * zero variance yield no outliers. */
   def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      idCols: Seq[String], threshold: Double): DataFrame = {
+      idCols: Seq[String], threshold: Double): DataFrame =
+    scoreAgainstStats(df, groupStats(df, groupCol, valueCol),
+      groupCol, valueCol, idCols, threshold)
+
+  /** The per-group exact moments (n, Σv, Σv²) [[zScoreOutliers]] scores
+    * against — persist them to score a later batch (or an unbounded
+    * stream: [[graft.streaming.StreamOps.anomalyStream]]) against this
+    * window's baseline. */
+  def groupStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val dv = col(valueCol).cast("decimal(9,2)")
-    val stats = df.groupBy(col(groupCol)).agg(
+    df.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       sum(dv).as("s1"),
       sum(dv * dv).as("s2"))
+  }
+
+  /** Row-wise scoring against precomputed [[groupStats]] — shared
+    * verbatim by the batch and streaming paths, so stream == batch holds
+    * by construction. Narrow work after a broadcast of the (|groups|-row)
+    * stats side; zero state. */
+  def scoreAgainstStats(df: DataFrame, stats: DataFrame, groupCol: String,
+      valueCol: String, idCols: Seq[String], threshold: Double): DataFrame = {
     val nD = col("n").cast("double")
     val s1D = col("s1").cast("double")
     val mean = s1D / nD
     val variance = (col("s2").cast("double") - ((s1D * s1D) / nD)) / (nD - lit(1.0))
-    val enriched = df.join(broadcast(stats), groupCol)
+    df.join(broadcast(stats), groupCol)
       .filter(col("n") > 1)
       .withColumn("grp_mean", mean)
       .withColumn("grp_var", variance)
       .filter(col("grp_var") > 0.0)
       .withColumn("z", (col(valueCol) - col("grp_mean")) / sqrt(col("grp_var")))
       .filter(abs(col("z")) > threshold)
-    enriched.select(
-      (idCols.map(col) :+ col(groupCol) :+ col(valueCol) :+ col("z")): _*)
+      .select((idCols.map(col) :+ col(groupCol) :+ col(valueCol) :+ col("z")): _*)
   }
+
+  /** One referential-integrity audit row: how many child rows have no
+    * matching parent key (the orphan count a star-schema ingest checks
+    * before promoting a snapshot). The anti-join shuffles both sides on
+    * the key — never a broadcast of an unbounded parent — and a NULL
+    * foreign key counts as an orphan on both engines (left_anti here,
+    * NOT EXISTS in the oracle: null never equals, so the row survives).
+    * Union several of these for a full audit — each is one aggregate
+    * row, so the union is driver-cheap. */
+  def referentialOrphans(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String, label: String): DataFrame = {
+    val orphans = child.select(col(fkCol))
+      .join(parent.select(col(pkCol).as(fkCol)), Seq(fkCol), "left_anti")
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+      .select(lit(label).as("fk"), col("n_rows"), col("n_orphans"))
+  }
+
+  /** Deterministic approximate quantiles from a FIXED-BIN histogram —
+    * the scale path when exact `percentile` (full sort) is too costly
+    * and `approx_percentile`'s sketch is engine-private (q29's problem:
+    * unverifiable). Everything is integer arithmetic over cent-scaled
+    * values: bin = cents div binWidthCents, cumulative counts per bin,
+    * quantile p% = the first bin whose cumulative count reaches
+    * ceil(total·p/100) — bit-identical on any engine, error bounded by
+    * the bin width. Shape: one linear groupBy(bin) collapses the table
+    * to ≤ range/width rows; the window and threshold probe run on that
+    * tiny histogram, never on the data. */
+  def histogramQuantiles(df: DataFrame, valueCol: String,
+      binWidthCents: Long, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in 1..100: $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df.select(expr(s"(${centsSql(valueCol)}) div $binWidthCents").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("c")).over(w)).select("bin", "cum")
+    val total = df.agg(count(lit(1)).as("total"))
+    val thr = pcts.toDF("pct").crossJoin(broadcast(total))
+      .withColumn("thr", expr("(total * pct + 99) div 100"))
+    val sel = thr.join(cum, col("cum") >= col("thr"))
+      .groupBy(col("pct"), col("total")).agg(min(col("bin")).as("bin"))
+    sel.join(cum, "bin")
+      .select(col("pct"), col("bin"), (col("bin") * binWidthCents).as("lo_cents"),
+        col("cum"), col("total"))
+  }
+
+  private def centsSql(c: String): String =
+    s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
 }

@@ -28,4 +28,18 @@ object SkewJoin {
         salted(key) === replicated(key) && salted("__salt") === replicated("__salt"))
       .drop(replicated(key)).drop("__salt")
   }
+
+  /** Key-skew diagnostic: the frequency-of-frequencies histogram of a
+    * join/grouping key — for each observed per-key row count, how many
+    * keys carry it and how many rows that tier holds in total. THE
+    * pre-flight read before choosing a strategy for a 100 TB join: a
+    * long flat tail means hash-partitioning is fine; a single key at
+    * frequency 10⁷ is the straggler you salt (or AQE-split) for.
+    * Shape: one groupBy on the key (map-side partial), one tiny groupBy
+    * on the count — two linear passes, output rows = distinct
+    * frequencies (bounded, small). */
+  def keySkewReport(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_keys"))
+      .withColumn("rows_at_freq", col("freq") * col("n_keys"))
 }

@@ -656,6 +656,25 @@ object PipelineQueries {
              |           '${Curation.IpRe}', '<IP>', 'g')) AS redacted_md5
              |FROM pii""".stripMargin)),
 
+    // canonical text normalization over the PII-injected corpus (the only
+    // variant with punctuation to strip): lowercase, non-alphanumerics to
+    // spaces, runs collapsed — md5-gated so a single byte of drift fails
+    QueryDef("q94_normalize",
+      (s, dir) => Curation.normalizeText(
+          Curation.withInjectedPii(Tables.load(s, dir, "documents")), "text")
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).as("n_chars_norm")),
+      Some(s"""WITH pii AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 0
+             |              THEN text || ' contact user' || doc_id || '@example.com or +1-555-'
+             |                   || (doc_id % 10000) || ' at 10.' || (doc_id % 256) || '.0.' || (doc_id % 200)
+             |              ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id, md5(${Curation.normalizeTextSql("text")}) AS norm_md5,
+             |       CAST(length(${Curation.normalizeTextSql("text")}) AS INTEGER) AS n_chars_norm
+             |FROM pii""".stripMargin)),
+
     // deterministic concat-and-chunk packing into 1024-token windows,
     // per-source (a GLOBAL packing order would serialize one partition)
     QueryDef("q57_sequence_pack",

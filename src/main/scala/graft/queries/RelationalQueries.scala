@@ -1010,6 +1010,74 @@ object RelationalQueries {
              | AND a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // ---- key-skew diagnostic: frequency-of-frequencies of a join key —
+    // the pre-flight read before salting/AQE decisions at scale --------
+    QueryDef("q91_skew_report",
+      (s, dir) => graft.operators.SkewJoin.keySkewReport(
+        Tables.load(s, dir, "lineitem"), "l_orderkey"),
+      Some("""WITH f AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS freq
+             |           FROM lineitem GROUP BY 1)
+             |SELECT freq, CAST(count(*) AS BIGINT) AS n_keys,
+             |       freq * CAST(count(*) AS BIGINT) AS rows_at_freq
+             |FROM f GROUP BY 1""".stripMargin)),
+
+    // ---- referential-integrity audit: orphan counts for every foreign
+    // key of the star schema, plus one deliberately pruned parent so the
+    // nonzero-orphan path is exercised every run ------------------------
+    QueryDef("q92_fk_audit",
+      (s, dir) => {
+        import graft.operators.QualityChecks.referentialOrphans
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+        val pairs = Seq(
+          referentialOrphans(li, "l_orderkey", ord, "o_orderkey", "lineitem.l_orderkey->orders"),
+          referentialOrphans(li, "l_partkey", Tables.load(s, dir, "part"), "p_partkey", "lineitem.l_partkey->part"),
+          referentialOrphans(li, "l_suppkey", Tables.load(s, dir, "supplier"), "s_suppkey", "lineitem.l_suppkey->supplier"),
+          referentialOrphans(ord, "o_custkey", Tables.load(s, dir, "customer"), "c_custkey", "orders.o_custkey->customer"),
+          referentialOrphans(Tables.load(s, dir, "customer"), "c_nationkey", Tables.load(s, dir, "nation"), "n_nationkey", "customer.c_nationkey->nation"),
+          referentialOrphans(Tables.load(s, dir, "supplier"), "s_nationkey", Tables.load(s, dir, "nation"), "n_nationkey", "supplier.s_nationkey->nation"),
+          referentialOrphans(li, "l_orderkey",
+            ord.filter(col("o_orderkey") % 97 =!= 0), "o_orderkey",
+            "lineitem.l_orderkey->orders_pruned"))
+        pairs.reduce(_ union _)
+      },
+      Some {
+        def row(label: String, child: String, fk: String, parent: String, pk: String) =
+          s"""SELECT '$label' AS fk,
+             |       CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_rows,
+             |       CAST((SELECT count(*) FROM $child c
+             |             WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS BIGINT) AS n_orphans""".stripMargin
+        Seq(
+          row("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          row("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          row("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          row("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          row("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          row("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+          row("lineitem.l_orderkey->orders_pruned", "lineitem", "l_orderkey",
+            "(SELECT * FROM orders WHERE o_orderkey % 97 != 0)", "o_orderkey"))
+          .mkString("\nUNION ALL\n")
+      }),
+
+    // ---- deterministic histogram quantiles: fixed cent-scaled bins +
+    // integer cumulative thresholds — the verifiable stand-in for
+    // approx_percentile's engine-private sketch -------------------------
+    QueryDef("q93_hist_quantiles",
+      (s, dir) => graft.operators.QualityChecks.histogramQuantiles(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice",
+        binWidthCents = 100000L, pcts = Seq(25, 50, 75, 95)),
+      Some("""WITH b AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bin,
+             |                  count(*) AS c
+             |           FROM lineitem GROUP BY 1),
+             |cum AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem),
+             |q AS (SELECT CAST(unnest([25, 50, 75, 95]) AS INTEGER) AS pct),
+             |thr AS (SELECT pct, (total * pct + 99) // 100 AS thr, total FROM q CROSS JOIN t),
+             |sel AS (SELECT pct, total, min(bin) AS bin
+             |        FROM thr JOIN cum ON cum.cum >= thr.thr GROUP BY 1, 2)
+             |SELECT sel.pct, sel.bin, sel.bin * 100000 AS lo_cents, cum.cum, sel.total
+             |FROM sel JOIN cum ON cum.bin = sel.bin""".stripMargin)),
+
     // ---- approx distinct (HLL sketch; rows-only check — approx values
     // are engine-specific by construction, so no DuckDB oracle) ----------
     QueryDef("q29_approx_distinct",

@@ -70,6 +70,22 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming z-score anomaly gate: an unbounded event stream scored
+    * against STATIC per-group stats (the previous window's, or a
+    * trained baseline — recomputing moments on the stream itself would
+    * need its own aggregation state and would drift run-to-run). The
+    * stats side broadcasts (|groups| rows), the scoring is narrow
+    * row-wise work, so there is ZERO streaming state — each micro-batch
+    * is a map. The formula is byte-for-byte
+    * [[graft.operators.QualityChecks.zScoreOutliers]]'s final step, so
+    * stream == batch exactly (StreamingSpec pins it). `stats` must
+    * carry (groupCol, n, s1, s2) as produced by that operator's
+    * aggregate. */
+  def anomalyStream(events: DataFrame, stats: DataFrame, groupCol: String,
+      valueCol: String, idCols: Seq[String], threshold: Double): DataFrame =
+    graft.operators.QualityChecks.scoreAgainstStats(
+      events, stats, groupCol, valueCol, idCols, threshold)
+
   // ---- stream-static continuous-ingest dedup ------------------------------
 
   /** Streaming face of `Cli ingest-dedup`: an unbounded STREAM of arriving

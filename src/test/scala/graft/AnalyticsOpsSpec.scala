@@ -115,6 +115,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Set(99L), s"only the spike is 3 sigma out: $out")
   }
 
+  test("keySkewReport: frequency-of-frequencies with row mass per tier") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val rows = graft.operators.SkewJoin.keySkewReport(df, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 1L, 1L)))
+  }
+
+  test("referentialOrphans: missing parents and NULL fks both count") {
+    val child = Seq(Some(1L), Some(2L), Some(7L), Some(8L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = QualityChecks.referentialOrphans(child, "fk", parent, "pk", "t")
+      .collect().head
+    assert(r.getString(0) === "t" && r.getLong(1) === 5L && r.getLong(2) === 3L)
+  }
+
+  test("histogramQuantiles: closed-form bins on 1..100") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = QualityChecks.histogramQuantiles(df, "v", binWidthCents = 1000L,
+        pcts = Seq(50, 95))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // values v have cents v*100, bin = v div 10: bin 0 holds 1..9 (9 rows),
+    // bin k holds 10k..10k+9. p50 threshold 50 → first cum ≥ 50 is bin 5
+    // (cum 59); p95 threshold 95 → bin 9 (cum 99)
+    assert(out(50) === ((5L, 5000L, 59L)), s"$out")
+    assert(out(95) === ((9L, 9000L, 99L)), s"$out")
+  }
+
+  test("normalizeText lowercases, strips punctuation, collapses spaces") {
+    val df = Seq((1L, "Hello, World!!  It's 2024: 10.0.0.1")).toDF("doc_id", "text")
+    val got = graft.operators.Curation.normalizeText(df, "text")
+      .select("norm").collect().head.getString(0)
+    assert(got === "hello world it s 2024 10 0 0 1")
+  }
+
   test("bm25: term frequency wins at equal length; rare terms outweigh common ones") {
     val filler = (1 to 20).map(i => s"pad$i").mkString(" ")
     val docs = Seq(

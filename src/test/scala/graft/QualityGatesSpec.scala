@@ -41,7 +41,10 @@ class QualityGatesSpec extends SparkSpec {
   // quadratic plans
   private val bnljAllowed = Set("q51_ann_bruteforce", "q61_heavy_hitters",
     "q28f_tpch_q11", "q28g_tpch_q22", "q28i_tpch_q15", "q83_tfidf",
-    "q86_bm25", "q87_pagerank")
+    "q86_bm25", "q87_pagerank",
+    // one-row scalar attaches (audit counters, histogram total) and the
+    // 4-row threshold probe of the COLLAPSED histogram — never the data
+    "q92_fk_audit", "q93_hist_quantiles")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

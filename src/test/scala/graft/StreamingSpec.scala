@@ -76,6 +76,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming anomaly gate == batch zScoreOutliers (static stats, zero state)") {
+    import spark.implicits._
+    import graft.operators.QualityChecks
+    // baseline batch: tight cluster + one spike per type
+    val base = (1 to 40).map(i =>
+      (i.toLong, "click", 10.0 + (if (i % 2 == 0) 0.25 else -0.25))) ++
+      Seq((98L, "click", 42.0)) ++
+      (50 to 80).map(i => (i.toLong, "view", 5.0)) // zero variance: never flags
+    val batchDf = base.toDF("event_id", "event_type", "value")
+    val stats = QualityChecks.groupStats(batchDf, "event_type", "value")
+      .localCheckpoint() // static side: materialized, like a persisted baseline
+    val expected = QualityChecks
+      .scoreAgainstStats(batchDf, stats, "event_type", "value", Seq("event_id"), 3.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(expected.map(_._1) === Set(98L), s"sanity: only the spike flags: $expected")
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Double)]
+    val streamDf = stream.toDF().toDF("event_id", "event_type", "value")
+    val query = StreamOps.anomalyStream(streamDf, stats, "event_type", "value",
+        Seq("event_id"), 3.0)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(base)
+      query.processAllAvailable()
+      val got = spark.table("anomalies").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(got === expected, "stream must equal batch bit-for-bit (shared scoring)")
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
