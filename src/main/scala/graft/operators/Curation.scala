@@ -31,6 +31,29 @@ object Curation {
   def normalizeTextSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  // ---- document chunking ---------------------------------------------------
+
+  /** Overlapping sliding-window chunking — the context-window splitter
+    * every RAG index and long-document training pipeline runs: chunk k
+    * covers tokens [k·stride, k·stride + chunkSize), one chunk per
+    * stride step until the text is consumed (tail chunks run short,
+    * they are not dropped). Pure per-row array work after the split —
+    * map-only at any scale, output rows ≈ n_tokens/stride per doc.
+    * Output: (doc_id, chunk_idx, chunk_tokens, chunk_md5) — the md5
+    * gates the exact chunk CONTENT cross-engine without dumping it. */
+  def chunkDocs(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val chunk = slice(col("tk"), col("chunk_idx") * stride + 1, lit(chunkSize))
+    docs.select(col("doc_id"), TextHash.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), expr(s"(size(tk) - 1) div $stride"))))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(chunk).as("chunk_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   /** The synthetic corpus carries no PII, so the redaction queries run on

@@ -261,18 +261,23 @@ object Similarity {
     * Noise is exact integer arithmetic (`(vec_id·31 + 7d + 1) mod 97`,
     * scaled to [−0.0125, 0.0112]) so the DuckDB oracle reproduces the copies
     * bit-for-bit. */
-  def withNearDupEmbeddings(embeddings: DataFrame): DataFrame = {
-    val base = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+  def withNearDupEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .unionAll(nearDupBatch(embeddings))
+
+  /** Just the perturbed copies of [[withNearDupEmbeddings]] — the
+    * "arriving batch" for the incremental embedding-dedup path. */
+  def nearDupBatch(embeddings: DataFrame): DataFrame = {
     val noise = (d: Column) =>
       ((col("vec_id") * 31 + d * 7 + 1) % 97).cast("double") / 3880.0 - 0.0125
     // perturb FIRST, rename in a separate select: Spark 4's lateral column
     // alias resolution would otherwise bind `vec_id` inside the lambda to
     // the `vec_id + 1000000` alias of the same select
-    base.unionAll(embeddings.filter(col("vec_id") % 10 === 0)
+    embeddings.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           (x, d) => (x.cast("double") + noise(d)).cast("float")).as("embedding"))
-      .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding"))
   }
 
   /** Deterministic Rademacher (±1) hyperplane component for sign-sketch
@@ -323,9 +328,10 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
-  def hyperplaneLshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
-      numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
-    val e = withNorm(embeddings)
+  /** Sign-sketch band rows (vec_id, embedding, norm, b, v) — shared by
+    * the in-memory pair generator and the persisted index below. */
+  private def signBandRows(e: DataFrame, numBands: Int, bitsPerBand: Int,
+      dim: Int): DataFrame = {
     val bandCols: Seq[Column] = (0 until numBands).map { b =>
       val bits = (0 until bitsPerBand).map { j =>
         val p = b * bitsPerBand + j
@@ -334,10 +340,15 @@ object Similarity {
       }
       struct(lit(b).as("b"), bits.reduce(_ + _).as("v"))
     }
-    val bandRows = e.select(col("vec_id"), col("embedding"), col("norm"),
+    e.select(col("vec_id"), col("embedding"), col("norm"),
         explode(array(bandCols: _*)).as("bd"))
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("bd.b").as("b"), col("bd.v").as("v"))
+  }
+
+  def hyperplaneLshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+      numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val bandRows = signBandRows(withNorm(embeddings), numBands, bitsPerBand, dim)
     // verify BEFORE dedup: a pair matching in ≤ numBands bands recomputes
     // its (cheap, codegen'd) cosine per match, but the dedup groupBy then
     // shuffles only the few SURVIVING pairs keyed by two longs — not
@@ -351,5 +362,110 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("cos")).as("cos"))
+  }
+
+  // ---- persisted embedding band index (incremental SemDeDup) --------------
+
+  /** Injective packing of a sign band into one long — `v` holds
+    * `bitsPerBand` sign bits, `b` the band id, so `v·64 + b` is the
+    * bucket AND equi-join key (same trick as the text index's bkey;
+    * requires numBands ≤ 64 and bitsPerBand ≤ 57). */
+  private def withEmbKey(bands: DataFrame): DataFrame =
+    bands.withColumn("bkey", col("v") * 64 + col("b"))
+
+  private def requireEmbIndexArgs(numBands: Int, bitsPerBand: Int): Unit = {
+    require(numBands <= 64, s"bkey packs the band id into 6 bits: numBands <= 64, got $numBands")
+    require(bitsPerBand <= 57, s"v·64 must fit a long: bitsPerBand <= 57, got $bitsPerBand")
+  }
+
+  /** Persist the corpus half of incremental embedding dedup — the
+    * embedding analog of [[Dedup.writeBandIndex]]:
+    *
+    *   `<name>_embbands` (vec_id, b, v, bkey) bucketed AND sorted by
+    *     bkey: an arriving batch's candidate join sort-merges the bucket
+    *     files in place — zero corpus-side Exchange;
+    *   `<name>_embvecs` (vec_id, embedding, norm) bucketed by vec_id:
+    *     the exact-cosine verify fetches corpus vectors without
+    *     re-reading (or re-shuffling) the embedding table.
+    *
+    * One corpus pass at build time; every later batch pays
+    * O(|batch| + collisions) however large the corpus grows. */
+  def writeEmbIndex(corpus: DataFrame, name: String, buckets: Int = 8,
+      numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64,
+      location: Option[String] = None): Unit = {
+    requireEmbIndexArgs(numBands, bitsPerBand)
+    val e = withNorm(corpus)
+    Bucketing.writeBucketed(
+      withEmbKey(signBandRows(e, numBands, bitsPerBand, dim))
+        .select(col("vec_id"), col("b"), col("v"), col("bkey")),
+      s"${name}_embbands", "bkey", buckets, sortKey = Some("bkey"),
+      path = location.map(l => s"$l/embbands"))
+    Bucketing.writeBucketed(
+      e.select(col("vec_id"), col("embedding"), col("norm")),
+      s"${name}_embvecs", "vec_id", buckets, sortKey = Some("vec_id"),
+      path = location.map(l => s"$l/embvecs"))
+  }
+
+  /** Re-attach an external embedding index after catalog loss (DDL over
+    * the existing bucket files, like [[Dedup.registerBandIndex]]). */
+  def registerEmbIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, location: String, buckets: Int = 8): Unit = {
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_embbands
+      |(vec_id BIGINT, b INT, v BIGINT, bkey BIGINT)
+      |USING parquet CLUSTERED BY (bkey) SORTED BY (bkey) INTO $buckets BUCKETS
+      |LOCATION '$location/embbands'""".stripMargin)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_embvecs
+      |(vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE)
+      |USING parquet CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $buckets BUCKETS
+      |LOCATION '$location/embvecs'""".stripMargin)
+  }
+
+  /** Fold an accepted batch INTO the persisted embedding index
+    * (`insertInto` resolves the catalog bucket spec, so appended files
+    * land in the same layout — probes keep merging in place). */
+  def appendToEmbIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, name: String, numBands: Int = 8,
+      bitsPerBand: Int = 8, dim: Int = 64): Unit = {
+    requireEmbIndexArgs(numBands, bitsPerBand)
+    val e = withNorm(batch)
+    withEmbKey(signBandRows(e, numBands, bitsPerBand, dim))
+      .select("vec_id", "b", "v", "bkey")
+      .write.insertInto(s"${name}_embbands")
+    e.select("vec_id", "embedding", "norm").write.insertInto(s"${name}_embvecs")
+  }
+
+  /** The batch-side candidate join in isolation (plan-gated like the
+    * text index: exactly one Exchange — the batch side). */
+  private[graft] def embIndexJoin(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, name: String, numBands: Int = 8,
+      bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    requireEmbIndexArgs(numBands, bitsPerBand)
+    val nb = withEmbKey(signBandRows(withNorm(newVecs), numBands, bitsPerBand, dim))
+    val cb = Bucketing.readBucketed(spark, s"${name}_embbands")
+    nb.as("a").join(cb.as("b"), col("a.bkey") === col("b.bkey"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("old_id"))
+  }
+
+  /** Incremental embedding near-dups against a persisted
+    * [[writeEmbIndex]]: candidates from the in-place bucket join,
+    * verified with one exact cosine against the bucketed vector table —
+    * the corpus is never re-hashed or re-shuffled. SemDeDup's arrival
+    * path: dedup each batch against everything accepted so far, then
+    * [[appendToEmbIndex]] the survivors. Output (new_id, old_id, cos).  */
+  def incrementalEmbNearDupsIndexed(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, name: String, threshold: Double = 0.9,
+      numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val cand = embIndexJoin(spark, newVecs, name, numBands, bitsPerBand, dim)
+      .distinct()
+    val newSide = withNorm(newVecs)
+      .select(col("vec_id").as("new_id"), col("embedding").as("e_n"),
+        col("norm").as("n_n"))
+    val oldSide = Bucketing.readBucketed(spark, s"${name}_embvecs")
+      .select(col("vec_id").as("old_id"), col("embedding").as("e_o"),
+        col("norm").as("n_o"))
+    cand.join(newSide, "new_id").join(oldSide, "old_id")
+      .select(col("new_id"), col("old_id"),
+        (fdot(col("e_n"), col("e_o")) / (col("n_n") * col("n_o"))).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }

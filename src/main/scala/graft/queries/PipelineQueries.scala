@@ -675,6 +675,22 @@ object PipelineQueries {
              |       CAST(length(${Curation.normalizeTextSql("text")}) AS INTEGER) AS n_chars_norm
              |FROM pii""".stripMargin)),
 
+    // overlapping sliding-window chunking (the RAG / long-doc splitter):
+    // chunk k = tokens [k*8, k*8+16); md5 gates exact chunk content
+    QueryDef("q96_chunk",
+      (s, dir) => Curation.chunkDocs(
+        Tables.load(s, dir, "documents"), chunkSize = 16, stride = 8),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |k AS (SELECT doc_id, tk,
+             |             unnest(generate_series(0, (len(tk) - 1) // 8)) AS ci
+             |      FROM t WHERE len(tk) > 0),
+             |c AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+             |             tk[(ci*8 + 1):(ci*8 + 16)] AS ch
+             |      FROM k)
+             |SELECT doc_id, chunk_idx, CAST(len(ch) AS INTEGER) AS chunk_tokens,
+             |       md5(array_to_string(ch, ' ')) AS chunk_md5
+             |FROM c""".stripMargin)),
+
     // deterministic concat-and-chunk packing into 1024-token windows,
     // per-source (a GLOBAL packing order would serialize one partition)
     QueryDef("q57_sequence_pack",
@@ -847,6 +863,35 @@ object PipelineQueries {
              |             HAVING least(src, min(dst)) < src)
              |SELECT a.vec_id, a.label FROM aug a
              |WHERE a.vec_id NOT IN (SELECT vec_id FROM noncanon)""".stripMargin)),
+
+    // Incremental embedding dedup through the PERSISTED sign-sketch index
+    // (the SemDeDup arrival path): corpus bands + vectors are bucketed
+    // catalog tables, the batch joins them in place. Timed cost includes
+    // the one-off index build (same honest shape as q49b); the oracle is
+    // the exact batch x corpus cosine recompute — LSH recall is 1.0 on
+    // this corpus (SimilaritySpec), so the indexed sketch must reproduce
+    // the exact pair set.
+    QueryDef("q95_incremental_embdup",
+      (s, dir) => {
+        val corpus = Tables.load(s, dir, "embeddings")
+        Similarity.writeEmbIndex(corpus, "q95_idx",
+          location = Some(s"${System.getProperty("java.io.tmpdir")}/graft_q95_idx"))
+        Similarity.incrementalEmbNearDupsIndexed(
+          s, Similarity.nearDupBatch(corpus), "q95_idx", 0.9)
+      },
+      Some(s"""WITH batch AS (
+             |  SELECT orig_id + 1000000 AS vec_id,
+             |         list_transform(generate_series(1, len(emb0)),
+             |           j -> CAST(CAST(emb0[j] AS DOUBLE)
+             |                     + (CAST((orig_id*31 + (j-1)*7 + 1) % 97 AS DOUBLE)/3880.0 - 0.0125) AS FLOAT)) AS embedding
+             |  FROM (SELECT vec_id AS orig_id, embedding AS emb0
+             |        FROM embeddings WHERE vec_id % 10 = 0)),
+             |nb AS (SELECT vec_id, embedding, ${Similarity.fnormSql("embedding")} AS norm FROM batch),
+             |no AS (SELECT vec_id, embedding, ${Similarity.fnormSql("embedding")} AS norm FROM embeddings)
+             |SELECT b.vec_id AS new_id, o.vec_id AS old_id,
+             |       ${Similarity.fdotSql("b.embedding", "o.embedding")} / (b.norm * o.norm) AS cos
+             |FROM nb b, no o
+             |WHERE ${Similarity.fdotSql("b.embedding", "o.embedding")} / (b.norm * o.norm) >= 0.9""".stripMargin)),
 
     // Int8 shortlist + exact rerank cascade (Similarity scaladoc): the
     // oracle replays quantize → dequantized scoring → shortlist window →

@@ -142,6 +142,15 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(95) === ((9L, 9000L, 99L)), s"$out")
   }
 
+  test("chunkDocs: stride windows with short tails, content hashed") {
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val rows = graft.operators.Curation.chunkDocs(
+        Seq((7L, text)).toDF("doc_id", "text"), chunkSize = 16, stride = 8)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    // 20 tokens, stride 8: starts 0/8/16 → lengths 16, 12, 4
+    assert(rows === Map(0 -> 16, 1 -> 12, 2 -> 4))
+  }
+
   test("normalizeText lowercases, strips punctuation, collapses spaces") {
     val df = Seq((1L, "Hello, World!!  It's 2024: 10.0.0.1")).toDF("doc_id", "text")
     val got = graft.operators.Curation.normalizeText(df, "text")

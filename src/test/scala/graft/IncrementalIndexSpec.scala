@@ -204,6 +204,58 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("embedding index: probe matches exact recompute, zero corpus-side Exchange, append folds in") {
+    import graft.operators.Similarity
+    Seq("eidx_embbands", "eidx_embvecs").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      import spark.implicits._
+      def vec(d: Int, scale: Float) =
+        (0 until 4).map(i => if (i == d) scale else 0f).toArray
+      // near-orthogonal corpus (basis directions); batch: two scaled
+      // copies (cos = 1) and one negated vector (cos = -1, must verify out)
+      val corpus = Seq(
+        (1L, vec(0, 1f)), (2L, vec(1, 1f)), (3L, vec(2, 1f)), (4L, vec(3, 1f))
+      ).toDF("vec_id", "embedding")
+      val batch = Seq(
+        (101L, vec(0, 0.9f)), (102L, vec(1, 1.1f)), (103L, vec(0, -1f))
+      ).toDF("vec_id", "embedding")
+
+      Similarity.writeEmbIndex(corpus, "eidx", buckets = 4,
+        numBands = 4, bitsPerBand = 4, dim = 4)
+      val pairs = Similarity.incrementalEmbNearDupsIndexed(spark, batch, "eidx",
+          0.9, numBands = 4, bitsPerBand = 4, dim = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((101L, 1L), (102L, 2L)),
+        s"scaled copies pair with their originals, nothing else: $pairs")
+
+      // candidate join plan: corpus side merges the bucket files in place
+      val plan = Similarity.embIndexJoin(spark, batch, "eidx",
+        numBands = 4, bitsPerBand = 4, dim = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin [bkey"), s"expected sort-merge on bkey:\n$plan")
+      val lines = plan.linesIterator.toVector
+      val corpusSide = lines.drop(lines.lastIndexWhere(_.contains("+- Sort [bkey")))
+      assert(corpusSide.nonEmpty && !corpusSide.exists(_.contains("Exchange")),
+        s"corpus side re-shuffled:\n$plan")
+      assert(corpusSide.exists(_.contains("Bucketed: true")), s"scan not bucket-aware:\n$plan")
+
+      // fold the accepted batch in; a copy of an APPENDED vector must now
+      // match both its original ancestor and the appended sibling
+      Similarity.appendToEmbIndex(spark, batch.filter(col("vec_id") =!= 103L), "eidx",
+        numBands = 4, bitsPerBand = 4, dim = 4)
+      val batch2 = Seq((201L, vec(0, 2f))).toDF("vec_id", "embedding")
+      val pairs2 = Similarity.incrementalEmbNearDupsIndexed(spark, batch2, "eidx",
+          0.9, numBands = 4, bitsPerBand = 4, dim = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs2 === Set((201L, 1L), (201L, 101L)),
+        s"probe must see the original corpus AND the appended batch: $pairs2")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("eidx_embbands", "eidx_embvecs").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("external index re-attaches via DDL after catalog loss") {
     cleanup()
     val loc = java.nio.file.Files.createTempDirectory("graft-bandindex").toString
