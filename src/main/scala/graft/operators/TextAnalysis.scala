@@ -230,6 +230,59 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w))
   }
 
+  /** Inverted index build: term → (document frequency, content hash of
+    * the doc_id-sorted posting list) — the search-index construction
+    * pass, emitted as a verifiable digest rather than the raw lists.
+    * One distinct + one groupBy, both shuffling on the term (vocabulary
+    * cardinality); posting lists sort per-term AFTER the shuffle, so no
+    * global sort. A term whose posting list outgrows executor memory is
+    * the classic stopword — production shards those by (term, bucket);
+    * the digest form keeps this operator's output bounded either way. */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextHash.tokens(col("text"))).as("term"))
+      .distinct()
+    toks.groupBy(col("term")).agg(
+      count(lit(1)).as("df"),
+      md5(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))))
+        .as("postings_md5"))
+  }
+
+  /** Token co-occurrence counts with a rational association score — the
+    * word2vec/GloVe-style counting pass. A forward window of `maxDist`
+    * positions is materialized per row with array slices (zip token i
+    * with tokens i+1..i+maxDist) — map-only, NO positional self-join
+    * (which would be O(len²) per doc before filtering). Association =
+    * (c_ab · T) / (c_a · c_b), the PMI argument without the monotone
+    * log (libm-free, cross-engine exact). Unigram joins shuffle on the
+    * term; the one-row total rides the |vocab|-bounded pair table. */
+  def cooccurrence(docs: DataFrame, maxDist: Int = 2, minCount: Long = 1L): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8, s"maxDist in 1..8, got $maxDist")
+    val tk = graft.functions.TextHash.tokens(col("text"))
+    val pairSlices = (1 to maxDist).map { d =>
+      val len = greatest(lit(0), size(col("tk")) - d)
+      zip_with(slice(col("tk"), lit(1), len), slice(col("tk"), lit(d + 1), len),
+        (x, y) => struct(x.as("a"), y.as("b")))
+    }
+    val pairs = docs.select(tk.as("tk"))
+      .filter(size(col("tk")) > 1)
+      .select(explode(flatten(array(pairSlices: _*))).as("p"))
+      .select(col("p.a"), col("p.b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val toks = docs.select(explode(tk).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("t_total"))
+    cab
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"),
+        ((col("c_ab").cast("double") * col("t_total").cast("double"))
+          / (col("c_a").cast("double") * col("c_b").cast("double"))).as("assoc"))
+  }
+
   /** Per-GROUP heavy hitters: [[heavyHitters]] with the Misra–Gries
     * sketch keyed by a group column — one sketch of bounded size per
     * group, map-side partials merged per group, so the shuffle carries

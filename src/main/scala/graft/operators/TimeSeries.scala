@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series repair over an event log: regularize an irregular
+  * per-entity series onto a fixed grid and forward-fill the holes —
+  * the resample + LOCF (last observation carried forward) pass every
+  * metrics store and feature pipeline runs before windowed math.
+  */
+object TimeSeries {
+
+  /** Hourly grid per entity from its first to its last observation,
+    * missing hours carried forward (LOCF). Per (entity, hour) the
+    * OBSERVED value is the latest event's (ties broken by `tieCol` —
+    * deterministic cross-engine). Shape: one groupBy collapses the log
+    * to observed (entity, hour) rows, the grid explodes a per-entity
+    * `sequence` (rows = span hours, never a cross join with a global
+    * calendar), and the fill is one per-entity window pass ordered by
+    * hour. Every shuffle keys on the entity id. A pathological span
+    * (one entity alive for years) bounds its own row count, not the
+    * job's.
+    *
+    * `tsUsCol` is epoch micros. Output: (keyCol, hour, value,
+    * is_observed) where hour = epoch hours and value is LOCF-filled
+    * (null before an entity's first observation never occurs — the grid
+    * starts at it). */
+  def gapFillHourlyLocf(events: DataFrame, keyCol: String, tsUsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val hourUs = 3600000000L
+    val byHour = events.select(col(keyCol),
+      expr(s"CAST($tsUsCol AS BIGINT) div $hourUs").as("hour"),
+      col(tsUsCol).as("__ts"), col(tieCol).as("__tie"), col(valueCol).as("__v"))
+    val pick = Window.partitionBy(col(keyCol), col("hour"))
+      .orderBy(col("__ts").desc, col("__tie").desc)
+    val observed = byHour
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("hour"), col("__v").as("obs_value"))
+    val grid = observed.groupBy(col(keyCol))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col(keyCol), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val fill = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq(keyCol, "hour"), "left")
+      .withColumn("value", last(col("obs_value"), ignoreNulls = true).over(fill))
+      .withColumn("is_observed", col("obs_value").isNotNull)
+      .select(col(keyCol), col("hour"), col("value"), col("is_observed"))
+  }
+}

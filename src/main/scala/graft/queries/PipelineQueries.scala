@@ -1428,6 +1428,71 @@ object PipelineQueries {
              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q97_hopping",
+      (s, dir) => StreamOps.hoppingCounts(Tables.events(s, dir)),
+      Some("""WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+             |           FROM events),
+             |w AS (SELECT event_type, value, ((us // 1800000000) - j) * 1800 AS wstart
+             |      FROM e, (SELECT unnest([0, 1]) AS j) jj)
+             |SELECT wstart, event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM w GROUP BY 1, 2""".stripMargin)),
+
+    // inverted-index build: term -> df + md5 of the doc_id-sorted posting
+    // list (digest keeps the dump bounded; the hash gates list CONTENT)
+    QueryDef("q98_inverted_index",
+      (s, dir) => TextAnalysis.invertedIndex(Tables.load(s, dir, "documents")),
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, term FROM
+             |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents))
+             |SELECT term, CAST(count(*) AS BIGINT) AS df,
+             |       md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
+             |FROM tok GROUP BY 1""".stripMargin)),
+
+    // forward-window co-occurrence counts + rational PMI argument (no
+    // libm log) — the word2vec/GloVe counting pass, pairs built with
+    // per-row array slices, never a positional self-join
+    QueryDef("q99_cooccurrence",
+      (s, dir) => TextAnalysis.cooccurrence(Tables.load(s, dir, "documents"), 2),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+             |pr AS (SELECT tk, d, unnest(generate_series(1, greatest(len(tk) - d, 0))) AS i
+             |       FROM t, (SELECT unnest([1, 2]) AS d) dd WHERE len(tk) > 1),
+             |pairs AS (SELECT tk[i] AS a, tk[i + d] AS b FROM pr),
+             |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY 1, 2),
+             |alltok AS (SELECT unnest(string_split(text, ' ')) AS tkn FROM documents),
+             |uni AS (SELECT tkn, CAST(count(*) AS BIGINT) AS c FROM alltok GROUP BY 1),
+             |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM alltok)
+             |SELECT c.a, c.b, c.c_ab,
+             |       (CAST(c.c_ab AS DOUBLE) * CAST(tt.t_total AS DOUBLE))
+             |         / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS assoc
+             |FROM cab c JOIN uni ua ON ua.tkn = c.a
+             |           JOIN uni ub ON ub.tkn = c.b CROSS JOIN tt""".stripMargin)),
+
+    // hourly resample + LOCF forward fill per entity (the metrics-store
+    // regularization pass); grid = per-entity sequence, fill = one
+    // per-entity window — every shuffle keys on the entity id
+    QueryDef("q100_gapfill",
+      (s, dir) => graft.operators.TimeSeries.gapFillHourlyLocf(
+        Tables.events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("event_id")),
+        "user_id", "ts_us", "value", "event_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
+             |           FROM events),
+             |h AS (SELECT user_id, us // 3600000000 AS hour, value,
+             |             row_number() OVER (PARTITION BY user_id, us // 3600000000
+             |                                ORDER BY us DESC, event_id DESC) AS rn
+             |      FROM e),
+             |obs AS (SELECT user_id, hour, value AS obs_value FROM h WHERE rn = 1),
+             |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM obs GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM span),
+             |j AS (SELECT g.user_id, g.hour, o.obs_value
+             |      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour)
+             |SELECT user_id, hour,
+             |       last_value(obs_value IGNORE NULLS) OVER (
+             |         PARTITION BY user_id ORDER BY hour
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             |       obs_value IS NOT NULL AS is_observed
+             |FROM j""".stripMargin)),
+
     QueryDef("q71_sessionize",
       (s, dir) => StreamOps.sessionizeBatch(Tables.events(s, dir)),
       Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -43,6 +43,21 @@ object StreamOps {
   def hourlyCountsStream(events: DataFrame): DataFrame =
     hourlyCounts(events.withWatermark("ts", "2 hours"))
 
+  /** HOPPING (sliding) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly size/hop windows (2 here), the standard
+    * smoothing dashboards want that tumbling windows can't give. Same
+    * decimal-exact aggregates as [[hourlyCounts]]; state grows by the
+    * overlap factor, which the watermark still bounds. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(unix_timestamp(col("w.start")).as("wstart"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  def hoppingCountsStream(events: DataFrame): DataFrame =
+    hoppingCounts(events.withWatermark("ts", "2 hours"))
+
   /** Streaming exact dedup: first occurrence per key wins; state for a key
     * is dropped once the watermark passes it (bounded memory — the
     * streaming face of the batch `Dedup.exactDuplicateGroups`). */

@@ -151,6 +151,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows === Map(0 -> 16, 1 -> 12, 2 -> 4))
   }
 
+  test("gapFillHourlyLocf: grid spans first..last hour, holes carry forward") {
+    val hr = 3600000000L
+    val ev = Seq(
+      (1L, 0L * hr + 5L, 10.0, 100L), (1L, 0L * hr + 9L, 11.0, 101L), // hour 0: latest wins
+      (1L, 3L * hr + 1L, 40.0, 102L),                                 // hours 1,2 are holes
+      (2L, 2L * hr, 7.0, 200L)                                        // single-hour entity
+    ).toDF("user_id", "ts_us", "value", "event_id")
+    val rows = graft.operators.TimeSeries
+      .gapFillHourlyLocf(ev, "user_id", "ts_us", "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(rows === Map(
+      (1L, 0L) -> ((11.0, true)), (1L, 1L) -> ((11.0, false)),
+      (1L, 2L) -> ((11.0, false)), (1L, 3L) -> ((40.0, true)),
+      (2L, 2L) -> ((7.0, true))))
+  }
+
+  test("cooccurrence: forward-window pairs with rational association") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.cooccurrence(docs, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // doc1 pairs d1: (a,b),(b,a),(a,b); d2: (a,a),(b,b); doc2 d1: (a,c)
+    assert(rows.keySet === Set(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"), ("a", "c")))
+    assert(rows(("a", "b"))._1 === 2L)
+    // assoc(a,b) = (2 * 6) / (3 * 2) = 2.0 (T=6 tokens, c_a=3, c_b=2)
+    assert(rows(("a", "b"))._2 === 2.0)
+  }
+
   test("normalizeText lowercases, strips punctuation, collapses spaces") {
     val df = Seq((1L, "Hello, World!!  It's 2024: 10.0.0.1")).toDF("doc_id", "text")
     val got = graft.operators.Curation.normalizeText(df, "text")

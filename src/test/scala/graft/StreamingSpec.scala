@@ -76,6 +76,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hopping windows: streaming equals batch (each event in 2 windows)") {
+    import spark.implicits._
+    val batchDf = events
+      .map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expectedRows = StreamOps.hoppingCounts(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(expectedRows.map(_._3).sum === 2L * events.size, "every event lands in 2 windows")
+    val expected = expectedRows.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = StreamOps.hoppingCountsStream(streamDf)
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(events.map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) })
+      query.processAllAvailable()
+      val got = spark.table("hopping").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("streaming anomaly gate == batch zScoreOutliers (static stats, zero state)") {
     import spark.implicits._
     import graft.operators.QualityChecks
