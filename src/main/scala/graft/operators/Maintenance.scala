@@ -83,4 +83,42 @@ object Maintenance {
       maxCols.map(c => max(col(c)).as(c))
     partials.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Point-in-time (AS OF) join against an [[scd2]] dimension: each fact
+    * row picks the dimension version whose validity interval contains
+    * its timestamp (`valid_from ≤ ts < valid_to`, open current version).
+    * The dimension KEY is an equi-join key — this is a plain keyed
+    * shuffle join with the interval test as a residual, NOT the
+    * no-equi-key range join ([[RangeJoin]] handles that case) — so it
+    * partitions on the key at any scale; a fact matches at most one
+    * version (SCD2 intervals are disjoint per key; zero-width intervals
+    * from same-timestamp versions match nothing, on both engines). */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+      tsUsCol: String): DataFrame =
+    facts.join(dim, Seq(keyCol))
+      .filter(col("valid_from_us") <= col(tsUsCol) &&
+        (col("valid_to_us").isNull || col(tsUsCol) < col("valid_to_us")))
+
+  /** Snapshot reconciliation: classify every key of two table versions
+    * as added / removed / changed / unchanged by comparing a content
+    * hash of the compared columns — the CDC-validation diff a pipeline
+    * runs after a backfill or an engine migration. One full-outer
+    * equi-join on the key; hashes computed map-side, so the shuffle
+    * carries (key, hash), never the row bodies. Callers pre-cast
+    * floating columns to DECIMAL strings if the diff must be
+    * render-stable across engines. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(
+      keys.map(col) :+ md5(concat_ws("|",
+        compareCols.map(c => col(c).cast("string")): _*)).as(h): _*)
+    hashed(oldDf, "__h_old")
+      .join(hashed(newDf, "__h_new"), keys, "full_outer")
+      .withColumn("diff_class",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged"))
+      .select(keys.map(col) :+ col("diff_class"): _*)
+  }
 }

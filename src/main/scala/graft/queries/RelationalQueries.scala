@@ -1078,6 +1078,134 @@ object RelationalQueries {
              |SELECT sel.pct, sel.bin, sel.bin * 100000 AS lo_cents, cum.cum, sel.total
              |FROM sel JOIN cum ON cum.bin = sel.bin""".stripMargin)),
 
+    // ---- point-in-time join: each fact picks the SCD2 dimension version
+    // valid at its timestamp — keyed equi-join + residual interval test,
+    // NOT the no-equi-key range join ------------------------------------
+    QueryDef("q101_pit_join",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val shipUs = unix_micros(col("l_shipdate").cast("timestamp"))
+        val dim = graft.operators.Maintenance.scd2(
+            li.select(col("l_orderkey"), col("l_linenumber"), shipUs.as("ts_us")),
+            "l_orderkey", "ts_us", "l_linenumber")
+          .select(col("l_orderkey"), col("l_linenumber").as("version_line"),
+            col("valid_from_us"), col("valid_to_us"))
+        val facts = li.select(col("l_orderkey"),
+          col("l_linenumber").as("src_line"), (shipUs + 1800000000L).as("f_us"))
+        graft.operators.Maintenance.pitJoin(facts, dim, "l_orderkey", "f_us")
+          .select(col("l_orderkey").as("okey"), col("src_line"), col("f_us"),
+            col("version_line"), col("valid_from_us"))
+      },
+      Some("""WITH v AS (SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ts_us
+             |           FROM lineitem),
+             |d AS (SELECT l_orderkey, l_linenumber AS version_line,
+             |             ts_us AS valid_from_us,
+             |             lead(ts_us) OVER (PARTITION BY l_orderkey
+             |                               ORDER BY ts_us, l_linenumber) AS valid_to_us
+             |      FROM v),
+             |f AS (SELECT l_orderkey, l_linenumber AS src_line,
+             |             epoch_us(l_shipdate) + 1800000000 AS f_us FROM lineitem)
+             |SELECT f.l_orderkey AS okey, f.src_line, f.f_us,
+             |       d.version_line, d.valid_from_us
+             |FROM f JOIN d ON d.l_orderkey = f.l_orderkey
+             |WHERE d.valid_from_us <= f.f_us
+             |  AND (d.valid_to_us IS NULL OR f.f_us < d.valid_to_us)""".stripMargin)),
+
+    // ---- period-over-period: weekly revenue per flag with WoW change —
+    // the dashboard lag/ratio pass (exact-decimal sums, fixed-order
+    // double ratio) ------------------------------------------------------
+    QueryDef("q102_wow",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val w = li.groupBy(col("l_returnflag").as("rflag"),
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 604800000000").as("week"))
+          .agg(sum(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("rev"))
+        val win = Window.partitionBy(col("rflag")).orderBy(col("week"))
+        w.withColumn("prev", lag(col("rev"), 1).over(win))
+          .withColumn("wow",
+            when(col("prev").isNotNull, (col("rev") - col("prev")) / col("prev")))
+      },
+      Some(s"""WITH w AS (SELECT l_returnflag AS rflag,
+             |                  epoch_us(l_shipdate) // 604800000000 AS week,
+             |                  CAST(sum(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS rev
+             |           FROM lineitem GROUP BY 1, 2)
+             |SELECT rflag, week, rev,
+             |       lag(rev) OVER (PARTITION BY rflag ORDER BY week) AS prev,
+             |       CASE WHEN lag(rev) OVER (PARTITION BY rflag ORDER BY week) IS NOT NULL
+             |            THEN (rev - lag(rev) OVER (PARTITION BY rflag ORDER BY week))
+             |                 / lag(rev) OVER (PARTITION BY rflag ORDER BY week) END AS wow
+             |FROM w""".stripMargin)),
+
+    // ---- market-basket pairs: parts co-ordered in the same order —
+    // fact×fact self-join bounded by the order key (per-order cost is
+    // its own line count squared, the standard basket shape) -------------
+    QueryDef("q103_basket_pairs",
+      (s, dir) => {
+        val dp = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        dp.as("a").join(dp.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+      },
+      Some("""WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |       CAST(count(*) AS BIGINT) AS n_orders
+             |FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+             |                   AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    // ---- snapshot diff: reconcile two table versions (backfill / engine
+    // migration validation) — full-outer join of (key, content hash),
+    // classified added/removed/changed/unchanged; the synthetic new
+    // snapshot exercises all four classes every run ----------------------
+    QueryDef("q104_snapshot_diff",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("l_orderkey"), col("l_linenumber"),
+          Exact.money(col("l_quantity")).as("q"),
+          Exact.money(col("l_extendedprice")).as("p"))
+        val old = proj(li)
+        val newSnap = proj(li.filter(col("l_orderkey") % 100 =!= 0))
+          .withColumn("q",
+            when(col("l_orderkey") % 7 === 0, col("q") + lit(1)).otherwise(col("q")))
+          .union(proj(li.filter(col("l_orderkey") % 50 === 0))
+            .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
+        graft.operators.Maintenance
+          .snapshotDiff(old, newSnap, Seq("l_orderkey", "l_linenumber"), Seq("q", "p"))
+          .groupBy(col("diff_class")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH o AS (SELECT l_orderkey, l_linenumber,
+             |    md5(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+             |        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)) AS h
+             |  FROM lineitem),
+             |nsrc AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |         CASE WHEN l_orderkey % 7 = 0
+             |              THEN CAST(l_quantity AS DECIMAL(12,2)) + 1
+             |              ELSE CAST(l_quantity AS DECIMAL(12,2)) END AS q,
+             |         CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+             |  FROM lineitem WHERE l_orderkey % 100 != 0
+             |  UNION ALL
+             |  SELECT l_orderkey + 10000000, l_linenumber,
+             |         CAST(l_quantity AS DECIMAL(12,2)),
+             |         CAST(l_extendedprice AS DECIMAL(12,2))
+             |  FROM lineitem WHERE l_orderkey % 50 = 0),
+             |n AS (SELECT l_orderkey, l_linenumber,
+             |             md5(CAST(q AS VARCHAR) || '|' || CAST(p AS VARCHAR)) AS h
+             |      FROM nsrc),
+             |j AS (SELECT CASE WHEN o.h IS NULL THEN 'added'
+             |                  WHEN n.h IS NULL THEN 'removed'
+             |                  WHEN o.h != n.h THEN 'changed'
+             |                  ELSE 'unchanged' END AS diff_class
+             |      FROM o FULL OUTER JOIN n
+             |        ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber)
+             |SELECT diff_class, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1""".stripMargin)),
+
     // ---- approx distinct (HLL sketch; rows-only check — approx values
     // are engine-specific by construction, so no DuckDB oracle) ----------
     QueryDef("q29_approx_distinct",

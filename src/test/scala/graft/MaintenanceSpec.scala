@@ -48,6 +48,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(once.collect().toSet === twice.collect().toSet)
   }
 
+  test("pitJoin: each fact picks the version valid at its timestamp") {
+    import spark.implicits._
+    val dim = Maintenance.scd2(
+      Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 5L, 1)).toDF("k", "ts_us", "line"),
+      "k", "ts_us", "line")
+    val facts = Seq((1L, 5L), (1L, 15L), (1L, 20L), (1L, 99L), (2L, 5L))
+      .toDF("k", "f_us")
+    val got = Maintenance.pitJoin(facts, dim, "k", "f_us")
+      .select(col("k"), col("f_us"), col("line"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // fact at 5 predates key 1's history (no row); 15 → v1; 20/99 → v2
+    assert(got === Map((1L, 15L) -> 1, (1L, 20L) -> 2, (1L, 99L) -> 2, (2L, 5L) -> 1))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val neu = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val got = Maintenance.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   test("mergePartials over 3 delta slices == one full recompute") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
