@@ -31,6 +31,34 @@ object Curation {
   def normalizeTextSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  // ---- pseudonymization + k-anonymity ---------------------------------------
+
+  /** Privacy release prep: replace the entity id with a deterministic
+    * affine pseudonym (joinable across tables released together, not
+    * reversible without the constants) and SUPPRESS the quasi-identifier
+    * columns of any group smaller than k distinct entities — the
+    * k-anonymity gate. Group sizes come from one aggregate on the QI
+    * key; the per-row work is a broadcast join (|QI groups| rows) plus
+    * integer arithmetic, map-shaped at any scale. Suppressed rows keep
+    * their measures; only the QI columns null out (standard cell
+    * suppression, the row count stays honest). */
+  def pseudonymizeKAnon(events: DataFrame, idCol: String,
+      quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need QI columns and k >= 2")
+    val pseudo = (col(idCol) * 48271L + 1234567L) % 1000000007L
+    val sizes = events.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(idCol)).as("__grp_users"))
+    val joined = events.join(broadcast(sizes), quasiCols)
+      .withColumn("pseudo_id", pseudo)
+      .withColumn("suppressed", col("__grp_users") < k)
+    // the direct identifier is dropped; QI columns null out when
+    // suppressed; measures and other columns pass through untouched
+    val rest = events.columns.filterNot(c => c == idCol || quasiCols.contains(c))
+    joined.select(col("pseudo_id") +:
+      quasiCols.map(c => when(!col("suppressed"), col(c)).as(c)) ++:
+      rest.map(col) :+ col("suppressed"): _*)
+  }
+
   // ---- document chunking ---------------------------------------------------
 
   /** Overlapping sliding-window chunking — the context-window splitter

@@ -171,4 +171,32 @@ object QualityChecks {
 
   private def centsSql(c: String): String =
     s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+  /** Pairwise Pearson correlation over small 2-decimal measure columns
+    * (|v| < 10⁷) — the feature-drift / multicollinearity scan. All
+    * moments (Σx, Σx², Σxy) accumulate in exact DECIMAL in ONE aggregate
+    * pass (order-independent — `corr()`'s streaming doubles are not),
+    * then each pair's r is fixed-order double arithmetic over the 1-row
+    * moment frame. Output: one row per column pair. Built-in `corr` is
+    * the right call when cross-engine bit-equality doesn't matter. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def d(c: String) = col(c).cast("decimal(9,2)")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(sum(d(c)).as(s"s__$c"), sum(d(c) * d(c)).as(s"ss__$c"))) ++
+      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"sp__${a}__$b") }
+    val w = df.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def sD(c: String) = col(s"s__$c").cast("double")
+    def ssD(c: String) = col(s"ss__$c").cast("double")
+    val entries = pairs.map { case (a, b) =>
+      val num = (nD * col(s"sp__${a}__$b").cast("double")) - (sD(a) * sD(b))
+      val den = sqrt((nD * ssD(a)) - (sD(a) * sD(a))) *
+        sqrt((nD * ssD(b)) - (sD(b) * sD(b)))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), (num / den).as("r"))
+    }
+    w.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
 }

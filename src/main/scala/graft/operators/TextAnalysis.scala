@@ -230,6 +230,28 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w))
   }
 
+  /** Linear text-classifier INFERENCE (the fastText / logistic-over-
+    * hashed-features shape every model-based quality filter runs at
+    * corpus scale): score = mean over tokens of weight(hash(token)),
+    * keep = score > 0. The weight table here is a deterministic seeded
+    * function of the hash — it stands in for trained weights, which are
+    * not learnable in this environment — but the PLUMBING is the real
+    * thing: hashed features (no vocabulary join), a LEFT-TO-RIGHT
+    * sequential fold (deterministic doubles — the same `aggregate` HOF
+    * contract as the vector ops), length normalization, map-only at any
+    * scale. Swapping real weights in means replacing one expression. */
+  def linearScore(docs: DataFrame): DataFrame = {
+    import graft.functions.TextHash
+    val whs = TextHash.wordHashes(col("text"))
+    docs.select(col("doc_id"), whs.as("whs"))
+      .filter(size(col("whs")) > 0)
+      .withColumn("score",
+        aggregate(col("whs"), lit(0.0), (acc, wh) =>
+          acc + ((wh * 2654435761L) % TextHash.P % 2001L - 1000L).cast("double") / 1000.0)
+          / size(col("whs")).cast("double"))
+      .select(col("doc_id"), col("score"), (col("score") > 0.0).as("keep"))
+  }
+
   /** Inverted index build: term → (document frequency, content hash of
     * the doc_id-sorted posting list) — the search-index construction
     * pass, emitted as a verifiable digest rather than the raw lists.

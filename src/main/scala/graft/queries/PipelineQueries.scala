@@ -656,6 +656,41 @@ object PipelineQueries {
              |           '${Curation.IpRe}', '<IP>', 'g')) AS redacted_md5
              |FROM pii""".stripMargin)),
 
+    // linear classifier inference (fastText shape): hashed features +
+    // sequential fold + length normalization; seeded stand-in weights,
+    // real plumbing — swap one expression for trained weights
+    QueryDef("q105_linear_classifier",
+      (s, dir) => TextAnalysis.linearScore(Tables.load(s, dir, "documents")),
+      Some(s"""WITH t AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM documents),
+             |sc AS (SELECT doc_id,
+             |         list_reduce(list_transform(whs,
+             |             wh -> CAST((wh * 2654435761) % $P % 2001 - 1000 AS DOUBLE) / 1000.0),
+             |           (x, y) -> x + y) / CAST(len(whs) AS DOUBLE) AS score
+             |       FROM t WHERE len(whs) > 0)
+             |SELECT doc_id, score, score > 0.0 AS keep FROM sc""".stripMargin)),
+
+    // pseudonymization + k-anonymity release gate: affine pseudonym
+    // replaces the id, quasi-identifier cells suppress when the (type,
+    // day) group holds < 50 distinct users (38/150 groups at sf0.01 —
+    // both branches run every round)
+    QueryDef("q106_kanon",
+      (s, dir) => Curation.pseudonymizeKAnon(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+          col("event_id"), col("value")),
+        "user_id", Seq("event_type", "day"), k = 50),
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |                  event_id, value
+             |           FROM events),
+             |g AS (SELECT event_type, day, count(DISTINCT user_id) AS u
+             |      FROM e GROUP BY 1, 2)
+             |SELECT (e.user_id * 48271 + 1234567) % 1000000007 AS pseudo_id,
+             |       CASE WHEN NOT (g.u < 50) THEN e.event_type END AS event_type,
+             |       CASE WHEN NOT (g.u < 50) THEN e.day END AS day,
+             |       e.event_id, e.value, g.u < 50 AS suppressed
+             |FROM e JOIN g USING (event_type, day)""".stripMargin)),
+
     // canonical text normalization over the PII-injected corpus (the only
     // variant with punctuation to strip): lowercase, non-alphanumerics to
     // spaces, runs collapsed — md5-gated so a single byte of drift fails

@@ -1206,6 +1206,37 @@ object RelationalQueries {
              |        ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber)
              |SELECT diff_class, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1""".stripMargin)),
 
+    // ---- contiguous id assignment in a total order: range-partition +
+    // sort + zipWithIndex (per-partition offsets) — the scale-safe form
+    // of the single-task global row_number window ------------------------
+    QueryDef("q107_assign_ids",
+      (s, dir) => graft.operators.Ids.assignContiguousIds(
+        Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        Seq("c_acctbal", "c_custkey")),
+      Some("""SELECT c_custkey, c_acctbal,
+             |       CAST(row_number() OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) - 1 AS row_id
+             |FROM customer""".stripMargin)),
+
+    // ---- pairwise Pearson correlation from exact decimal moments (one
+    // aggregate pass; corr()'s streaming doubles are order-dependent) ----
+    QueryDef("q108_correlation",
+      (s, dir) => graft.operators.QualityChecks.correlationMatrix(
+        Tables.load(s, dir, "lineitem"), Seq("l_quantity", "l_discount", "l_tax")),
+      Some {
+        def dd(c: String) = s"CAST($c AS DECIMAL(9,2))"
+        def pair(a: String, b: String) =
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             |  ((CAST(count(*) AS DOUBLE) * CAST(sum(${dd(a)} * ${dd(b)}) AS DOUBLE))
+             |    - (CAST(sum(${dd(a)}) AS DOUBLE) * CAST(sum(${dd(b)}) AS DOUBLE)))
+             |  / (sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(${dd(a)} * ${dd(a)}) AS DOUBLE))
+             |          - (CAST(sum(${dd(a)}) AS DOUBLE) * CAST(sum(${dd(a)}) AS DOUBLE)))
+             |     * sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(${dd(b)} * ${dd(b)}) AS DOUBLE))
+             |            - (CAST(sum(${dd(b)}) AS DOUBLE) * CAST(sum(${dd(b)}) AS DOUBLE)))) AS r
+             |FROM lineitem""".stripMargin
+        Seq(pair("l_quantity", "l_discount"), pair("l_quantity", "l_tax"),
+          pair("l_discount", "l_tax")).mkString("\nUNION ALL\n")
+      }),
+
     // ---- approx distinct (HLL sketch; rows-only check — approx values
     // are engine-specific by construction, so no DuckDB oracle) ----------
     QueryDef("q29_approx_distinct",

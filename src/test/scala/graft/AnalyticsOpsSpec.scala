@@ -180,6 +180,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows(("a", "b"))._2 === 2.0)
   }
 
+  test("assignContiguousIds: dense 0-based ids in total order, across partitions") {
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("sort_key", expr("(k * 7919) % 1000")) // permuted order
+      .repartition(8)
+    val got = graft.operators.Ids.assignContiguousIds(df, Seq("sort_key", "k"))
+      .collect().map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 1000L), "ids must be dense 0..n-1")
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq,
+      "ids must follow the sort-key order")
+  }
+
+  test("pseudonymizeKAnon: small QI groups suppress, ids pseudonymize") {
+    val ev = Seq(
+      (1L, "a", 10.0), (2L, "a", 11.0), (3L, "a", 12.0), // group a: 3 users
+      (4L, "b", 13.0)                                    // group b: 1 user < k
+    ).toDF("user_id", "qi", "v")
+    val rows = graft.operators.Curation
+      .pseudonymizeKAnon(ev, "user_id", Seq("qi"), k = 2)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getBoolean(3)))
+    assert(!rows.map(_._1).toSet.exists(Set(1L, 2L, 3L, 4L)), "raw ids must not leak")
+    assert(rows.count(_._2.isEmpty) === 1 && rows.count(_._4) === 1,
+      s"exactly group b suppresses: ${rows.toSeq}")
+    assert(rows.filter(_._2.contains("a")).map(_._3).toSet === Set(10.0, 11.0, 12.0),
+      "measures pass through untouched")
+  }
+
+  test("correlationMatrix: exact ±1 on linear columns, 3 pairs") {
+    val df = (1 to 100).map(i => (i.toDouble, i * 2.0, 100.0 - i))
+      .toDF("x", "y", "z")
+    val rows = graft.operators.QualityChecks.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.size === 3)
+    assert(math.abs(rows(("x", "y")) - 1.0) < 1e-12, s"perfect correlation: $rows")
+    assert(math.abs(rows(("x", "z")) + 1.0) < 1e-12, s"perfect anti-correlation: $rows")
+  }
+
   test("normalizeText lowercases, strips punctuation, collapses spaces") {
     val df = Seq((1L, "Hello, World!!  It's 2024: 10.0.0.1")).toDF("doc_id", "text")
     val got = graft.operators.Curation.normalizeText(df, "text")
