@@ -1237,6 +1237,56 @@ object RelationalQueries {
           pair("l_discount", "l_tax")).mkString("\nUNION ALL\n")
       }),
 
+    // ---- nested materialization: one row per order with a content hash
+    // of its SORTED line set (the lakehouse nest-then-export shape; also
+    // the dedup key for "same basket" checks). Line numbers are < 10 in
+    // this schema, so the lexicographic sort of "line:qty" strings is
+    // the numeric order ---------------------------------------------------
+    QueryDef("q109_nest_lines",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          md5(concat_ws(";", array_sort(collect_list(
+            concat_ws(":", col("l_linenumber").cast("string"),
+              Exact.money(col("l_quantity")).cast("string"))))))
+            .as("lines_md5")),
+      Some("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             |       md5(array_to_string(list_sort(list(
+             |         CAST(l_linenumber AS VARCHAR) || ':' ||
+             |         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR))), ';')) AS lines_md5
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ---- quantile bucketing (stratification): per-row quartile id from
+    // the q93 histogram thresholds — thresholds are a 3-row driver-side
+    // collect (the documented k-row pattern: centroids, seeds), the
+    // assignment is pure map work, NO join --------------------------------
+    QueryDef("q110_quantile_bucket",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val thr = graft.operators.QualityChecks.histogramQuantiles(
+            li, "l_extendedprice", binWidthCents = 100000L, pcts = Seq(25, 50, 75))
+          .select(col("lo_cents")).collect().map(_.getLong(0)).sorted
+        val cents = expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        val bucket = thr.map(t => when(cents >= t, 1).otherwise(0))
+          .reduce(_ + _)
+        li.select(col("l_orderkey"), col("l_linenumber"), bucket.as("bucket"))
+      },
+      Some("""WITH b AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bin,
+             |                  count(*) AS c
+             |           FROM lineitem GROUP BY 1),
+             |cum AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem),
+             |q AS (SELECT CAST(unnest([25, 50, 75]) AS INTEGER) AS pct),
+             |thr AS (SELECT pct, (total * pct + 99) // 100 AS thr FROM q CROSS JOIN t),
+             |sel AS (SELECT pct, min(bin) * 100000 AS lo_cents
+             |        FROM thr JOIN cum ON cum.cum >= thr.thr GROUP BY 1),
+             |li2 AS (SELECT l_orderkey, l_linenumber,
+             |               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+             |        FROM lineitem)
+             |SELECT l_orderkey, l_linenumber,
+             |       CAST((SELECT count(*) FROM sel s WHERE s.lo_cents <= li2.cents) AS INTEGER) AS bucket
+             |FROM li2""".stripMargin)),
+
     // ---- approx distinct (HLL sketch; rows-only check — approx values
     // are engine-specific by construction, so no DuckDB oracle) ----------
     QueryDef("q29_approx_distinct",

@@ -85,6 +85,30 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER variant of [[clickToPurchase]]: clicks that never
+    * convert still emit (null purchase) — but only once the watermark
+    * passes the click's join window, when the engine can PROVE no
+    * matching purchase can still arrive. That proof obligation is why
+    * outer stream-stream joins demand the watermark + event-time bound
+    * even more strictly than inner ones; the state bound is the same.
+    * StreamingSpec pins stream == batch-left-outer after the watermark
+    * advances past the data. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming z-score anomaly gate: an unbounded event stream scored
     * against STATIC per-group stats (the previous window's, or a
     * trained baseline — recomputing moments on the stream itself would

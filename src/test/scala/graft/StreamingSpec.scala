@@ -188,6 +188,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit nulls once the watermark passes") {
+    import spark.implicits._
+    // click 1 converts, click 2 never does; the far-future pusher rows
+    // advance BOTH watermarks so click 2's window provably closed
+    val clicks = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10L),
+      (2L, ts("2024-01-01 00:15:00"), 11L))
+    val purchases = Seq((100L, ts("2024-01-01 00:40:00"), 10L))
+    val pusherC = (99L, ts("2024-01-01 10:00:00"), 50L)
+    val pusherP = (199L, ts("2024-01-01 10:00:00"), 51L)
+
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long)]) =
+      rows.toDF("event_id", "ts", "user_id")
+    val expected = StreamOps
+      .clickToPurchaseOuter(df(clicks :+ pusherC), df(purchases :+ pusherP))
+      .collect().map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .filter(_._1 != 99L).toSet
+    assert(expected === Set(1L -> Some(100L), 2L -> None), s"batch sanity: $expected")
+
+    implicit val sqlCtx = spark.sqlContext
+    val cs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ps = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val query = StreamOps.clickToPurchaseOuter(
+        cs.toDF().toDF("event_id", "ts", "user_id"),
+        ps.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("outer_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cs.addData(clicks); ps.addData(purchases)
+      query.processAllAvailable()
+      cs.addData(Seq(pusherC)); ps.addData(Seq(pusherP))
+      query.processAllAvailable()
+      // one more micro-batch so the state store flushes rows the pusher
+      // batch's new watermark released
+      cs.addData(Seq((98L, ts("2024-01-01 11:00:00"), 52L)))
+      query.processAllAvailable()
+      val got = spark.table("outer_join").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .filter(t => t._1 != 99L && t._1 != 98L).toSet
+      assert(got === expected, "stream must equal batch once windows provably closed")
+    } finally query.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState matches batch gaps-and-islands") {
     import spark.implicits._
     val batchDf = events
