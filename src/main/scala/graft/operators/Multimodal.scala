@@ -94,6 +94,56 @@ object Multimodal {
     }
   }
 
+  /** Features of the RESIZED image: dims, pixel sum, corner pixel. */
+  final case class ResizedFeatures(doc_id: Long, rw: Int, rh: Int,
+      px_sum: Long, first_px: Int)
+
+  /** Image RESIZE kernel: decode → nearest-neighbor downsample by
+    * `factor` (out(x,y) = in(x·f, y·f) — the deterministic resampling,
+    * so the oracle can replay it arithmetically; bilinear would be
+    * engine-float territory) → RE-ENCODE as PNG → decode again →
+    * features. The double round trip is the point: the features gate
+    * the resized ENCODED image, so a bug in either codec direction or
+    * in the kernel mismatches. Once-per-partition codec init, payloads
+    * never leave the executor — same contract as the other kernels. */
+  def resizeFeatures(media: DataFrame, factor: Int = 2)(
+      implicit spark: SparkSession): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    media.as[MediaRow].mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        val in = img.getRaster
+        val rw = math.max(1, img.getWidth / factor)
+        val rh = math.max(1, img.getHeight / factor)
+        val out = new BufferedImage(rw, rh, BufferedImage.TYPE_BYTE_GRAY)
+        val or = out.getRaster
+        var y = 0
+        while (y < rh) {
+          var x = 0
+          while (x < rw) {
+            or.setSample(x, y, 0, in.getSample(x * factor, y * factor, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        val img2 = ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+        val r2 = img2.getRaster
+        var sum = 0L
+        var yy = 0
+        while (yy < rh) {
+          var xx = 0
+          while (xx < rw) { sum += r2.getSample(xx, yy, 0); xx += 1 }
+          yy += 1
+        }
+        ResizedFeatures(m.doc_id, rw, rh, sum, r2.getSample(0, 0, 0))
+      }
+    }
+  }
+
   // ---- audio (PCM WAV) -----------------------------------------------------
 
   /** An opaque audio payload + typed metadata. */

@@ -305,6 +305,36 @@ object TextAnalysis {
           / (col("c_a").cast("double") * col("c_b").cast("double"))).as("assoc"))
   }
 
+  /** Count-Min sketch (Cormode–Muthukrishnan) built DECLARATIVELY: the
+    * counter matrix is a groupBy over (row, cell) — Spark's map-side
+    * partials ARE the sketch merge, no custom aggregate needed — and a
+    * point estimate is the min over rows of the queried cell. Hashes
+    * are seeded affine maps (exact integer arithmetic), so unlike
+    * library sketches the WHOLE construction replays in SQL and the
+    * estimates are oracle-gated, including the one-sided error
+    * (estimate ≥ exact, equality when a cell has no collisions).
+    * Output per distinct token: (wh, est, exact). Shuffles: tokens ×
+    * `rows` to (row, cell) — bounded `rows·width` counters however
+    * large the corpus — plus the exact-count groupBy for the gate. */
+  def countMinEstimates(docs: DataFrame, rows: Int = 4, width: Int = 256): DataFrame = {
+    import graft.functions.TextHash
+    require(rows >= 1 && rows <= 16 && width >= 2, s"bad sketch dims $rows x $width")
+    def cell(wh: Column, r: Column): Column =
+      ((wh * (lit(1000003L) + r * 2L) + r) % TextHash.P) % width
+    val toks = docs.select(explode(TextHash.wordHashes(col("text"))).as("wh"))
+    val cells = toks.select(col("wh"), explode(
+        array((0 until rows).map(r => lit(r.toLong)): _*)).as("r"))
+      .select(col("r"), cell(col("wh"), col("r")).as("c"))
+    val counters = cells.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("wh")).agg(count(lit(1)).as("exact"))
+    val probes = exact.select(col("wh"), col("exact"), explode(
+        array((0 until rows).map(r => lit(r.toLong)): _*)).as("r"))
+      .select(col("wh"), col("exact"), col("r"), cell(col("wh"), col("r")).as("c"))
+    probes.join(counters, Seq("r", "c"))
+      .groupBy(col("wh"), col("exact")).agg(min(col("cnt")).as("est"))
+      .select(col("wh"), col("est"), col("exact"))
+  }
+
   /** Per-GROUP heavy hitters: [[heavyHitters]] with the Misra–Gries
     * sketch keyed by a group column — one sketch of bounded size per
     * group, map-side partials merged per group, so the shuffle carries

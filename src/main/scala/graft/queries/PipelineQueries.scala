@@ -656,6 +656,26 @@ object PipelineQueries {
              |           '${Curation.IpRe}', '<IP>', 'g')) AS redacted_md5
              |FROM pii""".stripMargin)),
 
+    // Count-Min sketch, built declaratively (groupBy IS the merge) with
+    // seeded affine hashes — the whole construction replays in SQL, so
+    // the point estimates AND the one-sided error are hash-gated
+    QueryDef("q112_countmin",
+      (s, dir) => TextAnalysis.countMinEstimates(
+        Tables.load(s, dir, "documents"), rows = 4, width = 256),
+      Some(s"""WITH tok AS (SELECT unnest(${TextHash.wordHashesSql("text")}) AS wh FROM documents),
+             |rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+             |cells AS (SELECT r, ((wh * (1000003 + r * 2) + r) % $P) % 256 AS c
+             |          FROM tok CROSS JOIN rr),
+             |counters AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+             |             FROM cells GROUP BY 1, 2),
+             |ex AS (SELECT wh, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY 1),
+             |probes AS (SELECT wh, exact, r,
+             |                  ((wh * (1000003 + r * 2) + r) % $P) % 256 AS c
+             |           FROM ex CROSS JOIN rr)
+             |SELECT p.wh, min(ct.cnt) AS est, p.exact
+             |FROM probes p JOIN counters ct ON ct.r = p.r AND ct.c = p.c
+             |GROUP BY p.wh, p.exact""".stripMargin)),
+
     // linear classifier inference (fastText shape): hashed features +
     // sequential fold + length normalization; seeded stand-in weights,
     // real plumbing — swap one expression for trained weights
@@ -1003,6 +1023,34 @@ object PipelineQueries {
              |       CAST(n_px // 16 AS BIGINT) * list_reduce(bytes, (a, b) -> a + b)
              |         + CASE WHEN n_px % 16 = 0 THEN 0
              |                ELSE list_reduce(bytes[1:(n_px % 16)], (a, b) -> a + b) END AS px_sum,
+             |       CAST(bytes[1] AS INTEGER) AS first_px
+             |FROM b""".stripMargin)),
+
+    // image resize: nearest-neighbor downsample by 2 + PNG re-encode
+    // round trip — the oracle replays the resampling arithmetic from the
+    // digest bytes (resized px (x,y) = source px (2x, 2y) = digest
+    // byte at (2y·w + 2x) mod 16), so kernel AND both codec directions
+    // are all under the hash gate
+    QueryDef("q111_image_resize",
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.resizeFeatures(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")), factor = 2).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id, md5(text) AS h,
+             |                 CAST(n_chars % 32 + 1 AS INTEGER) AS width,
+             |                 CAST(doc_id % 24 + 1 AS INTEGER) AS height
+             |          FROM documents),
+             |b AS (SELECT doc_id, width, height,
+             |             greatest(1, width // 2) AS rw, greatest(1, height // 2) AS rh,
+             |             list_transform(generate_series(1, 16),
+             |               i -> CAST(16 * (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1)
+             |                         + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+             |      FROM m)
+             |SELECT doc_id, CAST(rw AS INTEGER) AS rw, CAST(rh AS INTEGER) AS rh,
+             |       list_reduce(list_transform(generate_series(0, rw * rh - 1),
+             |         p -> bytes[((((p // rw) * 2) * width + ((p % rw) * 2)) % 16) + 1]),
+             |         (a, b) -> a + b) AS px_sum,
              |       CAST(bytes[1] AS INTEGER) AS first_px
              |FROM b""".stripMargin)),
 

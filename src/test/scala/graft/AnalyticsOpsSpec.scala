@@ -223,6 +223,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === "hello world it s 2024 10 0 0 1")
   }
 
+  test("countMin: one-sided error — cramped width overestimates, ample width is exact") {
+    val docs = Seq((1L, (1 to 30).map(i => s"tok$i tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cramped = TextAnalysis.countMinEstimates(docs, rows = 2, width = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(cramped.nonEmpty && cramped.forall { case (est, exact) => est >= exact },
+      "CM estimates are never under")
+    assert(cramped.exists { case (est, exact) => est > exact },
+      "30 tokens into 4 cells must collide somewhere")
+    val ample = TextAnalysis.countMinEstimates(docs, rows = 4, width = 4096)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ample.forall { case (est, exact) => est === exact },
+      "with ample width every estimate is exact")
+  }
+
   test("bm25: term frequency wins at equal length; rare terms outweigh common ones") {
     val filler = (1 to 20).map(i => s"pad$i").mkString(" ")
     val docs = Seq(
