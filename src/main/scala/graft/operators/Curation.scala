@@ -31,6 +31,24 @@ object Curation {
   def normalizeTextSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  // ---- sharded export manifest -----------------------------------------------
+
+  /** Deterministic shard routing + per-shard manifest — the training-
+    * file export gate: shard = first 8 hex digits of the content md5
+    * (stable under re-runs and engine swaps, unlike a partition-id
+    * round-robin), manifest row = (shard, doc count, digest of the
+    * SORTED per-doc content hashes). Two jobs diff their manifests to
+    * prove byte-level export equality without comparing payloads.
+    * Shape: narrow hash work + one groupBy on the shard id. */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val shard = expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)") % nShards
+    docs.select(md5(col("text")).as("h"), shard.as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws(",", array_sort(collect_list(col("h"))))).as("content_md5"))
+  }
+
   // ---- pseudonymization + k-anonymity ---------------------------------------
 
   /** Privacy release prep: replace the entity id with a deterministic

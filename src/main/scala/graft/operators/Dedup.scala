@@ -170,8 +170,16 @@ object Dedup {
     * shingle join (whose intermediate is Σ_s count(s)², explosive on
     * low-entropy corpora). Same jacc values as the join formulation. */
   def minhashLshPairs(corpus: DataFrame, numHashes: Int = 16,
-      rowsPerBand: Int = 4, minJaccard: Double = 0.5): DataFrame = {
-    val cand = lshCandidates(lshBands(minhashSignatures(corpus, numHashes), rowsPerBand))
+      rowsPerBand: Int = 4, minJaccard: Double = 0.5): DataFrame =
+    jaccardVerify(corpus,
+      lshCandidates(lshBands(minhashSignatures(corpus, numHashes), rowsPerBand)),
+      minJaccard)
+
+  /** The shared exact-Jaccard gate: verify CANDIDATE pairs (id_a, id_b)
+    * against the corpus shingle sets. Every pair family funnels through
+    * this — candidates only propose, the exact measure decides. */
+  private def jaccardVerify(corpus: DataFrame, cand: DataFrame,
+      minJaccard: Double): DataFrame = {
     val sets = shingled(corpus).select(col("doc_id"),
       array_distinct(col("shs")).as("set"))
     val inter = size(array_intersect(col("set_a"), col("set_b")))
@@ -608,6 +616,33 @@ object Dedup {
     val canon = canonicalAssignments(minhashLshPairs(kept, minJaccard = minJaccard))
     val removed = canon.filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
     kept.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** ENSEMBLE near-dup apply: all three pair families — MinHash/LSH
+    * (token-set overlap), SimHash (bit-level similarity), winnow
+    * fingerprints (ordered passages) — PROPOSE candidates, ONE shared
+    * exact-Jaccard gate decides, the union of verified edges closes
+    * transitively and collapses to one survivor per group. Production
+    * dedup runs exactly this ensemble because each family has a blind
+    * spot the others cover; candidates must still verify, because an
+    * unverified family (SimHash's hamming radius on a shared-vocabulary
+    * corpus) would glue unrelated docs into one giant component. Every
+    * family is its own bucketed generator with its own hot-key defense;
+    * the CC pass is shared. Output: (doc_id, source) of survivors. */
+  def ensembleDedupApply(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val edges = minhashLshPairs(corpus, minJaccard = minJaccard)
+      .select(col("id_a"), col("id_b"))
+      .union(jaccardVerify(corpus,
+        simhashPairs(corpus).select(col("id_a"), col("id_b")), minJaccard)
+        .select(col("id_a"), col("id_b")))
+      .union(winnowPairs(corpus, minJaccard = minJaccard)
+        .select(col("id_a"), col("id_b")))
+      .distinct()
+    val removed = canonicalAssignments(edges)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id")
+    corpus.join(removed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"))
   }
 

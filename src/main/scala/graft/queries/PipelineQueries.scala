@@ -557,6 +557,84 @@ object PipelineQueries {
              |SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jacc
              |FROM v WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // ENSEMBLE dedup: union of all three pair families (MinHash/LSH +
+    // SimHash + winnow) -> connected components -> one survivor per
+    // group. The oracle replays each family's exact predicate, unions
+    // the edge sets, and closes them with recursive reachability — the
+    // full production dedup story under one hash gate.
+    QueryDef("q113_ensemble_dedup",
+      (s, dir) => Dedup.ensembleDedupApply(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some {
+        val bits = 24
+        val sums = (0 until bits).map(b =>
+          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        s"""WITH RECURSIVE $nearDupCorpus,
+           |$shingleCtes,
+           |$sigCte,
+           |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+           |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+           |          FROM sig GROUP BY 1, 2),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+           |              AND a.doc_id < b.doc_id),
+           |${jaccardCtes(blocked = false)},
+           |sx AS (SELECT doc_id, unnest(whs) AS wh FROM tok),
+           |ssums AS (SELECT doc_id, $sums FROM sx GROUP BY 1),
+           |ssh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+           |        FROM ssums s JOIN corpus c ON c.doc_id = s.doc_id),
+           |wf AS (SELECT DISTINCT doc_id, fp FROM
+           |       (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh)),
+           |rare AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= ${Dedup.DefaultMaxFpDf}),
+           |wk AS (SELECT w.doc_id, w.fp FROM wf w JOIN rare USING (fp)),
+           |candw AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |          FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+           |setsw AS (SELECT doc_id, list_distinct(shs) AS st FROM sh),
+           |vw AS (SELECT id_a, id_b,
+           |              len(list_intersect(sa.st, sb.st)) AS inter,
+           |              len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)) AS uni
+           |       FROM candw JOIN setsw sa ON sa.doc_id = id_a
+           |                  JOIN setsw sb ON sb.doc_id = id_b),
+           |edges AS (
+           |  SELECT c.id_a, c.id_b FROM cand c JOIN jac j
+           |    ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jacc >= 0.5
+           |  UNION
+           |  SELECT a.doc_id, b.doc_id FROM ssh a JOIN ssh b
+           |    ON a.source = b.source AND a.doc_id < b.doc_id
+           |  JOIN jac j ON j.id_a = a.doc_id AND j.id_b = b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 AND j.jacc >= 0.5
+           |  UNION
+           |  SELECT id_a, id_b FROM vw
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+           |bi AS (SELECT id_a AS src, id_b AS dst FROM edges
+           |       UNION ALL SELECT id_b, id_a FROM edges),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM bi
+           |  UNION
+           |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+           |noncanon AS (SELECT src AS doc_id FROM reach GROUP BY src
+           |             HAVING least(src, min(dst)) < src)
+           |SELECT c.doc_id, c.source FROM corpus c
+           |WHERE c.doc_id NOT IN (SELECT doc_id FROM noncanon)""".stripMargin
+      }),
+
+    // deterministic sharded export manifest: stable content-hash shard
+    // routing + per-shard digest of the sorted doc hashes — two jobs
+    // prove export equality by diffing manifests, never payloads
+    QueryDef("q114_shard_manifest",
+      (s, dir) => Curation.shardManifest(Tables.load(s, dir, "documents"), 8),
+      Some("""WITH d AS (SELECT md5(text) AS h FROM documents),
+             |v AS (SELECT h, list_reduce(list_transform(generate_series(1, 8),
+             |        i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)),
+             |        (a, b) -> a * 16 + b) % 8 AS shard
+             |      FROM d)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |       md5(array_to_string(list_sort(list(h)), ',')) AS content_md5
+             |FROM v GROUP BY 1""".stripMargin)),
+
     // exact heavy hitters through a bounded-memory Misra-Gries candidate
     // pass (custom TypedImperativeAggregate) + exact re-count of the <= k-1
     // candidates; the oracle computes the true frequency filter directly,
