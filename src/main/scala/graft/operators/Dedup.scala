@@ -229,7 +229,14 @@ object Dedup {
     * a fingerprint internally can't push it over the cap.
     * Output: (id_a, id_b, jacc ≥ minJaccard). */
   def winnowPairs(corpus: DataFrame, w: Int = 4,
-      minJaccard: Double = 0.5, maxFpDf: Int = DefaultMaxFpDf): DataFrame = {
+      minJaccard: Double = 0.5, maxFpDf: Int = DefaultMaxFpDf): DataFrame =
+    jaccardVerify(corpus, winnowCandidates(corpus, w, maxFpDf), minJaccard)
+
+  /** The winnow family's candidate stage alone (shared-fingerprint
+    * pairs under the df cap) — exposed so [[ensembleDedupApply]] can
+    * union candidate sets BEFORE the one shared verify pass. */
+  private def winnowCandidates(corpus: DataFrame, w: Int,
+      maxFpDf: Int): DataFrame = {
     val fps = corpus.select(col("doc_id"),
       explode(array_distinct(TextHash.winnowHashes(col("text"), w))).as("fp"))
     // document frequency per fingerprint — vocabulary-sized aggregate with
@@ -237,20 +244,10 @@ object Dedup {
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("fdf"))
       .filter(col("fdf") <= maxFpDf).select("fp")
     val kept = fps.join(rare, "fp")
-    val cand = kept.as("a").join(kept.as("b"),
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = shingled(corpus).select(col("doc_id"),
-      array_distinct(col("shs")).as("set"))
-    val inter = size(array_intersect(col("set_a"), col("set_b")))
-    val uni = size(col("set_a")) + size(col("set_b")) - inter
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (inter.cast("double") / uni.cast("double")).as("jacc"))
-      .filter(col("jacc") >= minJaccard)
   }
 
   // ---- canonicalization (connected components over near-dup pairs) --------
@@ -631,14 +628,16 @@ object Dedup {
     * family is its own bucketed generator with its own hot-key defense;
     * the CC pass is shared. Output: (doc_id, source) of survivors. */
   def ensembleDedupApply(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val edges = minhashLshPairs(corpus, minJaccard = minJaccard)
+    // union the CANDIDATE sets first, verify ONCE: the shingle sets and
+    // the verify join are shared across families instead of each family
+    // re-shingling the corpus (measured 2x on the full ensemble)
+    val candidates =
+      lshCandidates(lshBands(minhashSignatures(corpus, 16), 4))
+        .union(simhashPairs(corpus).select(col("id_a"), col("id_b")))
+        .union(winnowCandidates(corpus, 4, DefaultMaxFpDf))
+        .distinct()
+    val edges = jaccardVerify(corpus, candidates, minJaccard)
       .select(col("id_a"), col("id_b"))
-      .union(jaccardVerify(corpus,
-        simhashPairs(corpus).select(col("id_a"), col("id_b")), minJaccard)
-        .select(col("id_a"), col("id_b")))
-      .union(winnowPairs(corpus, minJaccard = minJaccard)
-        .select(col("id_a"), col("id_b")))
-      .distinct()
     val removed = canonicalAssignments(edges)
       .filter(col("doc_id") =!= col("canonical_id"))
       .select("doc_id")
