@@ -100,11 +100,18 @@ object Cli {
     case "dedup" :: corpusPath :: outDir :: opts =>
       val o = parseOpts(opts)
       val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
+      // --ensemble true: all three candidate families (MinHash/LSH +
+      // SimHash + winnow) through the shared exact-Jaccard gate, instead
+      // of LSH alone — higher recall on reordered/locally-edited dups
+      val ensemble = o.get("ensemble").contains("true")
       val corpus = spark.read.parquet(corpusPath)
-      val kept = graft.operators.Dedup.dedupApply(corpus, minJaccard = tau)
+      val kept =
+        if (ensemble) graft.operators.Dedup.ensembleDedupApply(corpus, minJaccard = tau)
+        else graft.operators.Dedup.dedupApply(corpus, minJaccard = tau)
       val out = corpus.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
       out.write.mode("overwrite").parquet(s"$outDir/deduped")
-      println(s"[graft] dedup: ${spark.read.parquet(s"$outDir/deduped").count()} of " +
+      println(s"[graft] dedup${if (ensemble) " (ensemble)" else ""}: " +
+        s"${spark.read.parquet(s"$outDir/deduped").count()} of " +
         s"${corpus.count()} docs survive (jaccard >= $tau) -> $outDir/deduped")
 
     // continuous-ingest dedup: precompute the corpus's LSH band index once
@@ -194,7 +201,7 @@ object Cli {
           |  analyze  <features> <assignments> <outDir>
           |  distance <features> <assignments> <id,id,..> <outDir>
           |  sample   <features> <k> <seed> <outDir>
-          |  dedup    <corpusParquet> <outDir> [--jaccard T]
+          |  dedup    <corpusParquet> <outDir> [--jaccard T] [--ensemble true]
           |  bandindex    <corpusParquet> <indexDir> [--buckets N]
           |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N] [--fold true]
           |  compact-index <indexDir> [--buckets N]

@@ -23,6 +23,23 @@ class CliDedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("dedup --ensemble catches a reordered near-dup LSH banding can miss") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cliensemble").toString
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    Seq(
+      (1L, base, "s"),
+      (2L, base + " w13", "s"), // near-dup of 1 -> removed either way
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/corpus")
+    Cli.run(spark, List("dedup", s"$dir/corpus", s"$dir/out",
+      "--ensemble", "true"))
+    val kept = spark.read.parquet(s"$dir/out/deduped")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+  }
+
   test("bandindex + ingest-dedup subcommands dedup a batch against the index") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cliingest").toString
