@@ -172,6 +172,53 @@ object QualityChecks {
   private def centsSql(c: String): String =
     s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
 
+  /** Welch's two-sample t statistic between two groups of a 2-decimal
+    * measure — the A/B comparison every experiment readout runs. One
+    * aggregate pass with conditional sums (no join, no pivot): both
+    * groups' exact DECIMAL moments ride the same scan; the t arithmetic
+    * is fixed-order doubles over the 1-row moment frame. Output one row:
+    * (group_a, group_b, n_a, n_b, mean_a, mean_b, t). The caller maps t
+    * to a p-value offline — erf is libm territory, deliberately not
+    * crossed here. */
+  def abTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val dv = col(valueCol).cast("decimal(9,2)")
+    def side(g: String, tag: String) = Seq(
+      count(when(col(groupCol) === g, lit(1))).as(s"n_$tag"),
+      sum(when(col(groupCol) === g, dv)).as(s"s1_$tag"),
+      sum(when(col(groupCol) === g, dv * dv)).as(s"s2_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val w = df.agg(aggs.head, aggs.tail: _*)
+    def nD(t: String) = col(s"n_$t").cast("double")
+    def mean(t: String) = col(s"s1_$t").cast("double") / nD(t)
+    def variance(t: String) =
+      (col(s"s2_$t").cast("double") -
+        ((col(s"s1_$t").cast("double") * col(s"s1_$t").cast("double")) / nD(t))) /
+        (nD(t) - lit(1.0))
+    w.select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("n_a"), col("n_b"),
+      mean("a").as("mean_a"), mean("b").as("mean_b"),
+      ((mean("a") - mean("b")) /
+        sqrt((variance("a") / nD("a")) + (variance("b") / nD("b")))).as("t"))
+  }
+
+  /** Per-group min-max feature scaling to [0, 1] — the normalization
+    * pass before any distance-based math on heterogeneous slices. Group
+    * extremes come from one aggregate (exact: min/max are selections,
+    * not arithmetic), broadcast back; constant groups (max = min) yield
+    * a null scaled value rather than a division blow-up. */
+  def minMaxScale(df: DataFrame, groupCol: String, valueCol: String,
+      idCols: Seq[String]): DataFrame = {
+    val ext = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    df.join(broadcast(ext), groupCol)
+      .withColumn("scaled",
+        when(col("__mx") > col("__mn"),
+          (col(valueCol) - col("__mn")).cast("double") /
+            (col("__mx") - col("__mn")).cast("double")))
+      .select((idCols.map(col) :+ col(groupCol) :+ col(valueCol) :+ col("scaled")): _*)
+  }
+
   /** Pairwise Pearson correlation over small 2-decimal measure columns
     * (|v| < 10⁷) — the feature-drift / multicollinearity scan. All
     * moments (Σx, Σx², Σxy) accumulate in exact DECIMAL in ONE aggregate

@@ -48,4 +48,31 @@ object TimeSeries {
       .withColumn("is_observed", col("obs_value").isNotNull)
       .select(col(keyCol), col("hour"), col("value"), col("is_observed"))
   }
+
+  /** Exponentially weighted moving average per entity, in event order:
+    * s₁ = v₁, sᵢ = (1−α)·sᵢ₋₁ + α·vᵢ — the smoothing every metrics
+    * alerting pipeline keeps per series. EWMA is an inherently
+    * SEQUENTIAL fold, so it runs as an `aggregate` HOF over each
+    * entity's (ts, tie)-sorted value array: one groupBy shuffle keyed
+    * on the entity, fold work linear per entity and embarrassingly
+    * parallel across entities. The left-to-right fold makes the double
+    * result bit-identical to DuckDB's `list_reduce` over the same
+    * ordered list. An entity's history must fit one collected array —
+    * the same per-key bound `sessionize`'s state carries; α is a
+    * binary-exact literal (0.25) so (1−α) folds exactly. Output:
+    * (keyCol, n_events, ewma). */
+  def ewma(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, valueCol: String, alpha: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val arr = array_sort(collect_list(
+      struct(col(tsUsCol).as("t"), col(tieCol).as("tie"), col(valueCol).as("v"))))
+    events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), arr.as("ord"))
+      .withColumn("vals", transform(col("ord"), x => x.getField("v")))
+      .withColumn("ewma",
+        aggregate(slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+          element_at(col("vals"), 1),
+          (acc, v) => (acc * lit(1.0 - alpha)) + (v * lit(alpha))))
+      .select(col(keyCol), col("n_events"), col("ewma"))
+  }
 }

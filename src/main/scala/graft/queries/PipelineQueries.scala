@@ -789,6 +789,20 @@ object PipelineQueries {
              |       e.event_id, e.value, g.u < 50 AS suppressed
              |FROM e JOIN g USING (event_type, day)""".stripMargin)),
 
+    // per-group min-max feature scaling (constant groups null out, no
+    // division blow-up): group extremes are selections (exact), the
+    // scaled value is one fixed-order double division
+    QueryDef("q116_feature_scale",
+      (s, dir) => graft.operators.QualityChecks.minMaxScale(
+        Tables.load(s, dir, "documents"), "source", "n_chars", Seq("doc_id")),
+      Some("""WITH ext AS (SELECT source, min(n_chars) AS mn, max(n_chars) AS mx
+             |             FROM documents GROUP BY 1)
+             |SELECT d.doc_id, d.source, d.n_chars,
+             |       CASE WHEN ext.mx > ext.mn
+             |            THEN CAST(d.n_chars - ext.mn AS DOUBLE) / CAST(ext.mx - ext.mn AS DOUBLE)
+             |       END AS scaled
+             |FROM documents d JOIN ext USING (source)""".stripMargin)),
+
     // canonical text normalization over the PII-injected corpus (the only
     // variant with punctuation to strip): lowercase, non-alphanumerics to
     // spaces, runs collapsed — md5-gated so a single byte of drift fails
@@ -1588,6 +1602,49 @@ object PipelineQueries {
              |       event_type, CAST(count(*) AS BIGINT) AS n,
              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Welch A/B test statistic between two event types' values: both
+    // groups' exact decimal moments ride ONE conditional-sum scan (no
+    // join/pivot); t in fixed-order doubles. p-value mapping (erf) is
+    // deliberately left to the caller — libm territory.
+    QueryDef("q115_ab_test",
+      (s, dir) => graft.operators.QualityChecks.abTest(
+        Tables.events(s, dir), "event_type", "value", "click", "purchase"),
+      Some {
+        def m(t: String, g: String) = Seq(
+          s"CAST(count(CASE WHEN event_type = '$g' THEN 1 END) AS BIGINT) AS n_$t",
+          s"sum(CASE WHEN event_type = '$g' THEN CAST(value AS DECIMAL(9,2)) END) AS s1_$t",
+          s"sum(CASE WHEN event_type = '$g' THEN CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)) END) AS s2_$t")
+        def nD(t: String) = s"CAST(n_$t AS DOUBLE)"
+        def mean(t: String) = s"(CAST(s1_$t AS DOUBLE) / ${nD(t)})"
+        def variance(t: String) =
+          s"((CAST(s2_$t AS DOUBLE) - ((CAST(s1_$t AS DOUBLE) * CAST(s1_$t AS DOUBLE)) / ${nD(t)})) / (${nD(t)} - 1.0))"
+        s"""WITH w AS (SELECT ${(m("a", "click") ++ m("b", "purchase")).mkString(",\n       ")}
+           |           FROM events)
+           |SELECT 'click' AS group_a, 'purchase' AS group_b, n_a, n_b,
+           |       ${mean("a")} AS mean_a, ${mean("b")} AS mean_b,
+           |       ((${mean("a")} - ${mean("b")})
+           |         / sqrt((${variance("a")} / ${nD("a")}) + (${variance("b")} / ${nD("b")}))) AS t
+           |FROM w""".stripMargin
+      }),
+
+    // EWMA per entity — the inherently sequential smoothing fold, run as
+    // an aggregate HOF over each entity's time-ordered value array (one
+    // keyed shuffle; bit-identical to DuckDB's list_reduce)
+    QueryDef("q117_ewma",
+      (s, dir) => graft.operators.TimeSeries.ewma(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value", alpha = 0.25),
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |                  event_id, value FROM events),
+             |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |             list(value ORDER BY us, event_id) AS vals
+             |      FROM e GROUP BY 1)
+             |SELECT user_id, n_events,
+             |       list_reduce(vals, (a, b) -> (a * 0.75) + (b * 0.25)) AS ewma
+             |FROM g""".stripMargin)),
 
     QueryDef("q97_hopping",
       (s, dir) => StreamOps.hoppingCounts(Tables.events(s, dir)),

@@ -151,6 +151,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows === Map(0 -> 16, 1 -> 12, 2 -> 4))
   }
 
+  test("ewma: sequential fold in event order, init = first value") {
+    val ev = Seq(
+      (1L, 10L, 100L, 8.0), (1L, 20L, 101L, 4.0), (1L, 30L, 102L, 0.0),
+      (2L, 5L, 200L, 7.5) // single event: ewma = the value itself
+    ).toDF("user_id", "ts_us", "event_id", "value")
+    val got = graft.operators.TimeSeries
+      .ewma(ev, "user_id", "ts_us", "event_id", "value", alpha = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // user 1: s1=8, s2=8*.75+4*.25=7, s3=7*.75+0*.25=5.25 (exact binary)
+    assert(got === Map(1L -> 5.25, 2L -> 7.5))
+  }
+
   test("gapFillHourlyLocf: grid spans first..last hour, holes carry forward") {
     val hr = 3600000000L
     val ev = Seq(
