@@ -246,4 +246,57 @@ object QualityChecks {
     }
     w.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Deterministic HyperLogLog (Flajolet et al. 2007) distinct estimate —
+    * the REPLAYABLE counterpart of `approx_count_distinct` (whose HLL++
+    * register layout is engine-private, so q29 can only be rows-checked):
+    * every step here is integer/bit arithmetic both engines run
+    * identically, which puts the sketch itself under the DuckDB hash
+    * gate. m = 64 registers; h = (x·2654435761 + 7) mod P (fits int64 up
+    * to x ≈ 3.4·10^9); register j = h mod 64, rank ρ = 1 + trailing
+    * zeros of h div 64 (`length(bin(v & −v))` — no libm log2), zero
+    * residue capped. The register fold is the classic harmonic mean:
+    * terms 2^−M_j are EXACT powers of two built by integer shift + one
+    * exact division (never `pow`, whose last ulp is libm territory),
+    * summed in register order via the seeded-fold convention, absent
+    * registers appended as +1.0 each at the end — one fixed operation
+    * order, bit-identical across engines.
+    *
+    * Scale shape: (group, register) partial-aggregates map-side to
+    * ≤ 64 rows per group per partition, the per-group fold touches 64
+    * values — the same bounded-state contract as approx_count_distinct,
+    * at any cardinality. Bias correction (linear counting) needs `ln`,
+    * so the RAW estimator is reported alongside the hit-register count;
+    * callers needing small-range correction apply it driver-side. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val P = graft.functions.TextHash.P
+    // affine map alone is NOT enough here: sequential keys form an
+    // arithmetic progression mod P whose trailing-zero statistics are
+    // biased (+50% on a 2k-distinct test), so two QUADRATIC rounds
+    // follow — affine∘affine stays affine, squaring does not. h² ≤
+    // (P−1)² ≈ 1.0e18 keeps every step inside int64.
+    val h0 = (col(valueCol).cast("long") * 2654435761L + 7L) % P
+    val regs = df
+      .select(col(groupCol), h0.as("h"))
+      .select(col(groupCol), ((col("h") * col("h") + col("h") * 5L + 1L) % P).as("h"))
+      .select(col(groupCol), ((col("h") * col("h") + col("h") * 3L + 7L) % P).as("h"))
+      .select(col(groupCol), (col("h") % 64).cast("int").as("j"),
+        expr("h div 64").as("v"))
+      .select(col(groupCol), col("j"),
+        when(col("v") === 0L, lit(25)).otherwise(length(bin(expr("v & -v")))).as("rho"))
+      .groupBy(col(groupCol), col("j")).agg(max(col("rho")).as("mj"))
+    regs.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("j"), col("mj")))).as("rs"))
+      .select(col(groupCol),
+        size(col("rs")).as("n_registers"),
+        expr("transform(rs, r -> 1.0D / CAST(shiftleft(1L, r.mj) AS DOUBLE))").as("terms"))
+      .select(col(groupCol), col("n_registers"),
+        (expr("aggregate(slice(terms, 2, size(terms) - 1), terms[0], (a, x) -> a + x)")
+          + (lit(64) - col("n_registers")).cast("double")).as("inv_sum"))
+      .select(col(groupCol), col("n_registers"),
+        // α_64·m² pre-multiplied to ONE double literal (0.709·4096 —
+        // composing it from two literals would round differently than
+        // DuckDB's decimal-exact product)
+        (lit(2904.064) / col("inv_sum")).as("raw_est"))
+  }
 }

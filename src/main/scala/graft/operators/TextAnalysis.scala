@@ -373,4 +373,124 @@ object TextAnalysis {
       .filter(col("rn") <= perStratum)
       .select(col("doc_id"), col(stratumCol), col("rn"))
   }
+
+  /** Corpus-trained unigram-LM quality score — the CCNet/KenLM
+    * perplexity-filter shape: train token frequencies on the corpus
+    * itself, score each doc by its mean token probability. The textbook
+    * statistic is mean log-prob; `log` is a libm call whose last-ulp
+    * rounding differs across engines, so the score here is the mean
+    * SCALED probability `Σ c·⌊cnt·scale/N⌋ div n_tokens` — all-integer,
+    * bit-identical in both engines, and ordering docs by common-token
+    * mass exactly as the filter needs (rare-token/garbage docs score
+    * low, natural-vocabulary docs high).
+    *
+    * Shuffle profile at corpus scale: the (doc, token) tf groupBy and
+    * the vocabulary count groupBy are both map-side partial; the
+    * token-probability join has ONE build row per vocabulary key, so
+    * stopword-grade hot tokens mean a busy partition, never a quadratic
+    * blowup (AQE skew split handles the residue); the corpus-total
+    * scalar rides a one-row broadcast. `scale` bounds intermediate
+    * magnitude: cnt·scale must fit int64, so 1e6 leaves headroom up to
+    * ~9·10^12 corpus tokens — raise N, lower scale at the extreme. */
+  def lmQualityScore(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextHash.wordHashes(col("text"))).as("wh"))
+    val per = toks.groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+    val vocab = toks.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val probs = vocab.crossJoin(broadcast(tot))
+      .select(col("wh"), expr(s"(cnt * ${scale}L) div n").as("p_scaled"))
+    per.join(probs, "wh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("p_scaled")).as("s"), sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("s div n_tokens").as("lm_score"))
+  }
+
+  /** Hashed n-gram importance weighting — the DSIR shape (Xie et al.
+    * 2023, arXiv:2302.03169): score every raw doc by how much its hashed
+    * feature mass looks like a TARGET domain relative to the raw corpus.
+    * Features are word hashes folded into `buckets` cells; the bucket
+    * ratio r_b = ⌊(tcnt_b+1)·scale / (rcnt_b+1)⌋ is the add-one-smoothed
+    * target/raw frequency ratio in integer arithmetic (the log-ratio of
+    * the paper is a monotone transform per bucket; summing scaled ratios
+    * keeps cross-engine bit-equality and the same "looks like target"
+    * ordering). Weight = per-doc mean bucket ratio.
+    *
+    * Scale shape: the feature histogram is BOUNDED (`buckets` rows), so
+    * the ratio table broadcasts however large the corpus — the per-doc
+    * pass is one map-side-partial groupBy on (doc, bucket) plus a
+    * broadcast join, no corpus-side wide shuffle at all beyond the
+    * doc-keyed re-aggregation. */
+  def importanceWeights(docs: DataFrame, targetSource: String,
+      buckets: Int = 256, scale: Long = 1000000L): DataFrame = {
+    val feat = docs.select(col("doc_id"), col("source"),
+        explode(TextHash.wordHashes(col("text"))).as("wh"))
+      .select(col("doc_id"), col("source"),
+        pmod(col("wh"), lit(buckets.toLong)).as("b"))
+    val raw = feat.groupBy(col("b")).agg(count(lit(1)).as("rcnt"))
+    val tgt = feat.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("tcnt"))
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr(s"((coalesce(tcnt, 0L) + 1L) * ${scale}L) div (rcnt + 1L)").as("r"))
+    feat.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("r")).as("s"), sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("s div n_tokens").as("weight"))
+  }
+
+  /** BPE merge LEARNING (Sennrich et al. 2016, arXiv:1508.07909) — the
+    * tokenizer-training primitive itself, not just the pre-tokenization
+    * counting of [[tokenCounts]]. The classic reduction makes it
+    * tractable at corpus scale: one corpus scan builds the word-FREQUENCY
+    * dict (vocab-sized, ≪ corpus — this is how real BPE trainers run),
+    * then every merge round runs over the dict alone: weighted adjacent
+    * symbol-pair counts (map-side partial groupBy), a deterministic
+    * argmax ((count desc, pair asc) — a 1-row collect, the same driver-
+    * loop shape as the Lloyd/medoid iterations), and a literal
+    * non-overlapping left-to-right `replace` of the winning pair in every
+    * word's symbol string (greedy BPE apply; `replace` is literal in both
+    * engines, so no token escaping issues). Output = the learned merge
+    * table (round, pair, merged symbol, support), which IS the tokenizer
+    * artifact. Real trainers run tens of thousands of rounds where this
+    * demonstrates the per-round dataflow; rounds are inherently
+    * sequential (each argmax depends on the previous apply), so depth —
+    * not the corpus — is the only driver-side loop. */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf0 = docs.select(explode(TextHash.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("rep", concat_ws(" ", split(col("w"), "")))
+      .localCheckpoint(false) // dict reused every round; never rescan the corpus
+    var wf = wf0
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val pairs = wf.select(col("freq"), split(col("rep"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS pa, syms[i] AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
+      if (best.nonEmpty) {
+        val (pa, pb, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, pa, pb, pa + pb, cnt))
+        wf = wf.withColumn("rep", trim(functions_replace(
+          concat(lit(" "), col("rep"), lit(" ")),
+          lit(s" $pa $pb "), lit(s" $pa$pb "))))
+      }
+    }
+    merges.result().toDF("round", "pa", "pb", "merged", "cnt")
+  }
+
+  // `replace` collides with scala.Predef-adjacent names when imported via
+  // functions._ wildcards in some scopes; bind it explicitly
+  private def functions_replace(src: Column, search: Column, repl: Column): Column =
+    org.apache.spark.sql.functions.replace(src, search, repl)
 }

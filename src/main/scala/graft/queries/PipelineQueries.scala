@@ -1646,6 +1646,74 @@ object PipelineQueries {
              |       list_reduce(vals, (a, b) -> (a * 0.75) + (b * 0.25)) AS ewma
              |FROM g""".stripMargin)),
 
+    // corpus-trained unigram-LM quality score (the CCNet/KenLM
+    // perplexity-filter shape) — mean SCALED token probability in
+    // all-integer arithmetic (log is libm territory; the monotone
+    // scaled-ratio form keeps the cross-engine hash gate)
+    QueryDef("q118_lm_quality",
+      (s, dir) => TextAnalysis.lmQualityScore(Tables.load(s, dir, "documents")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM documents),
+             |per AS (SELECT doc_id, wh, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+             |vocab AS (SELECT wh, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+             |probs AS (SELECT wh, (cnt * 1000000) // n AS p_scaled FROM vocab CROSS JOIN tot),
+             |sc AS (SELECT per.doc_id, CAST(sum(per.c * probs.p_scaled) AS BIGINT) AS s,
+             |              CAST(sum(per.c) AS BIGINT) AS n_tokens
+             |       FROM per JOIN probs USING (wh) GROUP BY 1)
+             |SELECT doc_id, n_tokens, s // n_tokens AS lm_score FROM sc""".stripMargin)),
+
+    // DSIR-shaped importance weighting (hashed n-gram features, add-one-
+    // smoothed target/raw bucket ratios, integer-scaled) — target domain
+    // = source 'src0'; the 256-row ratio table broadcasts at any corpus
+    // size
+    QueryDef("q119_importance",
+      (s, dir) => TextAnalysis.importanceWeights(
+        Tables.load(s, dir, "documents"), targetSource = "src0"),
+      Some(s"""WITH feat AS (SELECT doc_id, source,
+             |                      unnest(${TextHash.wordHashesSql("text")}) % 256 AS b
+             |               FROM documents),
+             |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM feat GROUP BY 1),
+             |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt
+             |        FROM feat WHERE source = 'src0' GROUP BY 1),
+             |ratio AS (SELECT raw.b, ((coalesce(tgt.tcnt, 0) + 1) * 1000000) // (raw.rcnt + 1) AS r
+             |          FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+             |per AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM feat GROUP BY 1, 2),
+             |sc AS (SELECT per.doc_id, CAST(sum(per.c * ratio.r) AS BIGINT) AS s,
+             |              CAST(sum(per.c) AS BIGINT) AS n_tokens
+             |       FROM per JOIN ratio ON per.b = ratio.b GROUP BY 1)
+             |SELECT doc_id, n_tokens, s // n_tokens AS weight FROM sc""".stripMargin)),
+
+    // BPE merge learning, 4 rounds unrolled in the oracle: each round's
+    // weighted pair count, (cnt DESC, pa, pb) argmax, and greedy literal
+    // re-segmentation replay in SQL over the word-frequency dict
+    QueryDef("q120_bpe_merges",
+      (s, dir) => TextAnalysis.learnBpeMerges(Tables.load(s, dir, "documents"), nMerges = 4),
+      Some {
+        val rounds = 1 to 4
+        val wf0 =
+          """wf0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+            |               array_to_string(string_split(w, ''), ' ') AS rep
+            |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            |        WHERE w <> '' GROUP BY w)""".stripMargin
+        val per = rounds.map { r =>
+          s"""e$r AS (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+             |        FROM (SELECT freq, string_split(rep, ' ') AS syms FROM wf${r - 1})
+             |        WHERE len(syms) >= 2),
+             |pr$r AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, CAST(sum(freq) AS BIGINT) AS cnt
+             |         FROM e$r GROUP BY 1, 2),
+             |best$r AS (SELECT $r AS round, pa, pb, pa || pb AS merged, cnt
+             |           FROM pr$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+             |wf$r AS (SELECT w, freq,
+             |           trim(replace(' ' || rep || ' ', ' ' || b.pa || ' ' || b.pb || ' ',
+             |                        ' ' || b.pa || b.pb || ' ')) AS rep
+             |         FROM wf${r - 1} CROSS JOIN best$r b)""".stripMargin
+        }
+        val sel = rounds
+          .map(r => s"SELECT round, pa, pb, merged, cnt FROM best$r")
+          .mkString("\nUNION ALL\n")
+        s"WITH $wf0,\n${per.mkString(",\n")}\n$sel"
+      }),
+
     QueryDef("q97_hopping",
       (s, dir) => StreamOps.hoppingCounts(Tables.events(s, dir)),
       Some("""WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value

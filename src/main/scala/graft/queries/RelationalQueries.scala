@@ -1293,5 +1293,34 @@ object RelationalQueries {
       (s, dir) => Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("rflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
-      None))
+      None),
+
+    // deterministic 64-register HLL whose every step (hash, rank via
+    // bin-length, exact power-of-two harmonic fold) replays in DuckDB —
+    // the hash-gated counterpart of q29's engine-private HLL++
+    QueryDef("q29b_hll_manual",
+      (s, dir) => graft.operators.QualityChecks.hllDistinct(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rflag"), col("l_partkey")),
+        "rflag", "l_partkey"),
+      Some("""WITH h0 AS (SELECT l_returnflag AS rflag,
+             |                   (CAST(l_partkey AS BIGINT) * 2654435761 + 7) % 1000000007 AS h
+             |            FROM lineitem),
+             |h1 AS (SELECT rflag, (h * h + h * 5 + 1) % 1000000007 AS h FROM h0),
+             |h AS (SELECT rflag, (h * h + h * 3 + 7) % 1000000007 AS h FROM h1),
+             |r AS (SELECT rflag, CAST(h % 64 AS INTEGER) AS j, h // 64 AS v FROM h),
+             |rr AS (SELECT rflag, j,
+             |              CASE WHEN v = 0 THEN 25
+             |                   ELSE CAST(length(bin(v & -v)) AS INTEGER) END AS rho
+             |       FROM r),
+             |m AS (SELECT rflag, j, max(rho) AS mj FROM rr GROUP BY 1, 2),
+             |g AS (SELECT rflag, CAST(count(*) AS INTEGER) AS n_registers,
+             |             list(CAST(1.0 AS DOUBLE) / CAST((1 << mj) AS DOUBLE) ORDER BY j) AS terms
+             |      FROM m GROUP BY 1),
+             |s AS (SELECT rflag, n_registers,
+             |             list_reduce(terms, (a, b) -> a + b)
+             |               + CAST(64 - n_registers AS DOUBLE) AS inv_sum
+             |      FROM g)
+             |SELECT rflag, n_registers, CAST(2904.064 AS DOUBLE) / inv_sum AS raw_est
+             |FROM s""".stripMargin)))
 }

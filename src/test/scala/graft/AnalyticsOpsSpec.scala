@@ -266,4 +266,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ranks(1L) < ranks(2L), s"higher tf must outrank at equal length: $ranks")
     assert(ranks(3L) < ranks(2L), s"rarer term must outweigh commoner: $ranks")
   }
+
+  test("lmQualityScore: common-vocabulary docs outscore rare-token docs, exactly") {
+    // corpus tokens: a x5, b x1, z x1 (N=7); p_scaled = cnt*1e6 // 7
+    val docs = Seq(
+      (1L, "a a a a", "s"), (2L, "a b", "s"), (3L, "z", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.lmQualityScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pA = 5L * 1000000L / 7L // 714285
+    val pB = 1L * 1000000L / 7L // 142857
+    assert(got(1L) === ((4L, pA)), s"all-common doc scores p_a exactly: $got")
+    assert(got(2L) === ((2L, (pA + pB) / 2)), s"mixed doc averages: $got")
+    assert(got(3L) === ((1L, pB)), s"rare-only doc scores the floor: $got")
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
+  test("importanceWeights: target-vocabulary docs weigh high, absent buckets get the smoothed floor") {
+    // polyHash("aa") % 256 = 32, polyHash("bb") % 256 = 64 — distinct cells
+    val docs = Seq(
+      (1L, "aa aa", "t"), (2L, "bb bb", "o"), (3L, "aa bb", "o")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.importanceWeights(docs, targetSource = "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // raw: aa-cell 3, bb-cell 3; target: aa-cell 2, bb-cell absent
+    val rAa = (2L + 1L) * 1000000L / (3L + 1L) // 750000
+    val rBb = (0L + 1L) * 1000000L / (3L + 1L) // 250000 (add-one floor)
+    assert(got === Map(1L -> rAa, 2L -> rBb, 3L -> (rAa + rBb) / 2),
+      s"exact smoothed ratios expected: $got")
+  }
+
+  test("hllDistinct: raw estimate lands within HLL error bounds and registers stay bounded") {
+    // 2000 distinct values, all in one group; m=64 → standard error
+    // 1.04/sqrt(64) ~ 13%; allow 3 sigma. Duplicates must not move the
+    // sketch (set semantics).
+    val vals = (1L to 2000L) ++ (1L to 500L)
+    val df = vals.map(v => ("g", v)).toDF("grp", "v")
+    val out = QualityChecks.hllDistinct(df, "grp", "v").collect()
+    assert(out.length === 1)
+    val (nReg, est) = (out(0).getInt(1), out(0).getDouble(2))
+    assert(nReg <= 64, s"register count must stay bounded: $nReg")
+    assert(est > 2000 * 0.6 && est < 2000 * 1.4,
+      s"raw HLL estimate off for 2000 distinct: $est")
+    val dedupedEst = QualityChecks.hllDistinct(
+      (1L to 2000L).map(v => ("g", v)).toDF("grp", "v"), "grp", "v")
+      .collect()(0).getDouble(2)
+    assert(dedupedEst === est, "duplicates must not move the sketch")
+  }
+
+  test("learnBpeMerges: frequency-ordered merges, greedy non-overlapping apply") {
+    val docs = Seq((1L, "ab ab ab cd", "s")).toDF("doc_id", "text", "source")
+    val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 3 finds no pair left — the table stops at 2 learned merges
+    assert(merges.toSeq === Seq((1, "a", "b", "ab", 3L), (2, "c", "d", "cd", 1L)), merges.mkString(","))
+
+    // greedy left-to-right: "a a a" merges to "aa a" (not "a aa"), so
+    // round 2's top pair is (aa, a)
+    val tri = Seq((1L, "aaa aaa", "s")).toDF("doc_id", "text", "source")
+    val triMerges = TextAnalysis.learnBpeMerges(tri, nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(triMerges.toSeq === Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)),
+      triMerges.mkString(","))
+  }
 }

@@ -44,7 +44,8 @@ class QualityGatesSpec extends SparkSpec {
     "q86_bm25", "q87_pagerank",
     // one-row scalar attaches (audit counters, histogram total) and the
     // 4-row threshold probe of the COLLAPSED histogram — never the data
-    "q92_fk_audit", "q93_hist_quantiles", "q99_cooccurrence")
+    "q92_fk_audit", "q93_hist_quantiles", "q99_cooccurrence",
+    "q118_lm_quality")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
