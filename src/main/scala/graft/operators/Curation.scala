@@ -237,4 +237,49 @@ object Curation {
         explode(when(n >= 1, sequence(lit(1), n))
           .otherwise(array().cast("array<int>"))).as("copy"))
   }
+
+  /** Curriculum ordering: a GLOBAL total-order rank over the whole
+    * corpus (e.g. easy→hard by quality score) computed the way that
+    * survives 100 TB. A single-partition `row_number() OVER (ORDER BY …)`
+    * funnels the corpus through one task; instead this range-partitions
+    * on the sort key (Spark samples boundaries), sorts within each range,
+    * and assigns indices with `zipWithIndex` — one lightweight per-
+    * partition count job plus one pass, no global funnel. The sort must
+    * be TOTAL (callers append a tiebreak id) so the rank is deterministic
+    * and replayable. The one justified RDD hop in this codebase outside
+    * codec kernels: Dataset has no distributed rank-assignment
+    * primitive. */
+  def curriculumRank(df: DataFrame, sortCols: Seq[Column],
+      numRanges: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val sorted = df.repartitionByRange(numRanges, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add(StructField("rank", LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex()
+      .map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(ranked, schema)
+  }
+
+  /** Greedy per-source token-budget fill: docs are admitted in
+    * content-hash order (replayable, unbiased by id assignment) until
+    * each source's running token total would exceed `budget` — how a
+    * mixture target ("≤ N tokens of web, ≤ M of code") is actually cut
+    * from an over-sized corpus. One shuffle on the source key; the
+    * cumulative window never materializes beyond each source
+    * partition. Skew note: sources are few and large at corpus scale,
+    * so the window key is the mixture's natural parallelism — pipelines
+    * needing finer grain pre-shard sources (the same (source, shard)
+    * trick sequencePack documents). */
+  def budgetFill(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(TextHash.polyHash(col("text")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+        col("text"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
 }

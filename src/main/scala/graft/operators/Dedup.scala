@@ -175,6 +175,30 @@ object Dedup {
       lshCandidates(lshBands(minhashSignatures(corpus, numHashes), rowsPerBand)),
       minJaccard)
 
+  /** Edit-distance-gated near-dup pairs: LSH proposes, LEVENSHTEIN
+    * decides — the gate record-linkage pipelines use where Jaccard's
+    * bag-of-shingles view is too loose (transpositions, small in-place
+    * edits). Distance runs over a fixed `prefixLen`-char prefix, NOT the
+    * full text: Levenshtein is O(len²) per pair, so unbounded fields
+    * would make each candidate a quadratic straggler at corpus scale —
+    * prefix gating (or a title/name field) is the standard practice.
+    * Candidate generation is the same banded equi-join as every other
+    * pair family (no all-pairs step); the verify fetch joins texts by id
+    * once per side. Both engines implement textbook Levenshtein, so the
+    * distances — and the gate — hash-match exactly. */
+  def editDistancePairs(corpus: DataFrame, maxDist: Int = 12,
+      prefixLen: Int = 32): DataFrame = {
+    val cand = lshCandidates(lshBands(minhashSignatures(corpus)))
+    val pfx = corpus.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pfx"))
+    cand
+      .join(pfx.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a")), "id_a")
+      .join(pfx.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** The shared exact-Jaccard gate: verify CANDIDATE pairs (id_a, id_b)
     * against the corpus shingle sets. Every pair family funnels through
     * this — candidates only propose, the exact measure decides. */

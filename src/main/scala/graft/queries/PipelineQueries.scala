@@ -1714,6 +1714,60 @@ object PipelineQueries {
         s"WITH $wf0,\n${per.mkString(",\n")}\n$sel"
       }),
 
+    // global curriculum rank (quality desc) via range-partition +
+    // zipWithIndex — the total-order rank that does NOT funnel the
+    // corpus through one window task
+    QueryDef("q121_curriculum",
+      (s, dir) => Curation.curriculumRank(
+        TextAnalysis.qualityScore(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("quality")),
+        Seq(col("quality").desc, col("doc_id"))),
+      Some(s"""WITH $tokCte,
+             |q AS (SELECT doc_id,
+             |             (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 0.5
+             |               + (1.0 - CAST(len(list_filter(tk, w -> w IN ('the', 'a'))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 0.3
+             |               + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+             |      FROM t)
+             |SELECT doc_id, quality,
+             |       CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+             |FROM q""".stripMargin)),
+
+    // greedy per-source token-budget fill in content-hash admission
+    // order — cumulative window per source, keep while <= budget
+    QueryDef("q122_budget_fill",
+      (s, dir) => Curation.budgetFill(Tables.load(s, dir, "documents"), budget = 600L),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |                  ${TextHash.polyHashSql("text")} AS ph
+             |           FROM documents),
+             |c AS (SELECT doc_id, source, n_tokens,
+             |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ph, doc_id
+             |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |      FROM t)
+             |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+             |WHERE cum_tokens <= 600""".stripMargin)),
+
+    // edit-distance-gated near-dup pairs: the q43 LSH candidate join,
+    // decided by Levenshtein over a 32-char prefix (both engines run
+    // textbook DP — distances hash-match)
+    QueryDef("q123_editdist_pairs",
+      (s, dir) => Dedup.editDistancePairs(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |              AND a.doc_id < b.doc_id),
+             |pfx AS (SELECT doc_id, substr(text, 1, 32) AS pfx FROM corpus)
+             |SELECT c.id_a, c.id_b, CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+             |FROM cand c JOIN pfx a ON a.doc_id = c.id_a JOIN pfx b ON b.doc_id = c.id_b
+             |WHERE levenshtein(a.pfx, b.pfx) <= 12""".stripMargin)),
+
     QueryDef("q97_hopping",
       (s, dir) => StreamOps.hoppingCounts(Tables.events(s, dir)),
       Some("""WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value

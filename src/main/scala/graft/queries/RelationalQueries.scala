@@ -1322,5 +1322,40 @@ object RelationalQueries {
              |               + CAST(64 - n_registers AS DOUBLE) AS inv_sum
              |      FROM g)
              |SELECT rflag, n_registers, CAST(2904.064 AS DOUBLE) / inv_sum AS raw_est
-             |FROM s""".stripMargin)))
+             |FROM s""".stripMargin)),
+
+    // degree-oriented triangle census over the co-purchase graph (q103's
+    // support>=2 part pairs): every edge directed toward its
+    // (degree*2^32+id)-larger endpoint, wedges join out-edges on their
+    // source, one more equi-join closes — the hub-proof shape
+    QueryDef("q124_triangles",
+      (s, dir) => graft.operators.GraphOps.triangleCount(
+        {
+          val dp = Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")).distinct()
+          dp.as("a").join(dp.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey")
+                && col("a.l_partkey") < col("b.l_partkey"))
+            .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+            .agg(count(lit(1)).as("n_orders"))
+            .filter(col("n_orders") >= 2)
+        }, "part_a", "part_b"),
+      Some("""WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |       FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+             |                          AND a.l_partkey < b.l_partkey
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+             |        FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+             |k AS (SELECT n, d * 4294967296 + n AS k FROM deg),
+             |o AS (SELECT CASE WHEN ku.k < kv.k THEN e0.u ELSE e0.v END AS s,
+             |             CASE WHEN ku.k < kv.k THEN e0.v ELSE e0.u END AS t,
+             |             CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS kt
+             |      FROM e0 JOIN k ku ON ku.n = e0.u JOIN k kv ON kv.n = e0.v),
+             |w AS (SELECT x.t AS p, y.t AS q FROM o x JOIN o y ON x.s = y.s AND x.kt < y.kt)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+             |       (SELECT CAST(count(*) AS BIGINT)
+             |        FROM w JOIN o ON w.p = o.s AND w.q = o.t) AS n_triangles""".stripMargin)))
 }

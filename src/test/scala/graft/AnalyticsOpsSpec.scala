@@ -329,4 +329,17 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(triMerges.toSeq === Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)),
       triMerges.mkString(","))
   }
+
+  test("triangleCount: K4 has 4 triangles; a hub star closes exactly its leaf edges") {
+    def census(edges: Seq[(Long, Long)]) = GraphOps
+      .triangleCount(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val k4 = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    assert(census(k4) === ((4L, 6L, 4L, 4L)), "K4: C(4,3)=4 triangles, wedges == triangles")
+    // star hub 0 -> leaves 1..5 plus one leaf-leaf edge: 1 triangle;
+    // duplicate + reversed edges must not change the census
+    val star = (1L to 5L).map(l => (0L, l)) ++ Seq((1L, 2L), (2L, 1L), (0L, 1L))
+    val (n, e, _, t) = census(star)
+    assert((n, e, t) === ((6L, 6L, 1L)), s"star census: n=$n e=$e t=$t")
+  }
 }

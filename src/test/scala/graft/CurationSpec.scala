@@ -46,4 +46,35 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq.sorted
     assert(out === Seq((1L, 1), (1L, 2)))
   }
+
+  test("curriculumRank: global rank equals the total sort order across range partitions") {
+    val df = (1L to 500L).map(i => (i, (i * 37) % 101))
+      .toDF("id", "score")
+    val got = Curation.curriculumRank(df,
+        Seq(col("score").desc, col("id")), numRanges = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = got.toSeq.sortBy { case (id, s, _) => (-s, id) }
+      .zipWithIndex.map { case ((id, s, _), i) => (id, s, i + 1L) }
+    assert(got.toSeq.sortBy(_._3) === expected,
+      "zipWithIndex rank must equal the global (score desc, id) order")
+    assert(got.map(_._3).toSet === (1L to 500L).toSet, "ranks are a permutation")
+  }
+
+  test("budgetFill: kept docs are exactly the per-source hash-order prefix under budget") {
+    import graft.functions.TextHash
+    val docs = Seq(
+      (1L, Seq.fill(40)("aa").mkString(" "), "s"),
+      (2L, Seq.fill(40)("bb").mkString(" "), "s"),
+      (3L, Seq.fill(40)("cc").mkString(" "), "s"),
+      (4L, Seq.fill(10)("dd").mkString(" "), "t")).toDF("doc_id", "text", "source")
+    val kept = Curation.budgetFill(docs, budget = 80L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // admission order within source s is by content hash — recompute it
+    // independently to know WHICH two 40-token docs fit the 80 budget
+    val order = docs.filter(col("source") === "s")
+      .select(col("doc_id"), TextHash.polyHash(col("text")).as("ph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).map(_._1)
+    assert(kept.keySet === Set(order(0), order(1), 4L), s"kept=$kept order=${order.toSeq}")
+    assert(kept(order(0)) === 40L && kept(order(1)) === 80L && kept(4L) === 10L)
+  }
 }

@@ -84,4 +84,22 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(1)._2 - math.sqrt(0.5)) < 1e-12)
     assert(got(2)._1 === 2L && got(2)._2 === 0.0)
   }
+
+  test("editDistancePairs: LSH proposes, the prefix Levenshtein gate decides") {
+    // three docs sharing 30 tokens (identical shingle tails -> all three
+    // pairs are LSH candidates); prefixes differ by the first word only
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa $base", "s"),            // vs 2: dist = 3  (drop "aa ")
+      (2L, base, "s"),
+      (3L, s"categorically $base", "s")  // vs 2: dist = 14 > 12
+    ).toDF("doc_id", "text", "source")
+    val pairs = graft.operators.Dedup.editDistancePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      s"only the small-edit pair survives the gate: ${pairs.toSeq}")
+    // a 3-char front edit shifts the 32-char window, so the window tails
+    // disagree by the same 3 chars: prefix-gated distance = 2x the shift
+    assert(pairs.head._3 === 6, s"dist over shifted 32-char windows = 6: ${pairs.toSeq}")
+  }
 }

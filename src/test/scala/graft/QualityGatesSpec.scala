@@ -45,7 +45,9 @@ class QualityGatesSpec extends SparkSpec {
     // one-row scalar attaches (audit counters, histogram total) and the
     // 4-row threshold probe of the COLLAPSED histogram — never the data
     "q92_fk_audit", "q93_hist_quantiles", "q99_cooccurrence",
-    "q118_lm_quality")
+    "q118_lm_quality",
+    // one-row graph-census attaches (nodes/edges/wedges/triangles)
+    "q124_triangles")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
