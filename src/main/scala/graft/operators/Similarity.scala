@@ -468,4 +468,79 @@ object Similarity {
         (fdot(col("e_n"), col("e_o")) / (col("n_n") * col("n_o"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Top principal direction of the embedding cloud by POWER ITERATION
+    * in integer arithmetic — the distributed linear-algebra pass
+    * geometry-based curation (SemDeDup-family) sits on. Embeddings
+    * quantize to EXACT integers first (`floor(x·1024)` — a float's
+    * value times 1024 is exact in double, and floor avoids the engines'
+    * round-half disagreement); each round is then one corpus pass:
+    * per-row dot = ⟨q, v⟩ (int64 fold), coarsened `div 1024`;
+    * per-dimension wᵢ = Σ dot·qᵢ (map-side partial groupBy over
+    * exploded dims); renormalize v ← w·S div max|w| (integer division —
+    * direction preserved, no libm sqrt; driver side runs it in BigInt
+    * exactly as DuckDB runs it in HUGEINT). v rides the next round as
+    * 64 literals — the Lloyd-loop shape, each collect 64 values.
+    *
+    * Magnitude audit (overflow is the real scale risk): |q| ≲ 2¹¹,
+    * S = 10⁵ → |dot| ≤ 64·2¹¹·S ≈ 2³⁴, div 1024 → 2²⁴; |w| ≤ N·2²⁴·2¹¹
+    * = N·2³⁵ — int64-safe to N ≈ 10⁸ rows, and the guard THROWS beyond
+    * it rather than overflow silently. Past that, power-iterate a
+    * deterministic hash-sample: principal directions stabilize at
+    * sample sizes far below corpus scale. */
+  /** Retrieval-eval metrics for an ANN index vs the exact baseline —
+    * the harness every approximate index ships with: per-query
+    * recall@k (|approx ∩ exact top-k| / k) and the reciprocal rank of
+    * the TRUE nearest neighbor inside the approx list, in SCALED
+    * integer form (`10⁶ div rank` — reciprocals of small ints aren't
+    * binary-exact, integer division is). Queries where the approx list
+    * misses everything still emit a row (recall 0) — silent drops would
+    * overstate quality. Inputs are the (query_id, vec_id, rank) shapes
+    * both topK operators emit; the intersection is one equi-join on
+    * (query, neighbor), grouped per query — eval cost is O(k) rows per
+    * query however large the corpus. */
+  def annEvalMetrics(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank").as("a_rank"))
+    val ex = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank").as("e_rank"))
+    val hits = ex.join(ap, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("h"),
+        coalesce(max(when(col("e_rank") === 1, expr("1000000L div a_rank"))),
+          lit(0L)).as("rr"))
+    ex.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / k).as("recall"),
+        coalesce(col("rr"), lit(0L)).as("rr_scaled"))
+  }
+
+  def pcaPowerIteration(emb: DataFrame, iters: Int = 3,
+      scale: Long = 100000L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))").as("q"))
+      .localCheckpoint(false)
+    val n = q.count()
+    require(n <= 100000000L,
+      s"int64 magnitude audit holds to ~1e8 rows, got $n — power-iterate a hash-sample")
+    val d = 64
+    var v: Seq[Long] = Seq.fill(d)(scale)
+    for (_ <- 1 to iters) {
+      val vSql = v.mkString("array(", "L, ", "L)")
+      val w = q
+        .select(col("q"), expr(
+          s"aggregate(zip_with(q, $vSql, (a, b) -> a * b), 0L, (acc, x) -> acc + x) div 1024").as("dot"))
+        .select(explode(expr("transform(q, (x, i) -> struct(i AS i, x * dot AS xd))")).as("p"))
+        .groupBy(col("p.i").as("i")).agg(sum(col("p.xd")).as("w"))
+        .orderBy(col("i"))
+        .collect().map(_.getLong(1))
+      val mx = BigInt(w.map(x => math.abs(x)).max.max(1L))
+      v = w.toSeq.map(x => ((BigInt(x) * scale) / mx).toLong)
+    }
+    v.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "v")
+  }
 }

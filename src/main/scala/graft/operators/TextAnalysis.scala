@@ -493,4 +493,25 @@ object TextAnalysis {
   // functions._ wildcards in some scopes; bind it explicitly
   private def functions_replace(src: Column, search: Column, repl: Column): Column =
     org.apache.spark.sql.functions.replace(src, search, repl)
+
+  /** Vocabulary-coverage / OOV-rate report against the top-`vocabSize`
+    * corpus unigrams — the number a tokenizer or vocab rollout is judged
+    * by before training starts. Vocab = top words by (count desc, hash
+    * asc) — the tie at the boundary is broken deterministically so both
+    * engines cut the same set. The vocab is BOUNDED by construction, so
+    * it broadcasts at any corpus size; the rest is the map-side tf
+    * shape plus one doc-keyed re-aggregation. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextHash.wordHashes(col("text"))).as("wh"))
+    val vocab = toks.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("wh")).limit(vocabSize)
+      .select(col("wh"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - coalesce(sum(col("in_vocab")), lit(0L))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
 }

@@ -1768,6 +1768,81 @@ object PipelineQueries {
              |FROM cand c JOIN pfx a ON a.doc_id = c.id_a JOIN pfx b ON b.doc_id = c.id_b
              |WHERE levenshtein(a.pfx, b.pfx) <= 12""".stripMargin)),
 
+    // retrieval eval: recall@5 + scaled reciprocal rank of the true
+    // nearest neighbor, IVF(label cells) vs exact brute force — the
+    // eval harness an ANN index ships with
+    QueryDef("q127_ann_eval",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.annEvalMetrics(
+          Similarity.ivfTopK(queries, emb, 5),
+          Similarity.bruteForceTopK(queries, emb, 5), k = 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+             |           FROM embeddings WHERE vec_id < 10),
+             |sc_e AS (SELECT query_id, vec_id, ${Similarity.cosineSql("q_emb", "embedding")} AS cos
+             |         FROM embeddings, q WHERE vec_id != query_id),
+             |ex AS (SELECT query_id, vec_id, e_rank FROM (
+             |         SELECT query_id, vec_id,
+             |                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS e_rank
+             |         FROM sc_e) WHERE e_rank <= 5),
+             |sc_a AS (SELECT query_id, vec_id, ${Similarity.cosineSql("q_emb", "embedding")} AS cos
+             |         FROM embeddings, q WHERE label = q_label AND vec_id != query_id),
+             |ap AS (SELECT query_id, vec_id, a_rank FROM (
+             |         SELECT query_id, vec_id,
+             |                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS a_rank
+             |         FROM sc_a) WHERE a_rank <= 5),
+             |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS h,
+             |             coalesce(max(CASE WHEN e.e_rank = 1 THEN 1000000 // a.a_rank END), 0) AS rr
+             |      FROM ex e JOIN ap a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+             |      GROUP BY 1)
+             |SELECT qq.query_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+             |       CAST(coalesce(h.h, 0) AS DOUBLE) / 5 AS recall,
+             |       CAST(coalesce(h.rr, 0) AS BIGINT) AS rr_scaled
+             |FROM (SELECT DISTINCT query_id FROM ex) qq LEFT JOIN h ON h.query_id = qq.query_id""".stripMargin)),
+
+    // PCA top principal direction by integer power iteration, all three
+    // rounds unrolled in SQL (w sums ride DuckDB's HUGEINT exactly as
+    // the driver rides BigInt); output = the 64-dim scaled direction
+    QueryDef("q125_pca_power",
+      (s, dir) => Similarity.pcaPowerIteration(Tables.load(s, dir, "embeddings")),
+      Some {
+        val rounds = 1 to 3
+        val q0 =
+          """q AS (SELECT list_transform(embedding,
+            |                x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+            |       FROM embeddings)""".stripMargin
+        val per = rounds.map { r =>
+          val dotExpr =
+            if (r == 1) "list_reduce(list_transform(generate_series(1, 64), j -> q[j] * 100000), (a, b) -> a + b) // 1024"
+            else s"list_reduce(list_transform(generate_series(1, 64), j -> q[j] * vl[j]), (a, b) -> a + b) // 1024"
+          val dFrom = if (r == 1) "q" else s"q CROSS JOIN l${r - 1}"
+          s"""d$r AS (SELECT q, $dotExpr AS dot FROM $dFrom),
+             |e$r AS (SELECT dot, q, unnest(generate_series(1, 64)) AS j FROM d$r),
+             |w$r AS (SELECT j, sum(q[j] * dot) AS w FROM e$r GROUP BY 1),
+             |m$r AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w$r),
+             |v$r AS (SELECT j, CAST((w * 100000) // mx AS BIGINT) AS v FROM w$r CROSS JOIN m$r),
+             |l$r AS (SELECT list(v ORDER BY j) AS vl FROM v$r)""".stripMargin
+        }
+        s"WITH $q0,\n${per.mkString(",\n")}\n" +
+          "SELECT CAST(j - 1 AS INTEGER) AS i, v FROM v3"
+      }),
+
+    // vocabulary coverage / OOV rate vs the top-256 corpus unigrams —
+    // boundary tie broken by (count desc, hash asc) on both engines
+    QueryDef("q126_vocab_coverage",
+      (s, dir) => TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM documents),
+             |cnt AS (SELECT wh, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+             |vocab AS (SELECT wh FROM cnt ORDER BY cnt DESC, wh LIMIT 256),
+             |per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |               CAST(count(v.wh) AS BIGINT) AS n_in
+             |        FROM tok t LEFT JOIN vocab v ON t.wh = v.wh GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_tokens - n_in AS n_oov,
+             |       CAST(n_tokens - n_in AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+             |FROM per""".stripMargin)),
+
     QueryDef("q97_hopping",
       (s, dir) => StreamOps.hoppingCounts(Tables.events(s, dir)),
       Some("""WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value

@@ -342,4 +342,13 @@ class AnalyticsOpsSpec extends SparkSpec {
     val (n, e, _, t) = census(star)
     assert((n, e, t) === ((6L, 6L, 1L)), s"star census: n=$n e=$e t=$t")
   }
+
+  test("vocabCoverage: OOV is exactly the mass outside the top-k vocab") {
+    val docs = Seq((1L, "a a b", "s"), (2L, "c", "s")).toDF("doc_id", "text", "source")
+    // vocabSize=1 -> vocab = {a} (count 2 beats the count-1 tie)
+    val got = TextAnalysis.vocabCoverage(docs, vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 1L, 1.0 / 3.0)), s"doc1: only 'b' is OOV: $got")
+    assert(got(2L) === ((1L, 1L, 1.0)), s"doc2 is fully OOV: $got")
+  }
 }

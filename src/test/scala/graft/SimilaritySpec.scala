@@ -9,6 +9,8 @@ import graft.operators.Similarity
   * correctness gate too; see Similarity scaladoc for the analytic bound). */
 class SimilaritySpec extends SparkSpec {
 
+  import spark.implicits._
+
   private val dir = "/root/testdata/sf0.001"
 
   test("injected near-dup embeddings are true near-dups (cos ≈ 0.998+)") {
@@ -85,5 +87,39 @@ class SimilaritySpec extends SparkSpec {
     val probedUpper = 2L * cellSizes.values.max * nQueries // loose per-query bound
     assert(probedUpper < fullScan * 6 / 10,
       s"probe bound $probedUpper not < 60% of brute-force $fullScan — cells too skewed")
+  }
+
+  test("annEvalMetrics: recall and reciprocal rank, including the zero-overlap row") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "vec_id", "rank")
+    val approx = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 99L, 3),
+      (2L, 30L, 1), (2L, 31L, 2), (2L, 32L, 3))
+      .toDF("query_id", "vec_id", "rank")
+    val got = Similarity.annEvalMetrics(approx, exact, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 2.0 / 3.0, 500000L)),
+      s"2 hits, true NN found at approx rank 2: $got")
+    assert(got(2L) === ((0L, 0.0, 0L)), s"zero-overlap query still reports: $got")
+  }
+
+  test("pcaPowerIteration: recovers the dominant variance axis") {
+    // second moment dominated by axis 3 (coords ±1 there, ±0.05 on axis
+    // 7, zero elsewhere) — the scaled direction must peak at index 3 at
+    // full scale, with everything else an order of magnitude below
+    val rows = (1 to 40).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a(3) = if (i % 2 == 0) 1.0f else -1.0f
+      a(7) = if (i % 3 == 0) 0.05f else -0.05f
+      (i.toLong, a)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val v = Similarity.pcaPowerIteration(emb)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val peak = v.maxBy { case (_, x) => math.abs(x) }
+    assert(peak._1 === 3, s"principal axis must be 3: $v")
+    assert(math.abs(peak._2) === 100000L, "renormalization pins the peak to +-scale")
+    assert(v.filterNot(_._1 == 3).values.forall(x => math.abs(x) < 10000L),
+      s"off-axis components stay an order below: $v")
   }
 }
