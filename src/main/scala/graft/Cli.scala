@@ -193,6 +193,15 @@ object Cli {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[graft] curate: $rates; packed bins -> $outDir/packed")
 
+    case "bpe" :: corpusPath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val nMerges = o.get("merges").map(_.toInt).getOrElse(64)
+      val merges = graft.operators.TextAnalysis.learnBpeMerges(
+        spark.read.parquet(corpusPath), nMerges)
+      merges.write.mode("overwrite").parquet(s"$outDir/merges")
+      val n = spark.read.parquet(s"$outDir/merges").count()
+      println(s"[graft] bpe: learned $n merges -> $outDir/merges")
+
     case _ =>
       System.err.println(
         """usage: graft.Cli <command> ...
@@ -206,7 +215,8 @@ object Cli {
           |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N] [--fold true]
           |  compact-index <indexDir> [--buckets N]
           |  delete-index  <indexDir> <idsParquet> [--buckets N]
-          |  curate       <corpusParquet> <outDir> [--seq-len N]""".stripMargin)
+          |  curate       <corpusParquet> <outDir> [--seq-len N]
+          |  bpe          <corpusParquet> <outDir> [--merges N]""".stripMargin)
       sys.exit(2)
   }
 

@@ -194,9 +194,13 @@ object Dedup {
     cand
       .join(pfx.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a")), "id_a")
       .join(pfx.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b")), "id_b")
+      // thresholded form: banded O(maxDist·len) DP with early abandon
+      // instead of the full O(len²) table — candidates that blow the
+      // bound cost a diagonal band, not a full matrix. Returns -1 above
+      // the bound, so the gate keeps [0, maxDist].
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** The shared exact-Jaccard gate: verify CANDIDATE pairs (id_a, id_b)

@@ -29,6 +29,31 @@ object RelationalQueries {
              |  FROM orders) t WHERE rn <= 3""".stripMargin)),
 
     // ---- window: running sum (exact via decimal) ------------------------
+    // the remaining rank-family window functions in one row — lag/lead,
+    // ntile, percent_rank, cume_dist over a TOTAL per-partition order
+    // (ties broken by o_orderkey, so the rank statistics are
+    // deterministic: no peer groups, cume_dist = rownum/n)
+    QueryDef("q17c_window_suite",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_okey"),
+            lead(col("o_orderkey"), 1).over(w).as("next_okey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS okey,
+             |       lag(o_orderkey, 1) OVER w AS prev_okey,
+             |       lead(o_orderkey, 1) OVER w AS next_okey,
+             |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |       percent_rank() OVER w AS pct_rank,
+             |       cume_dist() OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
     QueryDef("q17_running_sum",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))

@@ -17,6 +17,20 @@ final case class AsOfState(ts_us: Long, tie: Long, value: Double)
   * step-A timestamp and (once seen) the first eligible step-B. */
 final case class FunnelState(aUs: Long, bUs: Option[Long])
 
+/** Token event for [[StreamOps.streamingHeavyHitters]] — `seq` is the
+  * replay order (sequential MG is order-defined). */
+final case class TokIn(grp: String, wh: Long, seq: Long)
+
+/** Misra–Gries state for [[StreamOps.streamingHeavyHitters]]: bounded
+  * counter map plus a version stamp so sinks can select the newest
+  * emission per group. */
+final case class MgState(ver: Long, counters: Map[Long, Long])
+
+/** One heavy-hitter candidate emission: `lower` is the MG counter (a
+  * lower bound on true frequency minus decrements), `ver` the state
+  * version it belongs to. */
+final case class HhOut(grp: String, ver: Long, wh: Long, lower: Long)
+
 /** Structured Streaming surface: event-time windowed aggregation with
   * watermarks, and custom sessionization state via mapGroupsWithState.
   * The reference is batch-only (SURVEY §2.7); this is the engine's
@@ -372,6 +386,43 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming heavy-hitter shortlist: Misra–Gries counters live in
+    * per-group state — ≤ k−1 counters per group FOREVER, the bounded-
+    * state contract an unbounded token stream demands (a naive
+    * streaming groupBy(token).count() holds state per DISTINCT token,
+    * which is unbounded). Each trigger folds its tokens in `seq` order
+    * through the classic update (increment / insert / decrement-all)
+    * and emits the full candidate set stamped with a state version;
+    * downstream takes the max-version rows per group. The MG guarantee
+    * (every token with true frequency > total/k is IN the candidate
+    * set) holds at every prefix; exact counts come from the batch
+    * re-count path ([[graft.operators.TextAnalysis.heavyHitters]])
+    * exactly as in batch. StreamingSpec pins the stream fold against a
+    * driver-side sequential reference and the split-batch == one-batch
+    * equality (state carries across triggers). */
+  def streamingHeavyHitters(toks: Dataset[TokIn], k: Int): Dataset[HhOut] = {
+    import toks.sparkSession.implicits._
+    require(k >= 2, s"need k >= 2, got $k")
+    toks.groupByKey(_.grp)
+      .flatMapGroupsWithState[MgState, HhOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp, evs, state: GroupState[MgState]) =>
+          val before = state.getOption.getOrElse(MgState(0L, Map.empty))
+          var m = before.counters
+          evs.toArray.sortBy(_.seq).foreach { e => m = mgUpdate(m, e.wh, k) }
+          val now = MgState(before.ver + 1, m)
+          state.update(now)
+          m.iterator.map { case (wh, c) => HhOut(grp, now.ver, wh, c) }
+      }
+  }
+
+  /** One sequential Misra–Gries step (public: the spec's driver-side
+    * reference folds through the same function). */
+  def mgUpdate(m: Map[Long, Long], x: Long, k: Int): Map[Long, Long] =
+    if (m.contains(x)) m.updated(x, m(x) + 1L)
+    else if (m.size < k - 1) m.updated(x, 1L)
+    else m.flatMap { case (w, c) => if (c > 1L) Some(w -> (c - 1L)) else None }
 
   // ---- CDC apply -----------------------------------------------------------
 

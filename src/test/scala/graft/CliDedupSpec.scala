@@ -99,4 +99,16 @@ class CliDedupSpec extends SparkSpec {
     assert(packedIds === Set(1L, 5L)) // only keepers are packed
     assert(spark.read.parquet(s"$dir/out/pii").count() === 3)
   }
+
+  test("bpe subcommand writes the learned merge table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clibpe").toString
+    Seq((1L, "ab ab ab cd", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/corpus")
+    Cli.run(spark, List("bpe", s"$dir/corpus", s"$dir/out", "--merges", "3"))
+    val merges = spark.read.parquet(s"$dir/out/merges")
+      .collect().map(r => (r.getInt(0), r.getString(3))).sorted.toSeq
+    assert(merges === Seq((1, "ab"), (2, "cd")), s"merge table on disk: $merges")
+  }
 }

@@ -47,7 +47,9 @@ class QualityGatesSpec extends SparkSpec {
     "q92_fk_audit", "q93_hist_quantiles", "q99_cooccurrence",
     "q118_lm_quality",
     // one-row graph-census attaches (nodes/edges/wedges/triangles)
-    "q124_triangles")
+    "q124_triangles",
+    // contains q51's brute-force baseline by definition (eval harness)
+    "q127_ann_eval")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -155,6 +155,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming heavy hitters: bounded MG state equals the sequential reference, across batch splits") {
+    import spark.implicits._
+    import graft.streaming.{TokIn, HhOut}
+    implicit val sqlCtx = spark.sqlContext
+    // token stream with a dominant token per group; k=3 -> 2 counters
+    val toks = Seq("a", "a", "b", "a", "c", "a", "b", "a", "d", "a")
+      .zipWithIndex.map { case (t, i) => TokIn("g", t.hashCode.toLong, i.toLong) }
+    val reference = toks.foldLeft(Map.empty[Long, Long]) {
+      (m, e) => StreamOps.mgUpdate(m, e.wh, 3)
+    }
+    def runSplit(batches: Seq[Seq[TokIn]]): Map[Long, Long] = {
+      val stream = MemoryStream[TokIn]
+      val query = StreamOps.streamingHeavyHitters(stream.toDS(), 3)
+        .writeStream.format("memory").queryName("hh")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+        val rows = spark.table("hh").as[HhOut].collect()
+        val maxVer = rows.map(_.ver).max
+        rows.filter(_.ver == maxVer).map(h => h.wh -> h.lower).toMap
+      } finally { query.stop(); spark.sql("DROP TABLE IF EXISTS hh") }
+    }
+    val oneShot = runSplit(Seq(toks))
+    val split = runSplit(Seq(toks.take(4), toks.slice(4, 7), toks.drop(7)))
+    assert(oneShot === reference, s"one-batch fold == driver reference: $oneShot vs $reference")
+    assert(split === reference, "state carries: 3 triggers == 1 trigger == reference")
+    // the MG guarantee at this prefix: 'a' (6 of 10 > 10/3) must be present
+    assert(oneShot.contains("a".hashCode.toLong), "dominant token can never be evicted")
+    assert(oneShot.size <= 2, "state stays bounded at k-1 counters")
+  }
+
   test("stream-stream join: clicks joined to purchases within the window, equals batch") {
     import spark.implicits._
     val clickRows = Seq(
