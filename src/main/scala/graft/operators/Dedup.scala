@@ -709,6 +709,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** Bloom-prefiltered decontamination — the scale path when the
+    * benchmark GRAM SET itself is too big to broadcast (a 10⁹-gram
+    * union of eval suites is tens of GB as a join side, but 2³⁰ bloom
+    * BITS are 128 MB): fold the bench grams into a deterministic Bloom
+    * bitset (k affine positions per gram, OR-ed into `mBits/64` words —
+    * `bit_or` aggregate, so the build is one map-side-partial pass),
+    * broadcast the WORDS, and pass only corpus grams whose k bits are
+    * all set. False positives are expected by construction and NEVER
+    * reach the output wrong: the shortlist (tiny) is re-verified
+    * against the exact gram set with the same equi-join q47 uses.
+    * Output per doc: shortlisted vs confirmed gram counts — the gap IS
+    * the measured FP rate, visible rather than silent. Affine position
+    * hashes are fine HERE (membership, not bit-statistics — rank bias
+    * doesn't exist, correlated positions only nudge the FP rate, and
+    * the exact verify eats FPs). */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    import TextHash.P
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1, s"mBits must be a power of two >= 64, got $mBits")
+    require(kHashes >= 1 && kHashes <= 8, s"1..8 hashes, got $kHashes")
+    val benchGrams = gram13Hashes(benchmark)
+      .select(explode(col("grams")).as("g")).distinct()
+    def positions = explode(array((0 until kHashes).map(i =>
+      TextHash.permute(lit(i), col("g")) % mBits): _*)).as("p")
+    val bf = benchGrams.select(positions)
+      .select(expr("p div 63").as("w"),
+        expr("shiftleft(1L, CAST(p % 63 AS INT))").as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
+    val corpusGrams = gram13Hashes(corpus)
+      .select(col("doc_id"), explode(array_distinct(col("grams"))).as("g"))
+    val shortlist = corpusGrams
+      .select(col("doc_id"), col("g"), positions)
+      .select(col("doc_id"), col("g"), expr("p div 63").as("w"),
+        expr("shiftleft(1L, CAST(p % 63 AS INT))").as("m"))
+      .join(broadcast(bf), Seq("w"), "left")
+      .groupBy(col("doc_id"), col("g"))
+      .agg(sum(when((col("bits").bitwiseAND(col("m"))) === col("m"), 1)
+        .otherwise(0)).as("n_set"))
+      .filter(col("n_set") === kHashes)
+      .select(col("doc_id"), col("g"))
+    val confirmed = shortlist.join(benchGrams, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_confirmed"))
+    shortlist.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shortlisted"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shortlisted"),
+        coalesce(col("n_confirmed"), lit(0L)).as("n_confirmed"))
+  }
+
   /** Duplicated-span mining — the k-gram approximation of exact-substring
     * train-data dedup (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499): a 13-gram window

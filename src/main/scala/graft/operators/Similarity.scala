@@ -517,6 +517,28 @@ object Similarity {
         coalesce(col("rr"), lit(0L)).as("rr_scaled"))
   }
 
+  /** Per-dimension embedding statistics — the feature-monitoring pass a
+    * production embedding pipeline runs on every batch (dead dims,
+    * drifted dims, scale blowups). Float sums are aggregation-order
+    * territory, so moments ride the same `floor(x·1024)` integer
+    * quantization the PCA pass uses: integer sums are exact and
+    * order-free, the mean/variance divisions happen once per dimension
+    * in one fixed double order. One narrow posexplode + one bounded
+    * (64-row) aggregation — map-side partial at any corpus size. */
+  def embeddingDimStats(emb: DataFrame): DataFrame = {
+    val q = emb.select(posexplode(
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))"))
+      .as(Seq("i", "q")))
+    q.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sumsq_q"))
+      .select(col("i"), col("n"), col("sum_q"), col("sumsq_q"),
+        (col("sum_q").cast("double") / col("n").cast("double") / 1024.0).as("mean"),
+        ((col("sumsq_q").cast("double")
+          - col("sum_q").cast("double") * col("sum_q").cast("double") / col("n").cast("double"))
+          / col("n").cast("double") / 1048576.0).as("variance"))
+  }
+
   def pcaPowerIteration(emb: DataFrame, iters: Int = 3,
       scale: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession

@@ -494,6 +494,29 @@ object TextAnalysis {
   private def functions_replace(src: Column, search: Column, repl: Column): Column =
     org.apache.spark.sql.functions.replace(src, search, repl)
 
+  /** Distribution drift between two sources as scaled TOTAL-VARIATION
+    * contributions over hashed token buckets — the corpus-monitoring
+    * statistic (is today's crawl the same language as yesterday's?)
+    * without PSI/KL's libm logs: per bucket, |p_A − p_B| in integer-
+    * scaled probabilities (`cnt·scale div total`); Σ l1_scaled / 2 is
+    * the scaled TV distance. Bounded bucket table, two map-side
+    * conditional sums in ONE pass — no join, no second scan. */
+  def tokenDriftL1(docs: DataFrame, sourceA: String, sourceB: String,
+      buckets: Int = 256, scale: Long = 1000000L): DataFrame = {
+    val feat = docs.filter(col("source").isin(sourceA, sourceB))
+      .select(col("source"), explode(TextHash.wordHashes(col("text"))).as("wh"))
+      .select(col("source"), pmod(col("wh"), lit(buckets.toLong)).as("b"))
+    val counts = feat.groupBy(col("b")).agg(
+      sum(when(col("source") === sourceA, 1L).otherwise(0L)).as("oa"),
+      sum(when(col("source") === sourceB, 1L).otherwise(0L)).as("ob"))
+    val tot = counts.agg(sum(col("oa")).as("ta"), sum(col("ob")).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("b"), col("oa"), col("ob"),
+        expr(s"(oa * ${scale}L) div ta").as("pa_scaled"),
+        expr(s"(ob * ${scale}L) div tb").as("pb_scaled"))
+      .withColumn("l1_scaled", abs(col("pa_scaled") - col("pb_scaled")))
+  }
+
   /** Vocabulary-coverage / OOV-rate report against the top-`vocabSize`
     * corpus unigrams — the number a tokenizer or vocab rollout is judged
     * by before training starts. Vocab = top words by (count desc, hash

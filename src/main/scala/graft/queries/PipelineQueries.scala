@@ -516,6 +516,46 @@ object PipelineQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
              |FROM gc JOIN gb USING (g) GROUP BY doc_id""".stripMargin)),
 
+    // Bloom-prefiltered decontamination: bench grams fold into a 65536-
+    // bit deterministic bloom (bit_or words, broadcast), corpus grams
+    // pass only if all 3 positions are set, shortlist re-verified
+    // exactly — shortlisted vs confirmed counts expose the FP rate
+    QueryDef("q128_bloom_decon",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = Dedup.withNearDuplicates(docs)
+          .filter(!(col("doc_id") % 10 === 0 && col("doc_id") < 1000000))
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+        Dedup.bloomDecontaminate(corpus, bench)
+      },
+      Some(s"""WITH $nearDupCorpus,
+             |tokc AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM corpus
+             |         WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)),
+             |tokb AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM documents
+             |         WHERE doc_id % 10 = 0),
+             |gc AS (SELECT doc_id, unnest(list_distinct(${Dedup.gram13Sql("whs")})) AS g FROM tokc),
+             |gb AS (SELECT DISTINCT unnest(${Dedup.gram13Sql("whs")}) AS g FROM tokb),
+             |bpos AS (SELECT (${TextHash.permuteSql("i", "g")}) % 65536 AS p
+             |         FROM (SELECT g, unnest([0, 1, 2]) AS i FROM gb)),
+             |bf AS (SELECT p // 63 AS w,
+             |              bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+             |       FROM bpos GROUP BY 1),
+             |cpos AS (SELECT doc_id, g, (${TextHash.permuteSql("i", "g")}) % 65536 AS p
+             |         FROM (SELECT doc_id, g, unnest([0, 1, 2]) AS i FROM gc)),
+             |chk AS (SELECT doc_id, g,
+             |               sum(CASE WHEN (bf.bits & (CAST(1 AS BIGINT) << CAST(cpos.p % 63 AS INTEGER)))
+             |                             = (CAST(1 AS BIGINT) << CAST(cpos.p % 63 AS INTEGER))
+             |                        THEN 1 ELSE 0 END) AS n_set
+             |        FROM cpos LEFT JOIN bf ON bf.w = cpos.p // 63
+             |        GROUP BY 1, 2),
+             |short AS (SELECT doc_id, g FROM chk WHERE n_set = 3),
+             |conf AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_confirmed
+             |         FROM short s JOIN gb ON gb.g = s.g GROUP BY 1)
+             |SELECT sh.doc_id, sh.n_shortlisted, coalesce(conf.n_confirmed, 0) AS n_confirmed
+             |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shortlisted
+             |      FROM short GROUP BY 1) sh
+             |LEFT JOIN conf ON conf.doc_id = sh.doc_id""".stripMargin)),
+
     // duplicated-span mining (Lee et al. 2021's exact-substring dedup,
     // k-gram approximation): per-doc fraction of 13-gram windows that
     // occur in >= 2 distinct docs of the corpus — corpus-vs-ITSELF
@@ -1801,6 +1841,44 @@ object PipelineQueries {
              |       CAST(coalesce(h.h, 0) AS DOUBLE) / 5 AS recall,
              |       CAST(coalesce(h.rr, 0) AS BIGINT) AS rr_scaled
              |FROM (SELECT DISTINCT query_id FROM ex) qq LEFT JOIN h ON h.query_id = qq.query_id""".stripMargin)),
+
+    // per-dimension embedding moments over order-free integer-quantized
+    // sums — dead/drifted-dimension monitoring
+    QueryDef("q129_embed_dim_stats",
+      (s, dir) => Similarity.embeddingDimStats(Tables.load(s, dir, "embeddings")),
+      Some("""WITH q AS (SELECT list_transform(embedding,
+             |                    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+             |           FROM embeddings),
+             |e AS (SELECT q, unnest(generate_series(1, len(q))) AS j FROM q),
+             |s AS (SELECT CAST(j - 1 AS INTEGER) AS i, CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(q[j]) AS BIGINT) AS sum_q,
+             |             CAST(sum(q[j] * q[j]) AS BIGINT) AS sumsq_q
+             |      FROM e GROUP BY 1)
+             |SELECT i, n, sum_q, sumsq_q,
+             |       CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1024.0 AS mean,
+             |       (CAST(sumsq_q AS DOUBLE)
+             |          - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+             |         / CAST(n AS DOUBLE) / 1048576.0 AS variance
+             |FROM s""".stripMargin)),
+
+    // source-vs-source distribution drift: scaled total-variation
+    // contributions per hashed token bucket, one conditional-sum pass
+    QueryDef("q130_token_drift",
+      (s, dir) => TextAnalysis.tokenDriftL1(
+        Tables.load(s, dir, "documents"), "src0", "src1"),
+      Some(s"""WITH feat AS (SELECT source,
+             |                      unnest(${TextHash.wordHashesSql("text")}) % 256 AS b
+             |               FROM documents WHERE source IN ('src0', 'src1')),
+             |c AS (SELECT b,
+             |             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS oa,
+             |             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS ob
+             |      FROM feat GROUP BY 1),
+             |t AS (SELECT CAST(sum(oa) AS BIGINT) AS ta, CAST(sum(ob) AS BIGINT) AS tb FROM c)
+             |SELECT b, oa, ob,
+             |       (oa * 1000000) // ta AS pa_scaled,
+             |       (ob * 1000000) // tb AS pb_scaled,
+             |       abs((oa * 1000000) // ta - (ob * 1000000) // tb) AS l1_scaled
+             |FROM c CROSS JOIN t""".stripMargin)),
 
     // PCA top principal direction by integer power iteration, all three
     // rounds unrolled in SQL (w sums ride DuckDB's HUGEINT exactly as

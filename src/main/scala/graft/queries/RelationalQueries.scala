@@ -54,6 +54,28 @@ object RelationalQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
 
+    // RANGE frame (value-based, not ROWS): per-user trailing-hour sum
+    // over epoch seconds — ties share the frame by RANGE semantics, so
+    // the result is deterministic under any tie order
+    QueryDef("q17d_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+          .rangeBetween(-3600L, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("ts_s"),
+            col("value"))
+          .select(col("user_id"), col("event_id"), col("ts_s"),
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("hour_sum"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s,
+             |                  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+             |SELECT user_id, event_id, ts_s,
+             |       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts_s
+             |                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+             |FROM e""".stripMargin)),
+
     QueryDef("q17_running_sum",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
@@ -1348,6 +1370,37 @@ object RelationalQueries {
              |      FROM g)
              |SELECT rflag, n_registers, CAST(2904.064 AS DOUBLE) / inv_sum AS raw_est
              |FROM s""".stripMargin)),
+
+    // connected components over the co-purchase graph — the SAME
+    // min-label double-pointer-jump operator the dedup canonicalization
+    // uses, applied to a generic edge list; oracle = recursive
+    // reachability
+    QueryDef("q131_graph_components",
+      (s, dir) => {
+        val dp = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = dp.as("a").join(dp.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .select(col("part_a").as("id_a"), col("part_b").as("id_b"))
+        graft.operators.Dedup.canonicalAssignments(edges)
+      },
+      Some("""WITH RECURSIVE dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS (SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+             |       FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+             |                          AND a.l_partkey < b.l_partkey
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM e0
+             |       UNION ALL SELECT id_b, id_a FROM e0),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM bi
+             |  UNION
+             |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src)
+             |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+             |FROM reach GROUP BY src""".stripMargin)),
 
     // degree-oriented triangle census over the co-purchase graph (q103's
     // support>=2 part pairs): every edge directed toward its

@@ -343,6 +343,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert((n, e, t) === ((6L, 6L, 1L)), s"star census: n=$n e=$e t=$t")
   }
 
+  test("embeddingDimStats: constant dim has zero variance, planted dim has exact moments") {
+    import graft.operators.Similarity
+    val rows = (1 to 10).map { i =>
+      val a = Array.fill(64)(0.5f)                      // constant everywhere...
+      a(5) = if (i % 2 == 0) 1.0f else 0.0f             // ...except dim 5 alternates
+      (i.toLong, a)
+    }
+    val got = Similarity.embeddingDimStats(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0) === ((5120L, 0.5, 0.0)), s"constant dim: mean .5, var 0: ${got(0)}")
+    // dim 5: quantized values 1024 and 0, five each -> mean .5, var .25
+    assert(got(5) === ((5120L, 0.5, 0.25)), s"alternating dim: var .25: ${got(5)}")
+  }
+
+  test("tokenDriftL1: disjoint vocabularies show full drift, identical ones none") {
+    val docs = Seq(
+      (1L, "aa aa", "x"), (2L, "aa", "x"),   // source x: all mass on aa's bucket
+      (3L, "bb bb bb", "y"),                 // source y: all mass on bb's bucket
+      (9L, "zz", "other")                    // filtered out
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.tokenDriftL1(docs, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    // two buckets, each fully one-sided: l1 = 1e6 on both
+    assert(rows.length === 2 && rows.forall(_._4 === 1000000L), rows.mkString(","))
+    val same = TextAnalysis.tokenDriftL1(
+      Seq((1L, "aa bb", "x"), (2L, "aa bb", "y")).toDF("doc_id", "text", "source"), "x", "y")
+      .collect().map(_.getLong(5))
+    assert(same.forall(_ === 0L), "identical distributions drift zero")
+  }
+
   test("vocabCoverage: OOV is exactly the mass outside the top-k vocab") {
     val docs = Seq((1L, "a a b", "s"), (2L, "c", "s")).toDF("doc_id", "text", "source")
     // vocabSize=1 -> vocab = {a} (count 2 beats the count-1 tie)

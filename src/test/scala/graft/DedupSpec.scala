@@ -102,4 +102,29 @@ class DedupSpec extends SparkSpec {
     // disagree by the same 3 chars: prefix-gated distance = 2x the shift
     assert(pairs.head._3 === 6, s"dist over shifted 32-char windows = 6: ${pairs.toSeq}")
   }
+
+  test("bloomDecontaminate: confirmed == exact decontamination; cramped filter only adds FPs") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = Dedup.withNearDuplicates(docs)
+      .filter(!(col("doc_id") % 10 === 0 && col("doc_id") < 1000000))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Dedup.contaminatedDocs(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.bloomDecontaminate(corpus, bench)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every confirmed count must equal the exact path's count, for every
+    // doc the exact path flags (bloom may SHORTLIST more — never confirm more)
+    val confirmed = bloom.collect { case (id, (_, c)) if c > 0 => id -> c }
+    assert(confirmed === exact, s"bloom-confirmed must equal exact: ${confirmed.size} vs ${exact.size}")
+    assert(bloom.forall { case (_, (s0, c)) => s0 >= c }, "shortlist is a superset of confirmed")
+    // cramped filter (512 positions for thousands of grams): heavy FPs,
+    // but the exact verify still confirms exactly the same set
+    val cramped = Dedup.bloomDecontaminate(corpus, bench, mBits = 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val crampedConfirmed = cramped.collect { case (id, (_, c)) if c > 0 => id -> c }
+    assert(crampedConfirmed === exact, "FPs never reach confirmed output")
+    val fps = cramped.map { case (_, (s0, c)) => s0 - c }.sum
+    assert(fps > 0, "a 512-bit filter over thousands of grams must collide somewhere")
+  }
 }

@@ -33,7 +33,8 @@ class QualityGatesSpec extends SparkSpec {
 
   // queries whose construction itself runs driver-side jobs (iterative
   // loops) — their per-round plans are covered by their own specs
-  private val iterative = Set("q46_canonical", "q48_dedup_apply")
+  private val iterative = Set("q46_canonical", "q48_dedup_apply",
+    "q131_graph_components")
   // documented exceptions: q51 is the brute-force ANN baseline (broadcast
   // non-equi join by design); the others are ONE-ROW broadcast cross
   // joins (the scalar-subquery global-threshold pattern: heavy-hitter
@@ -49,7 +50,9 @@ class QualityGatesSpec extends SparkSpec {
     // one-row graph-census attaches (nodes/edges/wedges/triangles)
     "q124_triangles",
     // contains q51's brute-force baseline by definition (eval harness)
-    "q127_ann_eval")
+    "q127_ann_eval",
+    // one-row (ta, tb) totals attach for the scaled probabilities
+    "q130_token_drift")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
