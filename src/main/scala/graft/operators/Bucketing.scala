@@ -29,4 +29,34 @@ object Bucketing {
 
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Compaction/rewrite cycle for ONE table of an EXTERNAL bucketed
+    * index: read the live FILES, apply `transform`, force the bucket
+    * shuffle, write to a side directory, swap it under the stable
+    * location. The read is `spark.read.parquet`, never the catalog
+    * table — a catalog read carries the bucket metadata, so the planner
+    * elides the repartition as already satisfied while the standalone
+    * scan's tasks are file-split, not bucket-aligned, and the rewrite
+    * would land task-split files again. A plain parquet read forces the
+    * shuffle, whose target partition (pmod(murmur3(key), n)) IS the
+    * writer's bucket id. Dropping EXTERNAL tables removes metadata
+    * only, never files; the caller re-registers its DDL afterwards. */
+  def rewriteExternal(spark: SparkSession, table: String, key: String,
+      location: String, sub: String, buckets: Int,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    import org.apache.spark.sql.functions.col
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$location/$sub")
+    val next = new org.apache.hadoop.fs.Path(s"$location/${sub}__compact")
+    fs.delete(next, true) // stale leftover from a crashed compaction
+    writeBucketed(
+      transform(spark.read.parquet(live.toString)).repartition(buckets, col(key)),
+      s"${table}__compact", key, buckets, sortKey = Some(key),
+      path = Some(next.toString))
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    fs.delete(live, true)
+    require(fs.rename(next, live), s"rewriteExternal: rename $next -> $live failed")
+  }
 }

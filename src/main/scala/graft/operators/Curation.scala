@@ -271,6 +271,34 @@ object Curation {
     * so the window key is the mixture's natural parallelism — pipelines
     * needing finer grain pre-shard sources (the same (source, shard)
     * trick sequencePack documents). */
+  /** Dataset card: the per-source summary a curated corpus release
+    * publishes — doc/token/char volume, exact-duplicate count, and the
+    * language mix (count + majority language, ties broken
+    * alphabetically so the card is replayable). Two corpus scans, both
+    * column-pruned to what they aggregate: (1) `(source, md5(text),
+    * tokens, chars)` with ONE mixed distinct aggregate (Spark plans it
+    * as a ×2 Expand of 3 narrow columns — single pass, no third scan
+    * for the distinct); (2) `(source, lang)` counts, reused for both
+    * `n_langs` and the majority pick, with the per-source window
+    * running over ≤|langs| collapsed rows, never documents. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+      sum(size(TextHash.tokens(col("text"))).cast("long")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"))
+    val lc = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("lang"))
+    val langs = lc
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("top_lang"),
+        max(when(col("rn") === 1, col("c"))).as("top_lang_docs"))
+    base.join(langs, "source")
+  }
+
   def budgetFill(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(TextHash.polyHash(col("text")), col("doc_id"))

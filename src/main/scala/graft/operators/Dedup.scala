@@ -585,30 +585,12 @@ object Dedup {
   private def rewriteBandIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, location: String, buckets: Int,
       transform: DataFrame => DataFrame): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
-    def swap(table: String, key: String, sub: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$location/$sub")
-      val next = new org.apache.hadoop.fs.Path(s"$location/${sub}__compact")
-      fs.delete(next, true) // stale leftover from a crashed compaction
-      // read the FILES, not the catalog table: a catalog read carries the
-      // bucket metadata, so the planner elides the repartition as already
-      // satisfied while the standalone scan's tasks are file-split, not
-      // bucket-aligned — and the rewrite lands task-split files again. A
-      // plain parquet read forces the shuffle, whose target partition
-      // (pmod(murmur3(key), n)) IS the writer's bucket id.
-      Bucketing.writeBucketed(
-        transform(spark.read.parquet(live.toString)).repartition(buckets, col(key)),
-        s"${table}__compact", key, buckets, sortKey = Some(key),
-        path = Some(next.toString))
-      // dropping EXTERNAL tables removes metadata only, never files
-      spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      fs.delete(live, true)
-      require(fs.rename(next, live), s"rewriteBandIndex: rename $next -> $live failed")
-    }
-    swap(s"${name}_bands", "bkey", "bands")
-    swap(s"${name}_sets", "doc_id", "sets")
+    // file-read → bucket-shuffle → directory-swap cycle shared with the
+    // embedding index (see Bucketing.rewriteExternal scaladoc)
+    Bucketing.rewriteExternal(spark, s"${name}_bands", "bkey", location,
+      "bands", buckets, transform)
+    Bucketing.rewriteExternal(spark, s"${name}_sets", "doc_id", location,
+      "sets", buckets, transform)
     registerBandIndex(spark, name, location, buckets)
   }
 

@@ -469,25 +469,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** Top principal direction of the embedding cloud by POWER ITERATION
-    * in integer arithmetic — the distributed linear-algebra pass
-    * geometry-based curation (SemDeDup-family) sits on. Embeddings
-    * quantize to EXACT integers first (`floor(x·1024)` — a float's
-    * value times 1024 is exact in double, and floor avoids the engines'
-    * round-half disagreement); each round is then one corpus pass:
-    * per-row dot = ⟨q, v⟩ (int64 fold), coarsened `div 1024`;
-    * per-dimension wᵢ = Σ dot·qᵢ (map-side partial groupBy over
-    * exploded dims); renormalize v ← w·S div max|w| (integer division —
-    * direction preserved, no libm sqrt; driver side runs it in BigInt
-    * exactly as DuckDB runs it in HUGEINT). v rides the next round as
-    * 64 literals — the Lloyd-loop shape, each collect 64 values.
-    *
-    * Magnitude audit (overflow is the real scale risk): |q| ≲ 2¹¹,
-    * S = 10⁵ → |dot| ≤ 64·2¹¹·S ≈ 2³⁴, div 1024 → 2²⁴; |w| ≤ N·2²⁴·2¹¹
-    * = N·2³⁵ — int64-safe to N ≈ 10⁸ rows, and the guard THROWS beyond
-    * it rather than overflow silently. Past that, power-iterate a
-    * deterministic hash-sample: principal directions stabilize at
-    * sample sizes far below corpus scale. */
+  /** Compact the persisted embedding index back to ONE file per bucket —
+    * every [[appendToEmbIndex]] adds a file per bucket, so probe scans
+    * union k+1 sorted runs after k appends (correct, but per-file
+    * open/footer cost grows). Same cycle and caveats as
+    * [[Dedup.compactBandIndex]]; external-location indexes only. */
+  def compactEmbIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, location: String, buckets: Int = 8): Unit =
+    rewriteEmbIndex(spark, name, location, buckets, identity)
+
+  /** Tombstone vec_ids OUT of the persisted embedding index (takedowns,
+    * retention expiry): parquet is immutable, so a delete is a filtered
+    * rewrite that doubles as compaction — see
+    * [[Dedup.deleteFromBandIndex]] for the contract (`tombstones` must
+    * not derive from the index tables themselves). */
+  def deleteFromEmbIndex(spark: org.apache.spark.sql.SparkSession,
+      tombstones: DataFrame, name: String, location: String,
+      buckets: Int = 8): Unit = {
+    val ids = tombstones.select("vec_id")
+    rewriteEmbIndex(spark, name, location, buckets,
+      _.join(ids, Seq("vec_id"), "left_anti"))
+  }
+
+  private def rewriteEmbIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, location: String, buckets: Int,
+      transform: DataFrame => DataFrame): Unit = {
+    Bucketing.rewriteExternal(spark, s"${name}_embbands", "bkey", location,
+      "embbands", buckets, transform)
+    Bucketing.rewriteExternal(spark, s"${name}_embvecs", "vec_id", location,
+      "embvecs", buckets, transform)
+    registerEmbIndex(spark, name, location, buckets)
+  }
+
   /** Retrieval-eval metrics for an ANN index vs the exact baseline —
     * the harness every approximate index ships with: per-query
     * recall@k (|approx ∩ exact top-k| / k) and the reciprocal rank of
@@ -539,6 +552,25 @@ object Similarity {
           / col("n").cast("double") / 1048576.0).as("variance"))
   }
 
+  /** Top principal direction of the embedding cloud by POWER ITERATION
+    * in integer arithmetic — the distributed linear-algebra pass
+    * geometry-based curation (SemDeDup-family) sits on. Embeddings
+    * quantize to EXACT integers first (`floor(x·1024)` — a float's
+    * value times 1024 is exact in double, and floor avoids the engines'
+    * round-half disagreement); each round is then one corpus pass:
+    * per-row dot = ⟨q, v⟩ (int64 fold), coarsened `div 1024`;
+    * per-dimension wᵢ = Σ dot·qᵢ (map-side partial groupBy over
+    * exploded dims); renormalize v ← w·S div max|w| (integer division —
+    * direction preserved, no libm sqrt; driver side runs it in BigInt
+    * exactly as DuckDB runs it in HUGEINT). v rides the next round as
+    * 64 literals — the Lloyd-loop shape, each collect 64 values.
+    *
+    * Magnitude audit (overflow is the real scale risk): |q| ≲ 2¹¹,
+    * S = 10⁵ → |dot| ≤ 64·2¹¹·S ≈ 2³⁴, div 1024 → 2²⁴; |w| ≤ N·2²⁴·2¹¹
+    * = N·2³⁵ — int64-safe to N ≈ 10⁸ rows, and the guard THROWS beyond
+    * it rather than overflow silently. Past that, power-iterate a
+    * deterministic hash-sample: principal directions stabilize at
+    * sample sizes far below corpus scale. */
   def pcaPowerIteration(emb: DataFrame, iters: Int = 3,
       scale: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession

@@ -1880,6 +1880,27 @@ object PipelineQueries {
              |       abs((oa * 1000000) // ta - (ob * 1000000) // tb) AS l1_scaled
              |FROM c CROSS JOIN t""".stripMargin)),
 
+    // per-source release summary: volume, exact-dup count, language mix
+    QueryDef("q132_dataset_card",
+      (s, dir) => Curation.datasetCard(Tables.load(s, dir, "documents")),
+      Some("""WITH base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |                     CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+             |                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |                     CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |              FROM documents GROUP BY 1),
+             |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+             |       FROM documents GROUP BY 1, 2),
+             |r AS (SELECT source, lang, c,
+             |             row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+             |      FROM lc),
+             |langs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+             |                 max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+             |                 max(CASE WHEN rn = 1 THEN c END) AS top_lang_docs
+             |          FROM r GROUP BY 1)
+             |SELECT base.source, n_docs, n_exact_dups, total_tokens, total_chars,
+             |       n_langs, top_lang, top_lang_docs
+             |FROM base JOIN langs ON base.source = langs.source""".stripMargin)),
+
     // PCA top principal direction by integer power iteration, all three
     // rounds unrolled in SQL (w sums ride DuckDB's HUGEINT exactly as
     // the driver rides BigInt); output = the 64-dim scaled direction

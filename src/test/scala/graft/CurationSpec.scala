@@ -60,6 +60,21 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._3).toSet === (1L to 500L).toSet, "ranks are a permutation")
   }
 
+  test("datasetCard: volumes, exact dups, and the alphabetic majority-tie break") {
+    val docs = Seq(
+      (1L, "a b c", "en", "web", 5L),
+      (2L, "a b c", "en", "web", 5L),  // exact dup of 1
+      (3L, "d e", "de", "web", 3L),
+      (4L, "f g h i", "de", "web", 7L), // en ties de 2-2 -> 'de' wins alphabetically
+      (5L, "j k", "en", "book", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = Curation.datasetCard(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))).toMap
+    assert(card("web") === ((4L, 1L, 12L, 20L, 2L, "de", 2L)))
+    assert(card("book") === ((1L, 0L, 2L, 3L, 1L, "en", 1L)))
+  }
+
   test("budgetFill: kept docs are exactly the per-source hash-order prefix under budget") {
     import graft.functions.TextHash
     val docs = Seq(

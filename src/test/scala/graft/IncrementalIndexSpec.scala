@@ -256,6 +256,68 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("embedding index: compaction folds appended files; tombstone delete removes a vector") {
+    import graft.operators.Similarity
+    def cleanupEmb(): Unit = Seq("eidx_embbands", "eidx_embvecs",
+        "eidx_embbands__compact", "eidx_embvecs__compact")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    cleanupEmb()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val loc = java.nio.file.Files.createTempDirectory("graft-embcompact").toString
+    def bandFiles(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(loc, "embbands")).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    try {
+      import spark.implicits._
+      def vec(d: Int, scale: Float) =
+        (0 until 4).map(i => if (i == d) scale else 0f).toArray
+      val corpus = Seq(
+        (1L, vec(0, 1f)), (2L, vec(1, 1f)), (3L, vec(2, 1f)), (4L, vec(3, 1f))
+      ).toDF("vec_id", "embedding")
+      val batch = Seq((101L, vec(0, 0.9f)), (102L, vec(1, 1.1f)))
+        .toDF("vec_id", "embedding")
+      def probe() = Similarity.incrementalEmbNearDupsIndexed(spark,
+          Seq((201L, vec(0, 2f)), (202L, vec(1, 0.5f))).toDF("vec_id", "embedding"),
+          "eidx", 0.9, numBands = 4, bitsPerBand = 4, dim = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      Similarity.writeEmbIndex(corpus, "eidx", buckets = 4,
+        numBands = 4, bitsPerBand = 4, dim = 4, location = Some(loc))
+      Similarity.appendToEmbIndex(spark, batch, "eidx",
+        numBands = 4, bitsPerBand = 4, dim = 4)
+      val before = probe()
+      assert(before === Set((201L, 1L), (201L, 101L), (202L, 2L), (202L, 102L)),
+        s"probe must see corpus and appended vectors: $before")
+      val filesBefore = bandFiles()
+      assert(filesBefore > 4, s"expected the append to accumulate files, got $filesBefore")
+
+      Similarity.compactEmbIndex(spark, "eidx", loc, buckets = 4)
+      assert(bandFiles() <= 4,
+        s"compaction should leave at most one file per bucket, got ${bandFiles()}")
+      assert(probe() === before, "compaction changed the pair set")
+      // compacted files keep the bucket layout: probe still merges in place
+      val plan = Similarity.embIndexJoin(spark,
+          Seq((201L, vec(0, 2f))).toDF("vec_id", "embedding"), "eidx",
+          numBands = 4, bitsPerBand = 4, dim = 4)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      val corpusSide = lines.drop(lines.lastIndexWhere(_.contains("+- Sort [bkey")))
+      assert(corpusSide.nonEmpty && !corpusSide.exists(_.contains("Exchange")),
+        s"compaction broke the bucket layout:\n$plan")
+      assert(corpusSide.exists(_.contains("Bucketed: true")), s"scan not bucket-aware:\n$plan")
+
+      // take down appended vec 101: its pair disappears, everything else holds
+      Similarity.deleteFromEmbIndex(spark, Seq(101L).toDF("vec_id"), "eidx", loc, buckets = 4)
+      assert(probe() === before.filterNot(_._2 == 101L),
+        s"delete must remove exactly vec 101's pairs: ${probe()}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      cleanupEmb()
+    }
+  }
+
   test("external index re-attaches via DDL after catalog loss") {
     cleanup()
     val loc = java.nio.file.Files.createTempDirectory("graft-bandindex").toString
