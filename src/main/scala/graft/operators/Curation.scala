@@ -261,6 +261,27 @@ object Curation {
     df.sparkSession.createDataFrame(ranked, schema)
   }
 
+  /** Deterministic per-epoch training-order shuffle: every epoch
+    * re-permutes the corpus by an affine map of doc_id mod prime P whose
+    * MULTIPLIER is epoch-derived — replayable from nothing but the epoch
+    * number, no stored permutation (what a data loader actually needs
+    * from "shuffle each epoch"). The multiplier must carry the epoch: an
+    * additive-only epoch term shifts every key by the same constant mod
+    * P, which is a cyclic ROTATION of the previous epoch's order, not a
+    * new permutation (caught by the spec's epoch-1-vs-2 assertion).
+    * m = (2654435761·(epoch+1)) mod (P−3) + 2 is never ≡ 0 mod P and
+    * pseudorandomly large; key = (doc_id mod P)·m + epoch, mod P — all
+    * exact int64 (max ~2^60). The global contiguous rank is assigned by
+    * [[curriculumRank]]'s range-partition + zipWithIndex path, never a
+    * one-task global window; ties (doc_ids ≡ mod P) break by doc_id, so
+    * the order is total. */
+  def epochShuffle(docs: DataFrame, epoch: Int, numRanges: Int = 32): DataFrame = {
+    val m = 2654435761L * (epoch + 1L) % (TextHash.P - 3) + 2
+    val key = ((col("doc_id") % TextHash.P) * lit(m) + lit(epoch.toLong)) % TextHash.P
+    curriculumRank(docs.select(col("doc_id"), key.as("shuffle_key")),
+      Seq(col("shuffle_key"), col("doc_id")), numRanges)
+  }
+
   /** Greedy per-source token-budget fill: docs are admitted in
     * content-hash order (replayable, unbiased by id assignment) until
     * each source's running token total would exceed `budget` — how a

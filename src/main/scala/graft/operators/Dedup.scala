@@ -626,6 +626,30 @@ object Dedup {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Keep-BEST near-dup resolution: [[dedupApply]] keeps each
+    * component's minimum id — the replayable default — but a curation
+    * pipeline usually wants the best VERSION of a duplicated document
+    * (the longest, the highest-quality-scored), not the first-crawled.
+    * Same LSH → connected-components spine; the survivor is instead the
+    * argmax of `score` per component (ties: lowest doc_id, so the
+    * choice is still total and replayable). Docs in no component are
+    * their own cluster and survive unchanged. The winner window runs
+    * per-cluster — high-cardinality key, bounded groups (component
+    * sizes, already bounded by the verified-pair families) — never a
+    * global sort. Output: (cluster, kept_id, score). */
+  def keepBestDedup(corpus: DataFrame, score: Column,
+      minJaccard: Double = 0.5): DataFrame = {
+    val scored = corpus.select(col("doc_id"), score.cast("long").as("score"))
+    val canon = canonicalAssignments(minhashLshPairs(corpus, minJaccard = minJaccard))
+    val clustered = scored.join(canon, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("canonical_id"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("doc_id"))
+    clustered.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("kept_id"), col("score"))
+  }
+
   /** ENSEMBLE near-dup apply: all three pair families — MinHash/LSH
     * (token-set overlap), SimHash (bit-level similarity), winnow
     * fingerprints (ordered passages) — PROPOSE candidates, ONE shared

@@ -299,4 +299,21 @@ object QualityChecks {
         // DuckDB's decimal-exact product)
         (lit(2904.064) / col("inv_sum")).as("raw_est"))
   }
+
+  /** Cross-source contamination matrix: for every unordered source pair,
+    * how many distinct documents (by content hash) appear in BOTH — the
+    * first question asked when a "new" crawl source arrives ("is this
+    * just a re-crawl of something we already have?"). Shape that holds
+    * at 100 TB: project to distinct (hash, source) FIRST (collapses to
+    * corpus-distinct cardinality, shuffled once on the hash), then a
+    * self-equi-join on the hash whose per-key group is bounded by the
+    * SOURCE COUNT (≤ tens), never document multiplicity — no hot keys
+    * by construction. Output: (source_a, source_b, n_shared), a < b. */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    val hs = docs.select(md5(col("text")).as("h"), col("source")).distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

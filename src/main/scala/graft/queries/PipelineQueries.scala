@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextHash
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, QualityChecks, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Training-data pipeline queries: dedup (exact / MinHash+LSH / SimHash /
@@ -1900,6 +1900,73 @@ object PipelineQueries {
              |SELECT base.source, n_docs, n_exact_dups, total_tokens, total_chars,
              |       n_langs, top_lang, top_lang_docs
              |FROM base JOIN langs ON base.source = langs.source""".stripMargin)),
+
+    // deterministic per-epoch shuffle: integer hash of (doc_id, epoch),
+    // global rank via the range-partition + zipWithIndex path
+    QueryDef("q133_epoch_shuffle",
+      (s, dir) => Curation.epochShuffle(Tables.load(s, dir, "documents"), epoch = 3),
+      Some(s"""WITH k AS (SELECT doc_id,
+             |                  ((doc_id % ${TextHash.P}) * ${2654435761L * 4 % (TextHash.P - 3) + 2} + 3) % ${TextHash.P} AS shuffle_key
+             |           FROM documents)
+             |SELECT doc_id, shuffle_key,
+             |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS rank
+             |FROM k""".stripMargin)),
+
+    // keep-BEST dedup: q46's LSH -> CC spine, survivor = argmax(score)
+    // per component instead of min id (ties: lowest doc_id)
+    QueryDef("q134_keep_best",
+      (s, dir) => Dedup.keepBestDedup(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents")),
+        size(TextHash.tokens(col("text")))),
+      Some(s"""WITH RECURSIVE $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |              AND a.doc_id < b.doc_id),
+             |${jaccardCtes(blocked = false)},
+             |edges AS (SELECT c.id_a, c.id_b
+             |          FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+             |          WHERE j.jacc >= 0.5),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |       UNION ALL SELECT id_b, id_a FROM edges),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM bi
+             |  UNION
+             |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+             |canon AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+             |          FROM reach GROUP BY src),
+             |scored AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+             |           FROM corpus),
+             |cl AS (SELECT s.doc_id, coalesce(c.canonical_id, s.doc_id) AS cluster, s.score
+             |       FROM scored s LEFT JOIN canon c ON c.doc_id = s.doc_id),
+             |r AS (SELECT cluster, doc_id, score,
+             |             row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn
+             |      FROM cl)
+             |SELECT cluster, doc_id AS kept_id, score FROM r WHERE rn = 1""".stripMargin)),
+
+    // cross-source contamination matrix over a deterministic 'mirror'
+    // injection (the corpus has no natural cross-source exact copies)
+    QueryDef("q135_source_overlap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        QualityChecks.sourceOverlapMatrix(
+          docs.select(col("text"), col("source")).unionAll(
+            docs.filter(col("doc_id") % 10 === 0)
+              .select(col("text"), lit("mirror").as("source"))))
+      },
+      Some("""WITH aug AS (SELECT text, source FROM documents
+             |             UNION ALL
+             |             SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 10 = 0),
+             |hs AS (SELECT DISTINCT md5(text) AS h, source FROM aug)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |       CAST(count(*) AS BIGINT) AS n_shared
+             |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+             |GROUP BY 1, 2""".stripMargin)),
 
     // PCA top principal direction by integer power iteration, all three
     // rounds unrolled in SQL (w sums ride DuckDB's HUGEINT exactly as

@@ -1435,5 +1435,47 @@ object RelationalQueries {
              |       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
              |       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
              |       (SELECT CAST(count(*) AS BIGINT)
-             |        FROM w JOIN o ON w.p = o.s AND w.q = o.t) AS n_triangles""".stripMargin)))
+             |        FROM w JOIN o ON w.p = o.s AND w.q = o.t) AS n_triangles""".stripMargin)),
+
+    // ---- pivot: month x order-priority counts ---------------------------
+    // the explicit-values form (no extra distinct-values job, stable
+    // column set); absent cells filled 0 to match the CASE-sum oracle
+    QueryDef("q136_pivot",
+      (s, dir) => {
+        val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val names = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+        val piv = Tables.load(s, dir, "orders")
+          .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
+            col("o_orderpriority"))
+          .groupBy("ym").pivot("o_orderpriority", priorities).agg(count(lit(1)))
+        priorities.lazyZip(names).foldLeft(piv) { case (d, (v, n)) =>
+          d.withColumnRenamed(v, n)
+        }.na.fill(0L, names)
+      },
+      Some {
+        val cases = Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+          "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+          "5-LOW" -> "p5_low").map { case (v, n) =>
+          s"CAST(sum(CASE WHEN o_orderpriority = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS $n"
+        }.mkString(",\n       ")
+        s"""SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS ym,
+           |       $cases
+           |FROM orders GROUP BY 1""".stripMargin
+      }),
+
+    // ---- unpivot: wide aggregate -> long (measure, val) -----------------
+    QueryDef("q137_unpivot",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(Exact.money(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(Exact.money(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "measure", "val"),
+      Some("""WITH a AS (SELECT l_returnflag,
+             |                  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+             |           FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
+             |UNION ALL
+             |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM a""".stripMargin)))
 }

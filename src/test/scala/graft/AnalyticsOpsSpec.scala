@@ -88,6 +88,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(capped === Set((1L, 2L)), s"oversized block must be skipped: $capped")
   }
 
+  test("sourceOverlapMatrix: distinct shared hashes per unordered pair, multiplicity ignored") {
+    val docs = Seq(
+      ("same text", "a"), ("same text", "b"), ("same text", "b"), // dup within b counts once
+      ("other text", "a"), ("other text", "c"),
+      ("only in a", "a")
+    ).toDF("text", "source")
+    val out = QualityChecks.sourceOverlapMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("a", "b") -> 1L, ("a", "c") -> 1L),
+      s"one shared doc per pair, no (b,c) edge, pairs ordered a<b: $out")
+  }
+
   test("statsProfile: typed min/max slots, nulls counted, one row per column") {
     val df = Seq(
       (Some(1.0), Some("x")), (Some(5.0), None), (None, Some("a"))

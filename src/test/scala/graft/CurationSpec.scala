@@ -60,6 +60,17 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._3).toSet === (1L to 500L).toSet, "ranks are a permutation")
   }
 
+  test("epochShuffle: a permutation, deterministic per epoch, different across epochs") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(epoch: Int): Seq[Long] = Curation.epochShuffle(docs, epoch)
+      .collect().map(r => (r.getLong(2), r.getLong(0))).sortBy(_._1).map(_._2).toSeq
+    val e1 = order(1)
+    assert(e1.toSet === (1L to 200L).toSet, "rank 1..n covers every doc exactly once")
+    assert(order(1) === e1, "same epoch replays the same order")
+    assert(order(2) !== e1, "different epoch must permute differently")
+    assert(e1 !== (1L to 200L).toSeq, "the shuffle must not be the identity order")
+  }
+
   test("datasetCard: volumes, exact dups, and the alphabetic majority-tie break") {
     val docs = Seq(
       (1L, "a b c", "en", "web", 5L),

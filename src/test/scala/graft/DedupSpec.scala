@@ -127,4 +127,18 @@ class DedupSpec extends SparkSpec {
     val fps = cramped.map { case (_, (s0, c)) => s0 - c }.sum
     assert(fps > 0, "a 512-bit filter over thousands of grams must collide somewhere")
   }
+
+  test("keepBestDedup: argmax-by-score survivor per component, singletons untouched") {
+    // 1 and 2 near-dup (2 is longer -> 2 wins despite higher id);
+    // 9 unrelated singleton keeps itself
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (9L, "completely unrelated content lives over here now today", "web")
+    ).toDF("doc_id", "text", "source")
+    val kept = Dedup.keepBestDedup(docs, size(split(col("text"), " ")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept === Set((1L, 2L, 9L), (9L, 9L, 8L)),
+      s"cluster 1 keeps the longer doc 2 (9 tokens); singleton 9 keeps itself: $kept")
+  }
 }
