@@ -193,6 +193,14 @@ object Cli {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[graft] curate: $rates; packed bins -> $outDir/packed")
 
+    // publish the per-source release summary for a curated corpus
+    case "card" :: corpusPath :: outDir :: Nil =>
+      val card = graft.operators.Curation.datasetCard(spark.read.parquet(corpusPath))
+      card.write.mode("overwrite").parquet(s"$outDir/card")
+      val rows = spark.read.parquet(s"$outDir/card").orderBy("source").collect()
+      println(s"[graft] card: ${rows.length} sources -> $outDir/card")
+      rows.foreach(r => println(s"[graft]   $r"))
+
     case "bpe" :: corpusPath :: outDir :: opts =>
       val o = parseOpts(opts)
       val nMerges = o.get("merges").map(_.toInt).getOrElse(64)
@@ -216,6 +224,7 @@ object Cli {
           |  compact-index <indexDir> [--buckets N]
           |  delete-index  <indexDir> <idsParquet> [--buckets N]
           |  curate       <corpusParquet> <outDir> [--seq-len N]
+          |  card         <corpusParquet> <outDir>
           |  bpe          <corpusParquet> <outDir> [--merges N]""".stripMargin)
       sys.exit(2)
   }

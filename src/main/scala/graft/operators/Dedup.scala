@@ -626,6 +626,25 @@ object Dedup {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Train/val/test LEAKAGE audit: near-duplicate pairs that STRADDLE a
+    * split boundary — the quiet eval-inflation bug (a val doc whose
+    * near-copy sits in train scores as memorization, not generalization).
+    * Composes [[TextAnalysis.hashSplit]]'s content-hash assignment with
+    * [[minhashLshPairs]]; pairs are normalized to an unordered
+    * (split_lo, split_hi) matrix so (train,valid) and (valid,train)
+    * count as one cell. Output: (split_lo, split_hi, n_leaked_pairs) —
+    * a release gate wants this matrix to be all zeros. */
+  def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val splits = TextAnalysis.hashSplit(docs).select(col("doc_id"), col("split"))
+    minhashLshPairs(docs, minJaccard = minJaccard)
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_leaked_pairs"))
+  }
+
   /** Keep-BEST near-dup resolution: [[dedupApply]] keeps each
     * component's minimum id — the replayable default — but a curation
     * pipeline usually wants the best VERSION of a duplicated document

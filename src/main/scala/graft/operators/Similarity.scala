@@ -469,6 +469,36 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor, up to `k` vectors with a DIFFERENT label, chosen by a seeded
+    * affine probe over contiguous ids (candidate_i = ((2i+3)·anchor +
+    * 7i+1) mod n, the minhash permutation family) — replayable with no
+    * stored randomness, and the oversampled probe (2k candidates)
+    * absorbs same-label/self rejections without a retry loop. Requires
+    * contiguous ids 0..n−1 ([[Ids]] produces them); n rides a one-row
+    * broadcast scalar attach, not a driver action. The per-anchor
+    * window orders by probe index over ≤ 2k rows. Output:
+    * (anchor, neg_rank, neg_id). */
+  def negativeSample(emb: DataFrame, k: Int): DataFrame = {
+    val nDf = emb.agg(count(lit(1)).as("n"))
+    val probes = emb.select(col("vec_id").as("anchor"), col("label").as("a_label"))
+      .crossJoin(broadcast(nDf))
+      .select(col("anchor"), col("a_label"),
+        explode(sequence(lit(0), lit(2 * k - 1))).as("i"),
+        col("n"))
+      .withColumn("cand",
+        ((lit(2) * col("i") + 3) * col("anchor") + lit(7) * col("i") + 1) % col("n"))
+      .filter(col("cand") =!= col("anchor"))
+    val negs = probes.join(
+        emb.select(col("vec_id").as("cand"), col("label").as("c_label")), "cand")
+      .filter(col("c_label") =!= col("a_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor")).orderBy(col("i"))
+    negs.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("anchor"), col("neg_rank"), col("cand").as("neg_id"))
+  }
+
   /** Compact the persisted embedding index back to ONE file per bucket —
     * every [[appendToEmbIndex]] adds a file per bucket, so probe scans
     * union k+1 sorted runs after k appends (correct, but per-file

@@ -1968,6 +1968,57 @@ object PipelineQueries {
              |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
              |GROUP BY 1, 2""".stripMargin)),
 
+    // near-dup pairs straddling the train/valid/test boundary — the
+    // eval-inflation audit; a release gate wants zeros here
+    QueryDef("q139_split_leakage",
+      (s, dir) => Dedup.splitLeakage(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |              AND a.doc_id < b.doc_id),
+             |${jaccardCtes(blocked = false)},
+             |lp AS (SELECT c.id_a, c.id_b
+             |       FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+             |       WHERE j.jacc >= 0.5),
+             |sp AS (SELECT doc_id,
+             |              CASE WHEN ${TextHash.polyHashSql("text")} % 100 < 90 THEN 'train'
+             |                   WHEN ${TextHash.polyHashSql("text")} % 100 < 95 THEN 'valid'
+             |                   ELSE 'test' END AS split
+             |       FROM corpus)
+             |SELECT least(sa.split, sb.split) AS split_lo,
+             |       greatest(sa.split, sb.split) AS split_hi,
+             |       CAST(count(*) AS BIGINT) AS n_leaked_pairs
+             |FROM lp p
+             |JOIN sp sa ON sa.doc_id = p.id_a
+             |JOIN sp sb ON sb.doc_id = p.id_b
+             |WHERE sa.split != sb.split
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // deterministic contrastive negatives: seeded affine probe over
+    // contiguous ids, per-anchor rank, no stored randomness
+    QueryDef("q140_negative_sample",
+      (s, dir) => Similarity.negativeSample(
+        Tables.load(s, dir, "embeddings"), k = 4),
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+             |probes AS (SELECT e.vec_id AS anchor, e.label AS a_label, g.i,
+             |                  ((2*g.i + 3) * e.vec_id + 7*g.i + 1) % nn.n AS cand
+             |           FROM embeddings e CROSS JOIN nn
+             |                CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g),
+             |negs AS (SELECT p.anchor, p.i, p.cand
+             |         FROM probes p JOIN embeddings c ON c.vec_id = p.cand
+             |         WHERE p.cand != p.anchor AND c.label != p.a_label),
+             |r AS (SELECT anchor, cand,
+             |             CAST(row_number() OVER (PARTITION BY anchor ORDER BY i) AS INTEGER) AS neg_rank
+             |      FROM negs)
+             |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
+
     // PCA top principal direction by integer power iteration, all three
     // rounds unrolled in SQL (w sums ride DuckDB's HUGEINT exactly as
     // the driver rides BigInt); output = the 64-dim scaled direction

@@ -11,6 +11,19 @@ object RelationalQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,10)")
 
+  /** q138: one SQL text, run verbatim by BOTH engines (ANSI subset —
+    * correlated EXISTS, null-aware NOT IN, correlated scalar agg). */
+  private val SqlSurface =
+    """SELECT c_custkey, c_name,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey
+      |          AND o.o_orderpriority = '1-URGENT') AS n_urgent
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderpriority = '1-URGENT')
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderpriority = '5-LOW')""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- window: top-k per group ----------------------------------------
@@ -1436,6 +1449,20 @@ object RelationalQueries {
              |       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
              |       (SELECT CAST(count(*) AS BIGINT)
              |        FROM w JOIN o ON w.p = o.s AND w.q = o.t) AS n_triangles""".stripMargin)),
+
+    // ---- SQL-string surface: EXISTS / NOT IN / correlated scalar --------
+    // the one registry row that goes through spark.sql() and the SQL
+    // parser end-to-end (every other row is DataFrame API); the literal
+    // SQL text doubles as the oracle, so Catalyst's decorrelation
+    // (EXISTS -> semi join, NOT IN -> null-aware anti, scalar subquery
+    // -> left outer agg) is hash-gated against DuckDB's
+    QueryDef("q138_sql_surface",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(SqlSurface)
+      },
+      Some(SqlSurface)),
 
     // ---- pivot: month x order-priority counts ---------------------------
     // the explicit-values form (no extra distinct-values job, stable

@@ -40,6 +40,21 @@ class CliDedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("card subcommand writes the per-source summary") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clicard").toString
+    Seq(
+      (1L, "a b c", "en", "web", 5L),
+      (2L, "a b c", "en", "web", 5L),
+      (3L, "d e f g", "de", "book", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/corpus")
+    Cli.run(spark, List("card", s"$dir/corpus", s"$dir/out"))
+    val card = spark.read.parquet(s"$dir/out/card")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(6)))).toMap
+    assert(card === Map("web" -> ((2L, 1L, "en")), "book" -> ((1L, 0L, "de"))))
+  }
+
   test("bandindex + ingest-dedup subcommands dedup a batch against the index") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cliingest").toString

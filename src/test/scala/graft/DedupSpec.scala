@@ -128,6 +128,27 @@ class DedupSpec extends SparkSpec {
     assert(fps > 0, "a 512-bit filter over thousands of grams must collide somewhere")
   }
 
+  test("splitLeakage: counts only pairs that straddle a split boundary, unordered cells") {
+    // hashSplit assigns by content hash; recompute each doc's split and
+    // build near-dup pairs whose straddling status we can assert against
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota", "s"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta iota", "s"),
+      (3L, "one two three four five six seven eight nine ten", "s"),
+      (4L, "header one two three four five six seven eight nine ten", "s")
+    ).toDF("doc_id", "text", "source")
+    val splits = graft.operators.TextAnalysis.hashSplit(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected: Map[(String, String), Long] = Seq((1L, 2L), (3L, 4L))
+      .filter { case (a, b) => splits(a) != splits(b) }
+      .groupBy { case (a, b) =>
+        val ss = Seq(splits(a), splits(b)).sorted; (ss(0), ss(1))
+      }.map { case (cell, ps) => cell -> ps.size.toLong }
+    val got = Dedup.splitLeakage(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected, s"splits were $splits")
+  }
+
   test("keepBestDedup: argmax-by-score survivor per component, singletons untouched") {
     // 1 and 2 near-dup (2 is longer -> 2 wins despite higher id);
     // 9 unrelated singleton keeps itself

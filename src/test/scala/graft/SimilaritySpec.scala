@@ -122,4 +122,23 @@ class SimilaritySpec extends SparkSpec {
     assert(v.filterNot(_._1 == 3).values.forall(x => math.abs(x) < 10000L),
       s"off-axis components stay an order below: $v")
   }
+
+  test("negativeSample: k cross-label negatives per anchor, replayable, never self or same-label") {
+    val emb = (0L until 20L).map(i => (i, (i % 4).toInt, Array.fill(4)(0f)))
+      .toDF("vec_id", "label", "embedding")
+    def run() = Similarity.negativeSample(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val out = run()
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.keySet === (0L until 20L).toSet, "every anchor gets negatives")
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.length === 3 && rows.map(_._2).sorted.toSeq === Seq(1, 2, 3),
+        s"anchor $a: dense ranks 1..3, got $rows")
+      rows.foreach { case (_, _, neg) =>
+        assert(neg !== a, s"anchor $a sampled itself")
+        assert(neg % 4 !== a % 4, s"anchor $a sampled its own label: $neg")
+      }
+    }
+    assert(run().toSeq === out.toSeq, "same input replays the same negatives")
+  }
 }
