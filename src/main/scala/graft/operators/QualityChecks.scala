@@ -300,6 +300,82 @@ object QualityChecks {
         (lit(2904.064) / col("inv_sum")).as("raw_est"))
   }
 
+  /** Mann–Whitney U between two groups of a 2-decimal measure — the
+    * rank-based (distribution-free) sibling of [[abTest]], the right
+    * readout when the metric is skewed or heavy-tailed. Everything up
+    * to the final z is EXACT integer arithmetic: values collapse to a
+    * cents histogram with per-group counts, so the rank window runs
+    * over distinct VALUES, never rows (the [[histogramQuantiles]]
+    * shape), and tie-averaged ranks stay integral by carrying 2·rank —
+    * a value spanning ranks [cum−t+1, cum] has doubled average rank
+    * 2·(cum−t) + t + 1. 2·R_a and the tie term Σ(t³−t) are then exact
+    * BIGINTs; only the final normal-approximation z (tie-corrected
+    * variance) is fixed-order double over the 1-row frame. Output:
+    * (n_a, n_b, u2_a = 2·U_a, ties, z). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val vals = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(expr(centsSql(valueCol)).as("v"), col(groupCol).as("g"))
+      .groupBy(col("v")).agg(
+        count(when(col("g") === groupA, 1)).as("ca"),
+        count(when(col("g") === groupB, 1)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val m = vals.withColumn("t", col("ca") + col("cb"))
+      .withColumn("cum", sum(col("t")).over(w))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2) * (col("cum") - col("t")) + col("t") + 1)).as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    def d(c: Column) = c.cast("double")
+    val na = d(col("n_a")); val nb = d(col("n_b")); val nn = na + nb
+    val ua = d(col("u2_a")) / lit(2.0)
+    m.select(col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"), col("ties"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("ties"),
+        ((ua - (na * nb) / lit(2.0)) /
+          sqrt((na * nb / lit(12.0)) *
+            ((nn + lit(1.0)) - d(col("ties")) / (nn * (nn - lit(1.0)))))).as("z"))
+  }
+
+  /** Median-absolute-deviation outliers — the robust sibling of
+    * [[zScoreOutliers]] (one wild value cannot drag the fence the way
+    * it drags μ/σ). Both medians are EXACT percentile_disc picks
+    * (smallest value whose cumulative count reaches half) over
+    * collapsed cents histograms — the windows never see rows — and the
+    * fence test `|v − med| > k·mad` is pure integer arithmetic end to
+    * end: no float enters at any point. Degenerate mad = 0 (over half
+    * the mass on one value) flags every non-median value, by design.
+    * Output: (idCols, valueCol, dev) for flagged rows. */
+  def madOutliers(df: DataFrame, valueCol: String, idCols: Seq[String],
+      k: Long = 10L): DataFrame = {
+    val cents = df.select((idCols.map(col) :+ col(valueCol)
+      :+ expr(centsSql(valueCol)).as("__v")): _*)
+    val h = cents.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val nDf = h.agg(sum(col("__c")).as("__n"))
+    val med = h.withColumn("__cum", sum(col("__c")).over(wcum))
+      .crossJoin(broadcast(nDf))
+      .filter(col("__cum") * 2 >= col("__n"))
+      .agg(min(col("__v")).as("__med"))
+    val h2 = h.crossJoin(broadcast(med))
+      .groupBy(abs(col("__v") - col("__med")).as("__d"))
+      .agg(sum(col("__c")).as("__c2"))
+    val wcum2 = org.apache.spark.sql.expressions.Window.orderBy(col("__d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val mad = h2.withColumn("__cum2", sum(col("__c2")).over(wcum2))
+      .crossJoin(broadcast(nDf))
+      .filter(col("__cum2") * 2 >= col("__n"))
+      .agg(min(col("__d")).as("__mad"))
+    cents.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .filter(abs(col("__v") - col("__med")) > lit(k) * col("__mad"))
+      .select((idCols.map(col) :+ col(valueCol)
+        :+ abs(col("__v") - col("__med")).as("dev")): _*)
+  }
+
   /** Cross-source contamination matrix: for every unordered source pair,
     * how many distinct documents (by content hash) appear in BOTH — the
     * first question asked when a "new" crawl source arrives ("is this

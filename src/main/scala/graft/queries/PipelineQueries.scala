@@ -2019,6 +2019,54 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // rank-based A/B readout: exact integer ranks over the collapsed
+    // cents histogram (2-rank trick keeps tie averages integral); only
+    // the final z is (fixed-order) double
+    QueryDef("q141_mann_whitney",
+      (s, dir) => QualityChecks.mannWhitneyU(
+        Tables.events(s, dir), "event_type", "value", "click", "purchase"),
+      Some("""WITH c AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+             |                  event_type AS g
+             |           FROM events WHERE event_type IN ('click', 'purchase')),
+             |h AS (SELECT v, CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS ca,
+             |             CAST(count(CASE WHEN g = 'purchase' THEN 1 END) AS BIGINT) AS cb
+             |      FROM c GROUP BY 1),
+             |w AS (SELECT ca, cb, ca + cb AS t,
+             |             sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM h),
+             |m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+             |             CAST(sum(ca * (2*(cum - t) + t + 1)) AS BIGINT) AS r2a,
+             |             CAST(sum(t*t*t - t) AS BIGINT) AS ties
+             |      FROM w)
+             |SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a, ties,
+             |       ((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+             |          - (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0)
+             |        / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+             |               * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+             |                  - CAST(ties AS DOUBLE)
+             |                    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             |                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))) AS z
+             |FROM m""".stripMargin)),
+
+    // robust outlier fence: exact percentile_disc median + MAD over
+    // collapsed cents histograms, integer fence test end to end
+    QueryDef("q142_mad_outliers",
+      (s, dir) => QualityChecks.madOutliers(
+        Tables.events(s, dir), "value", Seq("event_id")),
+      Some("""WITH c AS (SELECT event_id, value,
+             |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             |           FROM events),
+             |h AS (SELECT v, CAST(count(*) AS BIGINT) AS ct FROM c GROUP BY 1),
+             |t AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM h),
+             |w AS (SELECT v, sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+             |med AS (SELECT min(v) AS m FROM w, t WHERE cum * 2 >= n),
+             |h2 AS (SELECT abs(v - (SELECT m FROM med)) AS d, sum(ct) AS c2 FROM h GROUP BY 1),
+             |w2 AS (SELECT d, sum(c2) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum2 FROM h2),
+             |mad AS (SELECT min(d) AS md FROM w2, t WHERE cum2 * 2 >= n)
+             |SELECT event_id, value, abs(v - med.m) AS dev
+             |FROM c, med, mad
+             |WHERE abs(v - med.m) > 10 * mad.md""".stripMargin)),
+
     // PCA top principal direction by integer power iteration, all three
     // rounds unrolled in SQL (w sums ride DuckDB's HUGEINT exactly as
     // the driver rides BigInt); output = the 64-dim scaled direction

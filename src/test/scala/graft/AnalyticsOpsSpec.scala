@@ -88,6 +88,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(capped === Set((1L, 2L)), s"oversized block must be skipped: $capped")
   }
 
+  test("mannWhitneyU: hand-computed tie-averaged ranks, exact integer U and tie term") {
+    // A: 1.00 2.00 3.00, B: 2.00 4.00 -> sorted ranks 1, 2.5, 2.5, 4, 5
+    // R_a = 1 + 2.5 + 4 = 7.5 -> u2_a = 2R_a - 2*n_a(n_a+1)/2 = 15 - 12 = 3
+    // one tie group of size 2 -> ties = 2^3 - 2 = 6
+    val df = Seq(("a", "1.00"), ("a", "2.00"), ("a", "3.00"),
+      ("b", "2.00"), ("b", "4.00")).toDF("g", "value")
+    val r = QualityChecks.mannWhitneyU(df, "g", "value", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 2L, 3L, 6L)))
+    val z = r.getDouble(4)
+    assert(z < 0.0 && z > -1.0, s"small sample, A slightly lower: z=$z")
+  }
+
+  test("madOutliers: robust fence survives one wild value; degenerate mad flags non-medians") {
+    val df = Seq((1L, "10.00"), (2L, "10.50"), (3L, "9.50"), (4L, "10.10"),
+      (5L, "9.90"), (6L, "10.20"), (7L, "9999.00")).toDF("event_id", "value")
+    val out = QualityChecks.madOutliers(df, "value", Seq("event_id"), k = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(7L), "only the wild row is outside median +- 10*MAD")
+    // >half the mass on one value -> mad = 0 -> every non-median value flagged
+    val dg = Seq((1L, "5.00"), (2L, "5.00"), (3L, "5.00"), (4L, "6.00"))
+      .toDF("event_id", "value")
+    val dOut = QualityChecks.madOutliers(dg, "value", Seq("event_id"), k = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(dOut === Set(4L))
+  }
+
   test("sourceOverlapMatrix: distinct shared hashes per unordered pair, multiplicity ignored") {
     val docs = Seq(
       ("same text", "a"), ("same text", "b"), ("same text", "b"), // dup within b counts once
