@@ -842,10 +842,31 @@ object Dedup {
     * within-source all-pairs formulation (which the DuckDB oracle still
     * runs at verification scale); only the candidate generation changes
     * from O(block²) to O(collisions). */
-  def simhashPairs(corpus: DataFrame, maxHamming: Int = 6, bits: Int = 24): DataFrame = {
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 6, bits: Int = 24): DataFrame =
+    bandedHammingPairs(
+      simhash(corpus, bits)
+        .join(corpus.select(col("doc_id"), col("source")), "doc_id"),
+      "simhash", bits, maxHamming, blockCols = Seq("source"))
+
+  /** The pigeonhole-banding hamming join in generic form, shared by
+    * [[simhashPairs]] (text, 24-bit, source-blocked) and the image
+    * dHash pairs (56-bit, unblocked): any two hashes within Hamming
+    * distance maxHamming agree exactly on ≥ 1 of (maxHamming + 1) bit
+    * bands, so candidates come from an equi-join on (block, band,
+    * band bits) and each verifies with one `bit_count(xor)` — output
+    * identical to the all-pairs formulation, candidate generation
+    * O(collisions). `sh` needs (doc_id, hashCol, blockCols…). */
+  private[graft] def bandedHammingPairs(sh: DataFrame, hashCol: String,
+      bits: Int, maxHamming: Int, blockCols: Seq[String]): DataFrame = {
     val numBands = maxHamming + 1
-    val sh = simhash(corpus, bits)
-      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    val members = sh.select((Seq(col("doc_id"), col(hashCol).as("h"))
+      ++ blockCols.map(col)): _*)
+    // hot-key defense: the band join runs over DISTINCT (hash, block)
+    // rows, so k docs sharing one hash (flat images, boilerplate text)
+    // contribute ONE row per band instead of a k² candidate group;
+    // identical-hash pairs are expanded afterwards, where the work is
+    // the OUTPUT size, not a join blowup
+    val hashes = members.drop("doc_id").distinct()
     // band b covers bits [offset_b, offset_b + len_b): sizes differ by ≤ 1
     val bandDefs = {
       val base = bits / numBands
@@ -855,22 +876,42 @@ object Dedup {
         case ((off, len), idx) => (idx, off, len)
       }
     }
-    val bandRows = sh.select(col("doc_id"), col("source"), col("simhash"),
+    val bandRows = hashes
+      .select((Seq(col("h")) ++ blockCols.map(col) :+
         explode(array(bandDefs.map { case (idx, off, len) =>
           struct(lit(idx).as("b"),
-            shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1)).as("v"))
-        }: _*)).as("bd"))
-      .select(col("doc_id"), col("source"), col("simhash"),
-        col("bd.b").as("b"), col("bd.v").as("v"))
-    val cand = bandRows.as("a").join(bandRows.as("b"),
-        col("a.b") === col("b.b") && col("a.v") === col("b.v")
-          && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+            shiftright(col("h"), off).bitwiseAND(lit((1L << len) - 1)).as("v"))
+        }: _*)).as("bd")): _*)
+      .select((Seq(col("h"), col("bd.b").as("b"), col("bd.v").as("v"))
+        ++ blockCols.map(col)): _*)
+    val joinCond = (Seq(col("a.b") === col("b.b"), col("a.v") === col("b.v"))
+      ++ blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      :+ (col("a.h") < col("b.h"))).reduce(_ && _)
+    val hashPairs = bandRows.as("a").join(bandRows.as("b"), joinCond)
+      .select((Seq(col("a.h").as("h_a"), col("b.h").as("h_b"))
+        ++ blockCols.map(c => col(s"a.$c"))): _*)
       .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
+    // expand verified DISTINCT-hash pairs back to member pairs …
+    val ma = members.select((Seq(col("doc_id").as("da"), col("h").as("h_a"))
+      ++ blockCols.map(col)): _*)
+    val mb = members.select((Seq(col("doc_id").as("db"), col("h").as("__h_b"))
+      ++ blockCols.map(c => col(c).as(s"__b_$c"))): _*)
+    val cross = hashPairs.join(ma, Seq("h_a") ++ blockCols)
+      .join(mb, (Seq(col("h_b") === col("__h_b"))
+        ++ blockCols.map(c => col(c) === col(s"__b_$c"))).reduce(_ && _))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    // … and same-hash members pair directly (hamming 0 by definition)
+    val withinCond = (Seq(col("a.h") === col("b.h"))
+      ++ blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      :+ (col("a.da") < col("b.da"))).reduce(_ && _)
+    val maW = members.select((Seq(col("doc_id").as("da"), col("h"))
+      ++ blockCols.map(col)): _*)
+    val within = maW.as("a").join(maW.as("b"), withinCond)
+      .select(col("a.da").as("id_a"), col("b.da").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionAll(within)
   }
 }

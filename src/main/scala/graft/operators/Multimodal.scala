@@ -144,6 +144,86 @@ object Multimodal {
     }
   }
 
+  /** [[mediaTable]] plus perturbed near-copies — the image analog of
+    * [[Dedup.withNearDuplicates]]: every 10th doc also lands as
+    * doc_id + 1000000 with ONE digest byte bumped (byte 0, mod 256),
+    * i.e. a sparse pixel change that a gradient hash should survive.
+    * Same encode kernel; the bump happens pre-encode so the copies are
+    * real PNGs, not patched buffers. */
+  def mediaTableWithNearDups(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), unhex(md5(col("text"))).as("digest"),
+      (col("n_chars") % 32 + 1).cast("int").as("width"),
+      (col("doc_id") % 24 + 1).cast("int").as("height"))
+    base.withColumn("bump", lit(0))
+      .unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("digest"),
+          col("width"), col("height"), lit(1).as("bump")))
+      .as[(Long, Array[Byte], Int, Int, Int)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, digest, w, h, bump) =>
+          val d = if (bump == 1) {
+            val c = digest.clone(); c(0) = ((c(0) + 1) & 0xff).toByte; c
+          } else digest
+          MediaRow(id, encodePng(d, w, h), w, h)
+        }
+      }
+      .toDF()
+  }
+
+  /** 56-bit difference hash of a decoded image. */
+  final case class DHashRow(doc_id: Long, dhash: Long)
+
+  /** Perceptual DIFFERENCE HASH (dHash) over decoded pixels: sample an
+    * 8×8 grid by nearest neighbor (px = ⌊gx·w/8⌋, py = ⌊gy·h/8⌋ — all
+    * integer, so the oracle replays it arithmetically from the digest
+    * formula), emit bit gy·7+gx = [sample(gx+1,gy) > sample(gx,gy)] for
+    * the 7 horizontal gradients of each row — 56 bits, deliberately
+    * below bit 63 (DuckDB's checked shift refuses it, same constraint
+    * the Bloom words carry). Gradient hashes are stable under uniform
+    * brightness/contrast shifts — the standard cheap image near-dup
+    * signature. Same once-per-partition decode contract as the other
+    * kernels. */
+  def dHash(media: DataFrame)(implicit spark: SparkSession): Dataset[DHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        def sample(gx: Int, gy: Int): Int =
+          raster.getSample(gx * w / 8, gy * h / 8, 0)
+        var hash = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 7) {
+            if (sample(gx + 1, gy) > sample(gx, gy))
+              hash |= 1L << (gy * 7 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        DHashRow(m.doc_id, hash)
+      }
+    }
+  }
+
+  /** Image near-duplicates: dHash pairs within Hamming distance
+    * `maxHamming`, via the SAME exact pigeonhole banding the text
+    * SimHash family uses ([[Dedup.bandedHammingPairs]] — candidates
+    * from a (band, bits) equi-join, one `bit_count(xor)` verify,
+    * output identical to all-pairs). Unblocked: 56-bit gradient
+    * hashes are near-uniform on distinct images, so band collisions —
+    * not a block key — bound the join. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 6)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.bandedHammingPairs(dHash(media).toDF(), "dhash",
+      bits = 56, maxHamming = maxHamming, blockCols = Seq.empty)
+
   // ---- audio (PCM WAV) -----------------------------------------------------
 
   /** An opaque audio payload + typed metadata. */

@@ -26,6 +26,35 @@ object PipelineQueries {
       |  SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text, source
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** Shared dHash derivation over a `base(doc_id, hx, w, h, bump)` CTE —
+    * mirror of [[Multimodal.dHash]]'s grid sampling (q143, q144). The
+    * digest-bytes list is 1-indexed; `bump` replays
+    * [[Multimodal.mediaTableWithNearDups]]'s byte-0 perturbation. */
+  private val dhashCtes =
+    """bytes AS (SELECT doc_id, bump, w, h,
+      |                 list_transform(generate_series(1, 16),
+      |                   i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1)
+      |                             + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bs
+      |          FROM base),
+      |g AS (SELECT doc_id, bump, w, h, bs, gxs.gx, gys.gy
+      |      FROM bytes,
+      |           (SELECT unnest(generate_series(0, 6)) AS gx) gxs,
+      |           (SELECT unnest(generate_series(0, 7)) AS gy) gys),
+      |s AS (SELECT doc_id, bump, gx, gy, bs,
+      |             CAST(((gy*h // 8)*w + (gx*w // 8)) % 16 AS BIGINT) AS li,
+      |             CAST(((gy*h // 8)*w + ((gx+1)*w // 8)) % 16 AS BIGINT) AS ri
+      |      FROM g),
+      |b AS (SELECT doc_id, gx, gy,
+      |             CASE WHEN bump = 1 AND li = 0 THEN (bs[1] + 1) % 256
+      |                  ELSE bs[li + 1] END AS lb,
+      |             CASE WHEN bump = 1 AND ri = 0 THEN (bs[1] + 1) % 256
+      |                  ELSE bs[ri + 1] END AS rb
+      |      FROM s),
+      |dh AS (SELECT doc_id,
+      |              CAST(sum(CASE WHEN rb > lb THEN (CAST(1 AS BIGINT) << (gy*7 + gx))
+      |                            ELSE 0 END) AS BIGINT) AS dhash
+      |       FROM b GROUP BY 1)""".stripMargin
+
   /** Mirror of [[Similarity.withNearDupEmbeddings]] (q53, q67). */
   private val augEmbCte =
     """aug AS (
@@ -1185,6 +1214,49 @@ object PipelineQueries {
              |         (a, b) -> a + b) AS px_sum,
              |       CAST(bytes[1] AS INTEGER) AS first_px
              |FROM b""".stripMargin)),
+
+    // perceptual dHash over the decoded raster: 8x8 nearest-neighbor
+    // sample grid, 7 horizontal gradients per row -> 56 bits (below
+    // DuckDB's checked bit-63 shift); the oracle replays the sampling
+    // arithmetic from the digest formula, never decoding a PNG
+    QueryDef("q143_image_dhash",
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.dHash(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents"))).toDF()
+      },
+      Some(s"""WITH base AS (SELECT doc_id, md5(text) AS hx,
+             |                     CAST(n_chars % 32 + 1 AS BIGINT) AS w,
+             |                     CAST(doc_id % 24 + 1 AS BIGINT) AS h,
+             |                     0 AS bump
+             |              FROM documents),
+             |$dhashCtes
+             |SELECT doc_id, dhash FROM dh""".stripMargin)),
+
+    // image near-dups: dHash pairs within hamming 6 via the SAME
+    // pigeonhole banding as the text SimHash family, over a corpus with
+    // one-byte-perturbed near-copies injected; oracle = all-pairs
+    QueryDef("q144_image_neardup",
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.imageNearDupPairs(
+          Multimodal.mediaTableWithNearDups(Tables.load(s, dir, "documents")))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, md5(text) AS hx,
+             |                     CAST(n_chars % 32 + 1 AS BIGINT) AS w,
+             |                     CAST(doc_id % 24 + 1 AS BIGINT) AS h,
+             |                     0 AS bump
+             |              FROM documents
+             |              UNION ALL
+             |              SELECT doc_id + 1000000, md5(text),
+             |                     CAST(n_chars % 32 + 1 AS BIGINT),
+             |                     CAST(doc_id % 24 + 1 AS BIGINT), 1
+             |              FROM documents WHERE doc_id % 10 = 0),
+             |$dhashCtes
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+             |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin)),
 
     // ==== temporal: as-of join =============================================
 

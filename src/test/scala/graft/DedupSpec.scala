@@ -128,6 +128,19 @@ class DedupSpec extends SparkSpec {
     assert(fps > 0, "a 512-bit filter over thousands of grams must collide somewhere")
   }
 
+  test("bandedHammingPairs: identical-hash groups expand to all pairs; far hashes excluded") {
+    val rows = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L), // one flat group of identical hashes
+      (4L, 3L),                     // hamming 2 from the group
+      (5L, (1L << 56) - 1)          // all 56 bits differ -> excluded
+    ).toDF("doc_id", "h")
+    val got = Dedup.bandedHammingPairs(rows, "h", bits = 56, maxHamming = 6,
+        blockCols = Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+      (1L, 4L, 2), (2L, 4L, 2), (3L, 4L, 2)))
+  }
+
   test("splitLeakage: counts only pairs that straddle a split boundary, unordered cells") {
     // hashSplit assigns by content hash; recompute each doc's split and
     // build near-dup pairs whose straddling status we can assert against
