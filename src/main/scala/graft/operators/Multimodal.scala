@@ -298,6 +298,37 @@ object Multimodal {
     audio.as[AudioRow].mapPartitions(_.map(decodeWav))
   }
 
+  /** 56-bit sign-of-delta audio fingerprint. */
+  final case class AudioFpRow(doc_id: Long, afp: Long)
+
+  /** Acoustic fingerprint over the DECODED PCM stream — the audio
+    * member of the shared hamming near-dup machinery (text SimHash,
+    * image dHash, this): sample a fixed 57-point grid s_j = ⌊j·n/57⌋
+    * over the n frames, bit j = [sample(s_{j+1}) > sample(s_j)] — the
+    * sign-of-delta signature (Shazam-family fingerprints threshold
+    * spectral deltas the same way; time-domain deltas keep the oracle
+    * in exact integer arithmetic). 56 bits, below the checked bit-63
+    * shift; amplitude-scale invariant like the image gradients. Feed
+    * [[Dedup.bandedHammingPairs]] (bits = 56) for near-dup pairs. */
+  def audioFingerprint(audio: DataFrame)(implicit spark: SparkSession): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    audio.as[AudioRow].mapPartitions(_.map { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(a.payload))
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      def sample(i: Int): Int =
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      var hash = 0L
+      var j = 0
+      while (j < 56) {
+        if (sample((j + 1) * n / 57) > sample(j * n / 57)) hash |= 1L << j
+        j += 1
+      }
+      AudioFpRow(a.doc_id, hash)
+    })
+  }
+
   // ---- video (framed PNG container) ----------------------------------------
 
   /** An opaque video payload + typed metadata. */

@@ -169,6 +169,36 @@ object QualityChecks {
         col("cum"), col("total"))
   }
 
+  /** Per-group [[histogramQuantiles]]: same deterministic
+    * percentile-threshold rule, with the cumulative window PARTITIONED
+    * by the group — it still runs over collapsed (group, bin) rows,
+    * never data rows, and per-group totals join back instead of a
+    * global scalar. Output: (group, pct, bin, lo_cents, cum, total). */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, binWidthCents: Long, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in 1..100: $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df.select(col(groupCol),
+        expr(s"(${centsSql(valueCol)}) div $binWidthCents").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("c")).over(w))
+      .select(col(groupCol), col("bin"), col("cum"))
+    val total = df.groupBy(col(groupCol)).agg(count(lit(1)).as("total"))
+    val thr = pcts.toDF("pct").crossJoin(broadcast(total))
+      .withColumn("thr", expr("(total * pct + 99) div 100"))
+    val sel = thr.join(cum, Seq(groupCol)).filter(col("cum") >= col("thr"))
+      .groupBy(col(groupCol), col("pct"), col("total")).agg(min(col("bin")).as("bin"))
+    sel.join(cum, Seq(groupCol, "bin"))
+      .select(col(groupCol), col("pct"), col("bin"),
+        (col("bin") * binWidthCents).as("lo_cents"), col("cum"), col("total"))
+  }
+
   private def centsSql(c: String): String =
     s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
 

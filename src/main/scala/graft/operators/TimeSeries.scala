@@ -61,6 +61,23 @@ object TimeSeries {
     * the same per-key bound `sessionize`'s state carries; α is a
     * binary-exact literal (0.25) so (1−α) folds exactly. Output:
     * (keyCol, n_events, ewma). */
+  /** Markov transition counts over each entity's event sequence: for
+    * every consecutive (prev → next) event-type step in (ts, id) order —
+    * the id tiebreak makes the sequence total, so the matrix is
+    * deterministic — one count. The lag window shuffles once on the
+    * entity key (high cardinality); the matrix itself is |types|² rows.
+    * The empirical behavior model funnels, anomaly priors, and
+    * next-event prediction baselines all read from. */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(keyCol), col(typeCol),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def ewma(events: DataFrame, keyCol: String, tsUsCol: String,
       tieCol: String, valueCol: String, alpha: Double = 0.25): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")

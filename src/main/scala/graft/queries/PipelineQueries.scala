@@ -2091,6 +2091,69 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // per-group deterministic percentiles: the q93 threshold rule with
+    // the cumulative window partitioned by group (collapsed rows only)
+    QueryDef("q145_grouped_quantiles",
+      (s, dir) => QualityChecks.groupedHistogramQuantiles(
+        Tables.events(s, dir), "event_type", "value",
+        binWidthCents = 500L, pcts = Seq(50, 90, 99)),
+      Some("""WITH b AS (SELECT event_type,
+             |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 500 AS bin
+             |           FROM events),
+             |h AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+             |cum AS (SELECT event_type, bin,
+             |               sum(c) OVER (PARTITION BY event_type ORDER BY bin
+             |                            ROWS UNBOUNDED PRECEDING) AS cum
+             |        FROM h),
+             |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS total FROM b GROUP BY 1),
+             |thr AS (SELECT t.event_type, p.pct, t.total, (t.total * p.pct + 99) // 100 AS thr
+             |        FROM t, (SELECT unnest([50, 90, 99]) AS pct) p),
+             |sel AS (SELECT thr.event_type, thr.pct, thr.total, min(cum.bin) AS bin
+             |        FROM thr JOIN cum ON cum.event_type = thr.event_type AND cum.cum >= thr.thr
+             |        GROUP BY 1, 2, 3)
+             |SELECT sel.event_type, CAST(sel.pct AS INTEGER) AS pct, sel.bin,
+             |       sel.bin * 500 AS lo_cents, cum.cum, sel.total
+             |FROM sel JOIN cum ON cum.event_type = sel.event_type AND cum.bin = sel.bin""".stripMargin)),
+
+    // empirical Markov transition matrix over each user's (ts, id)-total
+    // event order — one keyed lag window, |types|^2 output
+    QueryDef("q146_transition_matrix",
+      (s, dir) => graft.operators.TimeSeries.transitionMatrix(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type"),
+      Some("""WITH s AS (SELECT user_id, event_type,
+             |                  lag(event_type) OVER (PARTITION BY user_id
+             |                                        ORDER BY ts, event_id) AS prev_type
+             |           FROM events)
+             |SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+             |FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin)),
+
+    // acoustic sign-of-delta fingerprint over the decoded PCM frames —
+    // the audio member of the shared 56-bit hamming family; oracle
+    // replays the fixed 57-point grid from the digest formula
+    QueryDef("q147_audio_fingerprint",
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.audioFingerprint(
+          Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
+      },
+      Some("""WITH base AS (SELECT doc_id, md5(text) AS hx,
+             |                     CAST(n_chars % 64 + 16 AS BIGINT) AS n
+             |              FROM documents),
+             |bytes AS (SELECT doc_id, n,
+             |                 list_transform(generate_series(1, 16),
+             |                   i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1)
+             |                             + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bs
+             |          FROM base),
+             |g AS (SELECT doc_id, n, bs, js.j
+             |      FROM bytes, (SELECT unnest(generate_series(0, 55)) AS j) js),
+             |b AS (SELECT doc_id, j,
+             |             bs[((j*n // 57) % 16) + 1] AS lb,
+             |             bs[(((j+1)*n // 57) % 16) + 1] AS rb
+             |      FROM g)
+             |SELECT doc_id,
+             |       CAST(sum(CASE WHEN rb > lb THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS afp
+             |FROM b GROUP BY 1""".stripMargin)),
+
     // rank-based A/B readout: exact integer ranks over the collapsed
     // cents histogram (2-rank trick keeps tie averages integral); only
     // the final z is (fixed-order) double

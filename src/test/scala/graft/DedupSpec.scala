@@ -141,6 +141,24 @@ class DedupSpec extends SparkSpec {
       (1L, 4L, 2), (2L, 4L, 2), (3L, 4L, 2)))
   }
 
+  test("audio fingerprints pair through the shared hamming banding (third modality)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // 10 and 1000010: same waveform (same text digest, same length) from
+    // independently encoded WAVs -> identical fingerprint, hamming 0;
+    // 11: unrelated digest -> far away (expected hamming ~28 of 56)
+    val audio = graft.operators.Multimodal.audioTable(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", 40L),
+      (1000010L, "alpha beta gamma delta epsilon zeta", 40L),
+      (11L, "completely different content over here", 40L)
+    ).toDF("doc_id", "text", "n_chars"))
+    val fps = graft.operators.Multimodal.audioFingerprint(audio).toDF()
+    val pairs = Dedup.bandedHammingPairs(fps, "afp", bits = 56, maxHamming = 6,
+        blockCols = Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((10L, 1000010L, 0)),
+      s"identical waveforms pair at hamming 0, unrelated audio stays apart: $pairs")
+  }
+
   test("splitLeakage: counts only pairs that straddle a split boundary, unordered cells") {
     // hashSplit assigns by content hash; recompute each doc's split and
     // build near-dup pairs whose straddling status we can assert against
