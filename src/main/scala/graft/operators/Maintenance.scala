@@ -84,6 +84,47 @@ object Maintenance {
     partials.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental materialized-aggregate maintenance: fold a CDC batch of
+    * (key, op, value) rows into the current per-key (n, total) STATE
+    * without rescanning the base — the batch collapses to per-key deltas
+    * (map-side partial), merges with one full-outer join, and keys whose
+    * count reaches zero drop out. Cost scales with the BATCH, never the
+    * base: the only way a 100 TB rollup stays fresh. `total` rides
+    * whatever exact type the state carries (DECIMAL for money);
+    * deletions must mirror prior inserts (CDC contract) or n goes
+    * negative — the filter treats that as fully-deleted rather than
+    * publish a corrupt row. */
+  def incrementalAggMaintain(state: DataFrame, changes: DataFrame,
+      keyCol: String, opCol: String, valueCol: String): DataFrame = {
+    val sign = when(col(opCol) === "insert", lit(1)).otherwise(lit(-1))
+    val delta = changes.groupBy(col(keyCol)).agg(
+      sum(sign.cast("long")).as("__dn"),
+      sum(col(valueCol) * sign).as("__dt"))
+    state.join(delta, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast(delta.schema("__dt").dataType))
+          + coalesce(col("__dt"), lit(0))).as("total"))
+      .filter(col("n") > 0)
+  }
+
+  /** Merkle-style range checksums for table synchronization: rows hash
+    * into their key range's order-independent checksum (sum of
+    * polynomial row hashes mod P — commutative, so no sort, and exact
+    * int64: each hash < P ≈ 2³⁰, safe to ~2³³ rows per range). Two
+    * snapshots' checksum frames anti-agree exactly on the ranges that
+    * differ — ship only those, the way state-sync and backfill-repair
+    * pipelines bound their transfer to the damage, not the table. */
+  def rangeChecksums(df: DataFrame, keyCol: String, rangeWidth: Long,
+      cols: Seq[String]): DataFrame = {
+    df.select(expr(s"$keyCol div $rangeWidth").as("bucket"),
+        graft.functions.TextHash.polyHash(
+          concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__h")) % graft.functions.TextHash.P).as("checksum"))
+  }
+
   /** Point-in-time (AS OF) join against an [[scd2]] dimension: each fact
     * row picks the dimension version whose validity interval contains
     * its timestamp (`valid_from ≤ ts < valid_to`, open current version).

@@ -2091,6 +2091,61 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // incremental materialized-aggregate maintenance: CDC batch folds
+    // into the per-key state via one full-outer delta merge; the oracle
+    // is the FULL RECOMPUTE, so incremental == recompute is hash-gated
+    QueryDef("q148_incremental_agg",
+      (s, dir) => {
+        import graft.operators.Maintenance
+        val orders = Tables.load(s, dir, "orders")
+        val price = Exact.money(col("o_totalprice"))
+        val state = orders.filter(col("o_orderkey") % 5 =!= 0)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(price).as("total"))
+        val changes = orders.filter(col("o_orderkey") % 5 === 0)
+            .select(col("o_custkey"), lit("insert").as("op"), price.as("v"))
+          .unionAll(orders
+            .filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 === 0)
+            .select(col("o_custkey"), lit("delete").as("op"), price.as("v")))
+        Maintenance.incrementalAggMaintain(state, changes, "o_custkey", "op", "v")
+          .select(col("o_custkey"), col("n"), col("total").cast("double").as("total"))
+      },
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders
+             |WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 != 0
+             |GROUP BY 1""".stripMargin)),
+
+    // merkle-style sync diff: order-independent range checksums of two
+    // snapshots; only the tampered ranges disagree
+    QueryDef("q149_range_checksums",
+      (s, dir) => {
+        import graft.operators.Maintenance
+        val docs = Tables.load(s, dir, "documents")
+        val cols = Seq("text", "lang", "source", "n_chars")
+        val a = Maintenance.rangeChecksums(docs, "doc_id", 100L, cols)
+        val b = Maintenance.rangeChecksums(
+            docs.withColumn("text", when(col("doc_id") % 97 === 0,
+              lit("tampered")).otherwise(col("text"))), "doc_id", 100L, cols)
+          .select(col("bucket"), col("checksum").as("ck_b"))
+        a.join(b, "bucket").filter(col("checksum") =!= col("ck_b"))
+          .select(col("bucket"), col("n_rows"), col("checksum"), col("ck_b"))
+      },
+      Some {
+        val rowStr = "concat_ws('|', text, lang, source, CAST(n_chars AS VARCHAR))"
+        val rowStrT = "concat_ws('|', CASE WHEN doc_id % 97 = 0 THEN 'tampered' ELSE text END, " +
+          "lang, source, CAST(n_chars AS VARCHAR))"
+        s"""WITH a AS (SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           |                  CAST(sum(${TextHash.polyHashSql(rowStr)}) % ${TextHash.P} AS BIGINT) AS checksum
+           |           FROM documents GROUP BY 1),
+           |b AS (SELECT doc_id // 100 AS bucket,
+           |             CAST(sum(${TextHash.polyHashSql(rowStrT)}) % ${TextHash.P} AS BIGINT) AS ck_b
+           |      FROM documents GROUP BY 1)
+           |SELECT a.bucket, a.n_rows, a.checksum, b.ck_b
+           |FROM a JOIN b ON a.bucket = b.bucket
+           |WHERE a.checksum != b.ck_b""".stripMargin
+      }),
+
     // per-group deterministic percentiles: the q93 threshold rule with
     // the cumulative window partitioned by group (collapsed rows only)
     QueryDef("q145_grouped_quantiles",

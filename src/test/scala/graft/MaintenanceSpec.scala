@@ -91,4 +91,33 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("incrementalAggMaintain: inserts create keys, full deletion drops them, partial updates merge") {
+    import spark.implicits._
+    val state = Seq(("a", 2L, BigDecimal("30.00")), ("b", 1L, BigDecimal("5.00")))
+      .toDF("k", "n", "total")
+    val changes = Seq(
+      ("a", "delete", BigDecimal("10.00")), // a: 2 -> 1, 30 -> 20
+      ("b", "delete", BigDecimal("5.00")),  // b fully deleted -> dropped
+      ("c", "insert", BigDecimal("7.50")),  // new key
+      ("c", "insert", BigDecimal("2.50"))
+    ).toDF("k", "op", "v")
+    val out = Maintenance.incrementalAggMaintain(state, changes, "k", "op", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    assert(out === Map("a" -> ((1L, 20.0)), "c" -> ((2L, 10.0))))
+  }
+
+  test("rangeChecksums: only ranges containing a changed row flip their checksum") {
+    import spark.implicits._
+    val base = (1L to 400L).map(i => (i, s"row $i", i % 7)).toDF("id", "payload", "tag")
+    val tampered = base.withColumn("payload",
+      when(col("id") === 250L, lit("changed")).otherwise(col("payload")))
+    val a = Maintenance.rangeChecksums(base, "id", 100L, Seq("payload", "tag"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val b = Maintenance.rangeChecksums(tampered, "id", 100L, Seq("payload", "tag"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a.keySet === b.keySet && a.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(a.filter { case (k, v) => b(k) != v }.keySet === Set(2L),
+      "row 250 lives in bucket 2; every other range checksum must hold")
+  }
 }
