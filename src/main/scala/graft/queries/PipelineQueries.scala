@@ -2091,6 +2091,35 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // regex extraction surface: build a log line, parse it back with
+    // regexp_extract, aggregate the parsed fields — value rides as
+    // integer cents because double->string rendering is engine territory
+    QueryDef("q150_log_parse",
+      (s, dir) => {
+        val lines = Tables.events(s, dir).select(concat(
+          lit("uid="), col("user_id"), lit(" type="), col("event_type"),
+          lit(" value_cents="),
+          col("value").cast("decimal(12,2)").*(100).cast("long"),
+          lit(" id="), col("event_id")).as("line"))
+        lines.select(
+            regexp_extract(col("line"), "type=([a-z_]+)", 1).as("event_type"),
+            regexp_extract(col("line"), "value_cents=([0-9]+)", 1)
+              .cast("long").as("cents"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      },
+      Some("""WITH l AS (SELECT concat('uid=', user_id, ' type=', event_type,
+             |                         ' value_cents=',
+             |                         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+             |                         ' id=', event_id) AS line
+             |           FROM events),
+             |p AS (SELECT regexp_extract(line, 'type=([a-z_]+)', 1) AS event_type,
+             |             CAST(regexp_extract(line, 'value_cents=([0-9]+)', 1) AS BIGINT) AS cents
+             |      FROM l)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(cents) AS BIGINT) AS total_cents
+             |FROM p GROUP BY 1""".stripMargin)),
+
     // incremental materialized-aggregate maintenance: CDC batch folds
     // into the per-key state via one full-outer delta merge; the oracle
     // is the FULL RECOMPUTE, so incremental == recompute is hash-gated

@@ -387,6 +387,36 @@ object StreamOps {
       }
   }
 
+  final case class TransIn(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class TransState(lastType: String, lastTsUs: Long, lastId: Long)
+  final case class TransOut(prev_type: String, next_type: String)
+
+  /** Streaming Markov transition steps: per-user state holds only the
+    * LAST event (constant state per key forever); each trigger sorts its
+    * slice in (ts, id) order and emits one (prev → next) fact per step,
+    * bridging across trigger boundaries through the saved last event.
+    * `groupBy(prev, next).count` downstream gives the live matrix —
+    * equal to the batch [[graft.operators.TimeSeries.transitionMatrix]]
+    * under per-key ordered replay (StreamingSpec pins it, split-trigger
+    * vs one-trigger included). */
+  def transitionStream(events: Dataset[TransIn]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, evs, state: GroupState[TransState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[TransOut]
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransOut(p.lastType, e.event_type))
+            prev = Some(TransState(e.event_type, e.ts_us, e.event_id))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming heavy-hitter shortlist: Misra–Gries counters live in
     * per-group state — ≤ k−1 counters per group FOREVER, the bounded-
     * state contract an unbounded token stream demands (a naive

@@ -468,6 +468,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming transitions == batch matrix; state bridges trigger boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val in = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[StreamOps.TransIn].collect().sortBy(e => (e.ts_us, e.event_id))
+    def run(chunks: Seq[Seq[StreamOps.TransIn]], name: String): Map[(String, String), Long] = {
+      val stream = MemoryStream[StreamOps.TransIn]
+      val query = StreamOps.transitionStream(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+        spark.table(name).collect()
+          .groupBy(r => (r.getString(0), r.getString(1)))
+          .map { case (k, rs) => k -> rs.length.toLong }
+      } finally query.stop()
+    }
+    val split = run(Seq(in.take(in.length / 2).toSeq, in.drop(in.length / 2).toSeq), "trans2")
+    val once = run(Seq(in.toSeq), "trans1")
+    val batch = graft.operators.TimeSeries.transitionMatrix(
+        ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(split.nonEmpty && split === batch,
+      "split-trigger stream must equal the batch lag-window matrix")
+    assert(once === batch, "single-trigger stream must equal the batch matrix")
+  }
+
   test("streaming CDC apply: sequential batches == one batch apply of the full feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
