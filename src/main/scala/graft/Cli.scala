@@ -193,6 +193,57 @@ object Cli {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[graft] curate: $rates; packed bins -> $outDir/packed")
 
+    // the full curation release in one command: ensemble dedup ->
+    // (optional) benchmark decontamination -> quality verdicts -> PII
+    // redaction -> sequence packing -> dataset card -> manifest, every
+    // stage's drop accounted in manifest.json
+    case "release" :: corpusPath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
+      val seqLen = o.get("seq-len").map(_.toInt).getOrElse(1024)
+      val corpus = spark.read.parquet(corpusPath)
+      val nRead = corpus.count()
+
+      val survivors = graft.operators.Dedup.ensembleDedupApply(corpus, tau)
+        .select("doc_id")
+      val deduped = corpus.join(survivors, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val nDeduped = deduped.count()
+
+      val clean = o.get("bench") match {
+        case Some(benchPath) =>
+          val bad = graft.operators.Dedup.contaminatedDocs(
+            deduped, spark.read.parquet(benchPath)).select("doc_id")
+          deduped.join(bad, Seq("doc_id"), "left_anti").localCheckpoint()
+        case None => deduped
+      }
+      val nClean = clean.count()
+
+      val verdicts = graft.operators.Curation.qualityVerdicts(clean)
+      verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts")
+      val kept = clean.join(
+        verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      kept.withColumn("text", graft.operators.Curation.redactText(col("text")))
+        .write.mode("overwrite").parquet(s"$outDir/docs")
+      val released = spark.read.parquet(s"$outDir/docs")
+      val nReleased = released.count()
+
+      graft.operators.Curation.packAssembly(released, seqLen)
+        .write.mode("overwrite").parquet(s"$outDir/packed")
+      graft.operators.Curation.datasetCard(released)
+        .write.mode("overwrite").parquet(s"$outDir/card")
+      val nBins = spark.read.parquet(s"$outDir/packed").count()
+
+      val manifest = s"""{"read":$nRead,"after_dedup":$nDeduped,""" +
+        s""""after_decontamination":$nClean,"released":$nReleased,""" +
+        s""""dropped_dup":${nRead - nDeduped},"dropped_contaminated":${nDeduped - nClean},""" +
+        s""""dropped_quality":${nClean - nReleased},"packed_bins":$nBins,""" +
+        s""""seq_len":$seqLen,"jaccard":$tau}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        {java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir)); s"$outDir/manifest.json"}),
+        (manifest + "\n").getBytes("UTF-8"))
+      println(s"[graft] release: $manifest -> $outDir")
+
     // publish the per-source release summary for a curated corpus
     case "card" :: corpusPath :: outDir :: Nil =>
       val card = graft.operators.Curation.datasetCard(spark.read.parquet(corpusPath))
@@ -225,6 +276,7 @@ object Cli {
           |  delete-index  <indexDir> <idsParquet> [--buckets N]
           |  curate       <corpusParquet> <outDir> [--seq-len N]
           |  card         <corpusParquet> <outDir>
+          |  release      <corpusParquet> <outDir> [--bench P] [--jaccard T] [--seq-len N]
           |  bpe          <corpusParquet> <outDir> [--merges N]""".stripMargin)
       sys.exit(2)
   }

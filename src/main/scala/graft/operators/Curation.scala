@@ -127,12 +127,17 @@ object Curation {
     * fixed (email → phone → ip) and the three patterns are mutually
     * non-overlapping, so counting BEFORE redacting equals counting during.
     * Narrow regexp work only; at 100 TB this is a map-only stage. */
-  def redactPii(docs: DataFrame): DataFrame = {
-    val redacted = regexp_replace(
+  /** The released text form of the PII scrub — same fixed-order chain
+    * [[redactPii]] hashes (email → phone → ip). */
+  def redactText(c: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        regexp_replace(c, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       IpRe, "<IP>")
+
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = redactText(col("text"))
     docs.select(col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
       regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
