@@ -52,7 +52,14 @@ class QualityGatesSpec extends SparkSpec {
     // contains q51's brute-force baseline by definition (eval harness)
     "q127_ann_eval",
     // one-row (ta, tb) totals attach for the scaled probabilities
-    "q130_token_drift")
+    "q130_token_drift",
+    // one-row corpus-size attach feeding the affine negative probe
+    "q140_negative_sample",
+    // one-row median/MAD/total attaches; fence test itself is a map
+    "q142_mad_outliers",
+    // per-group totals broadcast to the 3-row percentile threshold
+    // frame; the cum >= thr probe runs on the COLLAPSED histogram
+    "q145_grouped_quantiles")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
