@@ -2091,6 +2091,26 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // dead-letter quarantine: JSON lines with every 13th malformed (an
+    // UNQUOTED string value — chosen because Jackson's PERMISSIVE parse
+    // forgives a merely-truncated object); the parse must flag EXACTLY
+    // the malformed ones, and bad rows keep their doc_id for the
+    // dead-letter output
+    QueryDef("q151_json_quarantine",
+      (s, dir) => {
+        val lines = Tables.load(s, dir, "documents").select(col("doc_id"),
+          concat(lit("{\"id\":"), col("doc_id"), lit(",\"lang\":"),
+            when(col("doc_id") % 13 === 0, col("lang"))
+              .otherwise(concat(lit("\""), col("lang"), lit("\""))),
+            lit("}")).as("js"))
+        lines.select(col("doc_id"),
+            from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(
+              "id BIGINT, lang STRING, _corrupt STRING"),
+              Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+          .select(col("doc_id"), col("j._corrupt").isNull.as("ok"))
+      },
+      Some("SELECT doc_id, doc_id % 13 != 0 AS ok FROM documents")),
+
     // regex extraction surface: build a log line, parse it back with
     // regexp_extract, aggregate the parsed fields — value rides as
     // integer cents because double->string rendering is engine territory
