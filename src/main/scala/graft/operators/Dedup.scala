@@ -130,6 +130,65 @@ object Dedup {
       .filter(col("jacc") >= minJaccard)
   }
 
+  /** Corpus + extracted "quotes": every 25th doc also lands as
+    * doc_id + 2000000 holding only its first 8 tokens — a short doc
+    * CONTAINED in a long one (containment 1.0, Jaccard tiny), the case
+    * symmetric-Jaccard dedup is blind to. */
+  def withQuoteDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, 8), ' ')").as("text"),
+          col("source")))
+
+  /** CONTAINMENT near-dups — |A∩B| / |A| ≥ t with A the smaller set:
+    * the quote/subset/boilerplate-extraction case where a short doc
+    * lives inside a long one and symmetric Jaccard stays near zero
+    * (RefinedWeb-style pipelines dedup on containment for exactly this).
+    * Asymmetric PPJoin shape: only the CONTAINED side can be
+    * prefix-filtered (containment ≥ t forces a common element in A's
+    * first |A| − ⌈t·|A|⌉ + 1 shingles under the global df-canonical
+    * order), so A-prefixes probe a FULL inverted index of the corpus —
+    * and the canonical order is again the hot-key defense: prefixes
+    * hold rare shingles, so only SHORT posting lists are ever probed;
+    * stop-shingle postings exist but nothing touches them. Direction by
+    * size (ties by id), one exact `array_intersect` verify per
+    * candidate; output identical to all-pairs. Blocked by `source` like
+    * [[jaccardPairs]]. Output: (id_a contained, id_b container, inter,
+    * sz_a, containment). */
+  def containmentPairs(corpus: DataFrame, minContainment: Double = 0.9): DataFrame = {
+    val t = minContainment
+    val eps = 1e-9
+    val docShingles = distinctShingles(corpus)
+    val dfreq = docShingles.groupBy("s").agg(count(lit(1)).as("df"))
+    val sets = docShingles.join(dfreq, "s")
+      .groupBy("doc_id", "source")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("oset"))
+      .select(col("doc_id"), col("source"),
+        transform(col("oset"), x => x.getField("s")).as("set"),
+        size(col("oset")).as("sz"))
+    val prefixLen = (col("sz") - ceil(col("sz") * t - eps) + 1).cast("int")
+    val prefixes = sets.select(col("doc_id"), col("source"), col("sz"),
+      explode(slice(col("set"), lit(1), prefixLen)).as("s"))
+    val index = sets.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("set")).as("s"))
+    val cand = prefixes.as("a").join(index.as("b"),
+        col("a.s") === col("b.s") && col("a.source") === col("b.source")
+          && (col("a.sz") < col("b.sz")
+            || (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.cast("long").as("inter"),
+        col("sz_a").cast("long").as("sz_a"),
+        (inter.cast("double") / col("sz_a").cast("double")).as("containment"))
+      .filter(col("containment") >= t)
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signatures: (doc_id, i, mh) for i ∈ [0, numHashes); mh =

@@ -2091,6 +2091,39 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // containment (subset/quote) dedup: |A∩B|/|A| >= 0.9 with A the
+    // smaller set — the case symmetric Jaccard is blind to; corpus
+    // carries near-dups AND extracted 8-token quotes; oracle = all-pairs
+    QueryDef("q152_containment",
+      (s, dir) => Dedup.containmentPairs(
+        Dedup.withQuoteDocs(Dedup.withNearDuplicates(
+          Tables.load(s, dir, "documents")))),
+      Some(s"""WITH corpus0 AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text, source
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text, source FROM corpus0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000 AS doc_id,
+             |         array_to_string(string_split(text, ' ')[1:8], ' ') AS text, source
+             |  FROM corpus0 WHERE doc_id % 25 = 0),
+             |$shingleCtes,
+             |dsh AS (SELECT doc_id, source, unnest(list_distinct(shs)) AS s FROM sh),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+             |      FROM dsh a
+             |      JOIN sizes za ON za.doc_id = a.doc_id
+             |      JOIN dsh b ON a.s = b.s AND a.source = b.source
+             |      JOIN sizes zb ON zb.doc_id = b.doc_id
+             |      WHERE za.sz < zb.sz OR (za.sz = zb.sz AND a.doc_id < b.doc_id)
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b, inter, za.sz AS sz_a,
+             |       CAST(inter AS DOUBLE) / CAST(za.sz AS DOUBLE) AS containment
+             |FROM p JOIN sizes za ON za.doc_id = p.id_a
+             |WHERE CAST(inter AS DOUBLE) / CAST(za.sz AS DOUBLE) >= 0.9""".stripMargin)),
+
     // dead-letter quarantine: JSON lines with every 13th malformed (an
     // UNQUOTED string value — chosen because Jackson's PERMISSIVE parse
     // forgives a merely-truncated object); the parse must flag EXACTLY

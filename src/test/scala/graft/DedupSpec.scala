@@ -128,6 +128,23 @@ class DedupSpec extends SparkSpec {
     assert(fps > 0, "a 512-bit filter over thousands of grams must collide somewhere")
   }
 
+  test("containmentPairs: finds the quote symmetric Jaccard misses, direction smaller-into-larger") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ")   // contained: 6 of 38 shingles
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, long, "s"), (2L, quote, "s"), (3L, other, "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(docs, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(got === Set((2L, 1L, 1.0)),
+      s"quote(2) contained in long(1), nothing else: $got")
+    // the same pair is invisible to symmetric Jaccard at any useful tau
+    val jacc = Dedup.jaccardPairs(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((1L, 2L)) && !jacc.contains((2L, 1L)),
+      "6/38 shared shingles must stay below Jaccard 0.5")
+  }
+
   test("bandedHammingPairs: identical-hash groups expand to all pairs; far hashes excluded") {
     val rows = Seq(
       (1L, 0L), (2L, 0L), (3L, 0L), // one flat group of identical hashes
