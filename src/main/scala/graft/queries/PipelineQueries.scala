@@ -2091,6 +2091,24 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // native session_window API (the custom state-op sessionize's
+    // cousin); oracle = gaps-and-islands with end = last event + gap
+    QueryDef("q153_session_window",
+      (s, dir) => StreamOps.sessionWindowCounts(Tables.events(s, dir)),
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |m AS (SELECT user_id, us,
+             |             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |                       OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+             |                  THEN 1 ELSE 0 END AS brk
+             |      FROM e),
+             |g AS (SELECT user_id, us,
+             |             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+             |                            ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, min(us) AS s_us, max(us) + 1800000000 AS e_us,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
+
     // containment (subset/quote) dedup: |A∩B|/|A| >= 0.9 with A the
     // smaller set — the case symmetric Jaccard is blind to; corpus
     // carries near-dups AND extracted 8-token quotes; oracle = all-pairs

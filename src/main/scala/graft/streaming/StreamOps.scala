@@ -57,6 +57,24 @@ object StreamOps {
   def hourlyCountsStream(events: DataFrame): DataFrame =
     hourlyCounts(events.withWatermark("ts", "2 hours"))
 
+  /** NATIVE session windows (dynamic-gap close cousin of the custom
+    * [[sessionize]] state operator): `session_window` merges a user's
+    * events whenever the gap stays ≤ 30 min; window end = last event +
+    * gap. Batch and streaming share the plan; the custom
+    * mapGroupsWithState path remains for semantics the native operator
+    * can't express (per-session derived fields mid-stream). Output in
+    * epoch MICROS (integer — cross-engine exact). */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+        unix_micros(col("w.end")).as("e_us"), col("n"))
+
+  /** Streaming variant: watermark bounds the open-session state. */
+  def sessionWindowCountsStream(events: DataFrame): DataFrame =
+    sessionWindowCounts(events.withWatermark("ts", "2 hours"))
+
   /** HOPPING (sliding) windows: 1-hour windows every 30 minutes — each
     * event lands in exactly size/hop windows (2 here), the standard
     * smoothing dashboards want that tumbling windows can't give. Same

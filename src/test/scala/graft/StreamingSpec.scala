@@ -468,6 +468,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("native session_window stream == batch over the real events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val expected = StreamOps.sessionWindowCounts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val in = ev.select(col("event_id"), col("ts").cast("timestamp"), col("user_id"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val query = StreamOps.sessionWindowCountsStream(
+        stream.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (a, b) = in.splitAt(in.length / 2)
+      stream.addData(a.toSeq); query.processAllAvailable()
+      stream.addData(b.toSeq); query.processAllAvailable()
+      val got = spark.table("sesswin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got.nonEmpty && got === expected,
+        "native session windows must merge identically in stream and batch")
+    } finally query.stop()
+  }
+
   test("streaming transitions == batch matrix; state bridges trigger boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
