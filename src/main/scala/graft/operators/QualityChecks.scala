@@ -406,6 +406,61 @@ object QualityChecks {
         :+ abs(col("__v") - col("__med")).as("dev")): _*)
   }
 
+  /** Per-group skewness and excess kurtosis — the distribution-shape
+    * monitor (drift often shows in the tails before the mean moves).
+    * All four raw moments Σx..Σx⁴ accumulate in EXACT DECIMAL in one
+    * conditional-free aggregate pass (order-independent where streaming
+    * doubles are not; x⁴ needs the NARROW DECIMAL(6,2) view — |x| < 10⁴,
+    * 18× above the corpus max — to keep DuckDB's stepwise products
+    * inside its decimal widths);
+    * the central-moment algebra runs in one fixed double order over the
+    * per-group moment frame. Built-in `skewness`/`kurtosis` are the
+    * right call when cross-engine bit-equality doesn't matter. */
+  def shapeMoments(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(6,2)")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+      sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    def d(c: String) = col(c).cast("double")
+    // DuckDB's wide-decimal -> DOUBLE cast double-rounds (raw int128 to
+    // double, then the scale division); split each sum into an exact
+    // integer part + exact scaled fraction so BOTH engines assemble the
+    // identical double from two exactly-representable halves
+    def ds(c: String, scale: Int): Column = {
+      val f = floor(col(c))
+      val mult = math.pow(10, scale).toLong
+      f.cast("long").cast("double") +
+        ((col(c) - f) * mult).cast("long").cast("double") / lit(mult.toDouble)
+    }
+    val nD = d("n")
+    val mean = d("s1") / nD
+    val s2d = ds("s2", 4); val s3d = ds("s3", 6); val s4d = ds("s4", 8)
+    val m2 = s2d / nD - mean * mean
+    val m3 = s3d / nD - lit(3.0) * mean * (s2d / nD) + lit(2.0) * mean * mean * mean
+    val m4 = s4d / nD - lit(4.0) * mean * (s3d / nD) +
+      lit(6.0) * mean * mean * (s2d / nD) - lit(3.0) * mean * mean * mean * mean
+    m.select(col(groupCol), col("n"), mean.as("mean"),
+      (m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+      (m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+  }
+
+  /** Power-of-two (log₂-bucketed) histogram — the latency-histogram
+    * shape: bucket = number of binary digits of the cents value, i.e.
+    * ⌊log₂ v⌋ + 1, computed EXACTLY as `length(bin(v))` on both engines
+    * (no float log anywhere); zero/negative land in bucket 0. Output
+    * one row per occupied bucket with its [lo, hi] cents range. */
+  def log2Histogram(df: DataFrame, valueCol: String): DataFrame = {
+    val v = expr(centsSql(valueCol))
+    df.select(when(v <= 0, lit(0)).otherwise(length(bin(v))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")).as("lo_cents"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1).as("hi_cents"),
+        col("n"))
+  }
+
   /** Cross-source contamination matrix: for every unordered source pair,
     * how many distinct documents (by content hash) appear in BOTH — the
     * first question asked when a "new" crawl source arrives ("is this

@@ -2091,6 +2091,51 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // distribution-shape monitor: four raw moments in exact decimal,
+    // skew/kurtosis algebra in one fixed double order
+    QueryDef("q154_shape_moments",
+      (s, dir) => QualityChecks.shapeMoments(
+        Tables.events(s, dir), "event_type", "value"),
+      Some {
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        // integer + scaled-fraction split (see shapeMoments scaladoc):
+        // DuckDB's wide-decimal -> DOUBLE cast double-rounds
+        def ds(c: String, mult: Long) =
+          s"(CAST(CAST(floor($c) AS BIGINT) AS DOUBLE)" +
+            s" + CAST(CAST(($c - floor($c)) * $mult AS BIGINT) AS DOUBLE) / $mult.0)"
+        val s2d = ds("s2", 10000L); val s3d = ds("s3", 1000000L); val s4d = ds("s4", 100000000L)
+        val mean = s"(${d("s1")} / ${d("n")})"
+        val m2 = s"($s2d / ${d("n")} - $mean * $mean)"
+        val m3 = s"($s3d / ${d("n")} - 3.0 * $mean * ($s2d / ${d("n")}) + 2.0 * $mean * $mean * $mean)"
+        val m4 = s"($s4d / ${d("n")} - 4.0 * $mean * ($s3d / ${d("n")}) + 6.0 * $mean * $mean * ($s2d / ${d("n")}) - 3.0 * $mean * $mean * $mean * $mean)"
+        s"""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |                  sum(CAST(value AS DECIMAL(6,2))) AS s1,
+           |                  sum(CAST(value AS DECIMAL(6,2)) * CAST(value AS DECIMAL(6,2))) AS s2,
+           |                  sum(CAST(CAST(CAST(value AS DECIMAL(6,2)) * CAST(value AS DECIMAL(6,2)) AS DECIMAL(16,4)) * CAST(value AS DECIMAL(6,2)) AS DECIMAL(24,6))) AS s3,
+           |                  sum(CAST(CAST(CAST(value AS DECIMAL(6,2)) * CAST(value AS DECIMAL(6,2)) AS DECIMAL(19,4)) * CAST(CAST(value AS DECIMAL(6,2)) * CAST(value AS DECIMAL(6,2)) AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS s4
+           |           FROM events GROUP BY 1)
+           |SELECT event_type, n, $mean AS mean,
+           |       ($m3 / sqrt($m2 * $m2 * $m2)) AS skewness,
+           |       ($m4 / ($m2 * $m2) - 3.0) AS kurtosis
+           |FROM m""".stripMargin
+      }),
+
+    // power-of-two latency-style histogram: bucket = length(bin(cents)),
+    // an exact integer floor(log2)+1 on both engines — no float log
+    QueryDef("q155_log2_histogram",
+      (s, dir) => QualityChecks.log2Histogram(Tables.events(s, dir), "value"),
+      Some("""WITH c AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM events),
+             |b AS (SELECT CASE WHEN v <= 0 THEN 0
+             |                  ELSE CAST(length(bin(v)) AS INTEGER) END AS bucket
+             |      FROM c)
+             |SELECT bucket,
+             |       CASE WHEN bucket = 0 THEN 0
+             |            ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS lo_cents,
+             |       CASE WHEN bucket = 0 THEN 0
+             |            ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS hi_cents,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM b GROUP BY 1""".stripMargin)),
+
     // native session_window API (the custom state-op sessionize's
     // cousin); oracle = gaps-and-islands with end = last event + gap
     QueryDef("q153_session_window",

@@ -88,6 +88,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(capped === Set((1L, 2L)), s"oversized block must be skipped: $capped")
   }
 
+  test("shapeMoments: symmetric distribution has zero skew and kurtosis -1.5 for 3-point uniform") {
+    val df = Seq(("g", "1.00"), ("g", "2.00"), ("g", "3.00")).toDF("g", "value")
+    val r = QualityChecks.shapeMoments(df, "g", "value").collect().head
+    assert(r.getLong(1) === 3L && r.getDouble(2) === 2.0)
+    assert(math.abs(r.getDouble(3)) < 1e-12, s"symmetric data: skew ~ 0, got ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) + 1.5) < 1e-12,
+      s"3-point uniform kurtosis is -1.5, got ${r.getDouble(4)}")
+  }
+
+  test("log2Histogram: power-of-two buckets with exact ranges, zero in bucket 0") {
+    val df = Seq((1L, "0.01"), (2L, "0.02"), (3L, "0.03"), (4L, "40.95"), (5L, "0.00"))
+      .toDF("id", "value")
+    val out = QualityChecks.log2Histogram(df, "value")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      0 -> ((0L, 0L, 1L)),        // the 0.00 row
+      1 -> ((1L, 1L, 1L)),        // 1 cent
+      2 -> ((2L, 3L, 2L)),        // 2 and 3 cents
+      12 -> ((2048L, 4095L, 1L))  // 4095 cents
+    ))
+  }
+
   test("mannWhitneyU: hand-computed tie-averaged ranks, exact integer U and tie term") {
     // A: 1.00 2.00 3.00, B: 2.00 4.00 -> sorted ranks 1, 2.5, 2.5, 4, 5
     // R_a = 1 + 2.5 + 4 = 7.5 -> u2_a = 2R_a - 2*n_a(n_a+1)/2 = 15 - 12 = 3
