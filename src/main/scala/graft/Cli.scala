@@ -150,6 +150,36 @@ object Cli {
         println(s"[graft] ingest-dedup: folded ${accepted.count()} accepted docs into the index")
       }
 
+    // the embedding (SemDeDup) analogs of bandindex / ingest-dedup: the
+    // arrival path for semantic near-dups over a persisted sign-sketch
+    // index — probe, drop dups, optionally fold survivors in
+    case "embindex" :: embPath :: indexDir :: opts =>
+      val o = parseOpts(opts)
+      val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
+      graft.operators.Similarity.writeEmbIndex(spark.read.parquet(embPath),
+        "graft_eidx", buckets = buckets, location = Some(indexDir))
+      println(s"[graft] embindex: embedding band index ($buckets buckets) -> $indexDir")
+
+    case "emb-ingest-dedup" :: batchPath :: indexDir :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val cos = o.get("cosine").map(_.toDouble).getOrElse(0.9)
+      val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
+      graft.operators.Similarity.registerEmbIndex(spark, "graft_eidx", indexDir, buckets)
+      val batch = spark.read.parquet(batchPath)
+      val pairs = graft.operators.Similarity.incrementalEmbNearDupsIndexed(
+        spark, batch, "graft_eidx", threshold = cos)
+      val clean = batch.join(pairs.select(col("new_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      pairs.write.mode("overwrite").parquet(s"$outDir/pairs")
+      clean.write.mode("overwrite").parquet(s"$outDir/clean")
+      println(s"[graft] emb-ingest-dedup: ${spark.read.parquet(s"$outDir/clean").count()} of " +
+        s"${batch.count()} batch vectors are new (cos < $cos vs corpus) -> $outDir")
+      if (o.get("fold").contains("true")) {
+        val accepted = spark.read.parquet(s"$outDir/clean")
+        graft.operators.Similarity.appendToEmbIndex(spark, accepted, "graft_eidx")
+        println(s"[graft] emb-ingest-dedup: folded ${accepted.count()} accepted vectors into the index")
+      }
+
     // periodic maintenance for a long-lived index: fold the one-file-per-
     // append accumulation back to one file per bucket (same location,
     // same bucket layout, probes unchanged)
@@ -272,6 +302,8 @@ object Cli {
           |  dedup    <corpusParquet> <outDir> [--jaccard T] [--ensemble true]
           |  bandindex    <corpusParquet> <indexDir> [--buckets N]
           |  ingest-dedup <batchParquet> <indexDir> <outDir> [--jaccard T] [--buckets N] [--fold true]
+          |  embindex        <embParquet> <indexDir> [--buckets N]
+          |  emb-ingest-dedup <batchParquet> <indexDir> <outDir> [--cosine T] [--buckets N] [--fold true]
           |  compact-index <indexDir> [--buckets N]
           |  delete-index  <indexDir> <idsParquet> [--buckets N]
           |  curate       <corpusParquet> <outDir> [--seq-len N]

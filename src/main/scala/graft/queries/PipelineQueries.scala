@@ -2091,6 +2091,40 @@ object PipelineQueries {
              |      FROM negs)
              |SELECT anchor, neg_rank, cand AS neg_id FROM r WHERE neg_rank <= 4""".stripMargin)),
 
+    // 3-step funnel (view -> click -> purchase): greedy earliest chain
+    // per user via three narrow min-aggregates chained on >= (a
+    // simultaneous event counts as "after"); inner joins keep only
+    // completed funnels
+    QueryDef("q156_funnel3",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        def step(prev: org.apache.spark.sql.DataFrame, prevCol: String,
+            ty: String, out: String) =
+          prev.join(e.filter(col("event_type") === ty), "user_id")
+            .filter(col("us") >= col(prevCol))
+            .groupBy((prev.columns.map(col)): _*)
+            .agg(min(col("us")).as(out))
+        val a = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("a_us"))
+        step(step(a, "a_us", "click", "b_us"), "b_us", "purchase", "c_us")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |           FROM events),
+             |a AS (SELECT user_id, min(us) AS a_us FROM e
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |b AS (SELECT a.user_id, a.a_us, min(e.us) AS b_us
+             |      FROM a JOIN e ON e.user_id = a.user_id
+             |      WHERE e.event_type = 'click' AND e.us >= a.a_us
+             |      GROUP BY 1, 2),
+             |c AS (SELECT b.user_id, b.a_us, b.b_us, min(e.us) AS c_us
+             |      FROM b JOIN e ON e.user_id = b.user_id
+             |      WHERE e.event_type = 'purchase' AND e.us >= b.b_us
+             |      GROUP BY 1, 2, 3)
+             |SELECT user_id, a_us, b_us, c_us FROM c""".stripMargin)),
+
     // distribution-shape monitor: four raw moments in exact decimal,
     // skew/kurtosis algebra in one fixed double order
     QueryDef("q154_shape_moments",

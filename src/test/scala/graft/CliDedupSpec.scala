@@ -77,6 +77,32 @@ class CliDedupSpec extends SparkSpec {
       .map(_.getString(0)).toSet === Set("web", "book"))
   }
 
+  test("embindex + emb-ingest-dedup: semantic arrival path from the command line") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cliemb").toString
+    def vec(d: Int, scale: Float) =
+      (0 until 64).map(i => if (i == d) scale else 0f).toArray
+    Seq((1L, vec(0, 1f)), (2L, vec(7, 1f)), (3L, vec(13, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/emb")
+    // batch: a scaled copy of corpus vec 1 (cos 1 -> dup) and a new axis
+    Seq((101L, vec(0, 0.5f)), (102L, vec(30, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/batch")
+
+    Cli.run(spark, List("embindex", s"$dir/emb", s"$dir/idx", "--buckets", "4"))
+    Cli.run(spark, List("emb-ingest-dedup", s"$dir/batch", s"$dir/idx", s"$dir/out",
+      "--buckets", "4", "--fold", "true"))
+    val clean = spark.read.parquet(s"$dir/out/clean").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(102L), s"the scaled copy must dedup out: $clean")
+
+    // a copy of the FOLDED vector now deduped against the appended index
+    Seq((201L, vec(30, 2f))).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/batch2")
+    Cli.run(spark, List("emb-ingest-dedup", s"$dir/batch2", s"$dir/idx", s"$dir/out2",
+      "--buckets", "4"))
+    assert(spark.read.parquet(s"$dir/out2/clean").count() === 0,
+      "fold must make the accepted vector part of the corpus")
+  }
+
   test("card subcommand writes the per-source summary") {
     import spark.implicits._
     val dir = Files.createTempDirectory("clicard").toString
