@@ -92,6 +92,45 @@ object TextHash {
       s"ELSE list_sort(list_distinct(list_transform(" +
       s"generate_series(1, len($shs) - ${w - 1}), i -> list_min($shs[i:i+${w - 1}])))) END"
 
+  // ---- content-defined chunking --------------------------------------------
+
+  /** Content-defined chunk hashes (rsync/LBFS-style CDC over the token
+    * stream): token i starts a new chunk iff i = 1 or the quadratically
+    * mixed word-trigram shingle ending at token i-1 hits
+    * `% divisor == 0` — boundaries depend only on local content, so an
+    * insertion re-synchronizes after ~divisor tokens and the chunks
+    * AFTER the edit hash identically. The mix (h²+3h+7 mod P) is what
+    * makes the gate uniform: raw polynomial residues have structured
+    * low bits (see the native scaladoc). Each element packs
+    * `chunkHash·131072 + min(len, 131071)`. Native one-pass expression. */
+  def cdcChunkHashes(c: Column, divisor: Int = 16): Column =
+    org.apache.spark.sql.graftnative.TextHashExpressions.cdcChunkHashes(c, divisor)
+
+  /** SQL mirror over a doc table alias: rebuilds the chunk assignment
+    * positionally (lateral position unnest + running boundary sum) and
+    * folds each chunk with `list_reduce` — O(m·w) reference form vs the
+    * native one-pass. Yields (doc_id, packed) rows. */
+  def cdcChunkPackedSql(divisor: Int = 16): String =
+    s"""WITH tok_cdc AS (SELECT doc_id, ${wordHashesSql("text")} AS whs FROM documents),
+       |sh_cdc AS (SELECT doc_id, whs, ${shingleHashesOverSql("whs")} AS shs FROM tok_cdc),
+       |pos_cdc AS (SELECT doc_id, whs, shs,
+       |                   unnest(generate_series(1, len(whs))) AS i
+       |            FROM sh_cdc WHERE len(whs) > 0),
+       |b_cdc AS (SELECT doc_id, i, whs[i] AS wh,
+       |                 CASE WHEN i = 1 OR (i >= 4 AND
+       |                        (shs[i-3]*shs[i-3] + 3*shs[i-3] + 7) % $P % $divisor = 0)
+       |                      THEN 1 ELSE 0 END AS nb
+       |          FROM pos_cdc),
+       |ck_cdc AS (SELECT doc_id, i, wh,
+       |                  sum(nb) OVER (PARTITION BY doc_id ORDER BY i) AS chunk
+       |           FROM b_cdc),
+       |cl_cdc AS (SELECT doc_id, chunk, list(wh ORDER BY i) AS cw
+       |           FROM ck_cdc GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       list_reduce(cw, (a, x) -> (a * 131 + x) % $P) * 131072
+       |         + least(len(cw), 131071) AS packed
+       |FROM cl_cdc""".stripMargin
+
   // ---- seeded permutation for minhash -------------------------------------
 
   /** i-th minhash permutation: h_i(x) = ((2i+3)*x + 7i+1) mod P. */

@@ -2125,6 +2125,30 @@ object PipelineQueries {
              |      GROUP BY 1, 2, 3)
              |SELECT user_id, a_us, b_us, c_us FROM c""".stripMargin)),
 
+    // content-defined chunking (rsync/LBFS boundaries over the token
+    // stream) + cross-doc duplicate-chunk report — sub-document dedup:
+    // finds shared passages exact Jaccard-on-whole-docs is blind to, and
+    // boundaries re-synchronize across insertions so edited copies still
+    // share their unedited chunks. Native one-pass expression; the only
+    // shuffle is the final count groupBy on chunk hash (pure aggregation,
+    // no self-join, so a boilerplate chunk costs one hot reducer key at
+    // worst — not a quadratic pair explosion)
+    QueryDef("q157_cdc_chunks",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextHash.cdcChunkHashes(col("text"), 16)).as("packed"))
+        .select(col("doc_id"), expr("packed DIV 131072").as("chunk_hash"),
+          (col("packed") % 131072).as("chunk_len"))
+        .groupBy(col("chunk_hash"), col("chunk_len"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .where(col("n_docs") >= 2),
+      Some(s"""WITH pk AS (${TextHash.cdcChunkPackedSql(16)})
+             |SELECT packed // 131072 AS chunk_hash, packed % 131072 AS chunk_len,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_occ
+             |FROM pk GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
     // distribution-shape monitor: four raw moments in exact decimal,
     // skew/kurtosis algebra in one fixed double order
     QueryDef("q154_shape_moments",

@@ -125,6 +125,47 @@ object TextHashOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Content-defined chunk hashes (rolling-hash CDC over the token
+    * stream — the rsync/LBFS boundary scheme applied to words): token i
+    * (1-based) starts a new chunk iff i = 1 or the word-trigram shingle
+    * ending at token i-1 (covering tokens i-3..i-1, so the decision uses
+    * only PRECEDING content — an insertion re-synchronizes boundaries
+    * after ~divisor tokens) satisfies `mix(shingle) % divisor == 0`,
+    * where mix is the quadratic (h² + 3h + 7) mod P. The mix matters:
+    * polynomial hashes carry structured LOW bits (e.g. every repeated-
+    * char token hashes to a multiple of 32, and small shingles never
+    * wrap past P), so gating on the raw residue degenerates to
+    * boundary-everywhere on such corpora — the same low-bit bias the
+    * HLL rank hash needed a quadratic round for. Each chunk folds its
+    * word hashes as (acc·131 + w) mod P seeded with the first, and is
+    * packed as `hash·131072 + min(len, 131071)` so one array<long>
+    * carries both. Expected chunk length ≈ divisor tokens. Empty text
+    * yields the single chunk of the empty token. */
+  def cdcChunkHashes(s: UTF8String, divisor: Int): ArrayData = {
+    val w = wordHashArray(s)
+    val n = w.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var acc = 0L
+    var clen = 0
+    var i = 0
+    while (i < n) {
+      val boundary = i >= 3 && {
+        val sh = ((w(i - 3) * 131 + w(i - 2)) % P * 131 + w(i - 1)) % P
+        (sh * sh + 3 * sh + 7) % P % divisor == 0
+      }
+      if (boundary && clen > 0) {
+        out += acc * 131072 + math.min(clen, 131071)
+        clen = 0
+      }
+      acc = if (clen == 0) w(i) else (acc * 131 + w(i)) % P
+      clen += 1
+      i += 1
+    }
+    out += acc * 131072 + math.min(clen, 131071)
+    new GenericArrayData(out.toArray)
+  }
 }
 
 sealed abstract class TextHashExpression extends UnaryExpression with ExpectsInputTypes {
@@ -201,6 +242,22 @@ case class WinnowHashes(child: Expression, w: Int) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
 }
 
+/** Content-defined chunk hashes packed as hash·131072 + min(len, 131071):
+  * one linear pass computing tokenization, the rolling boundary shingle,
+  * and the per-chunk fold together (no materialized intermediate arrays). */
+case class CdcChunkHashes(child: Expression, divisor: Int) extends TextHashExpression {
+  require(divisor >= 2, "cdc divisor must be >= 2")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdcchunkhashes"
+  override protected def staticCall: String = "cdcChunkHashes" // unused (doGenCode below)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.TextHashOps.cdcChunkHashes($c, $divisor);")
+  override def nullSafeEval(s: Any): Any =
+    TextHashOps.cdcChunkHashes(s.asInstanceOf[UTF8String], divisor)
+  override protected def withNewChildInternal(c: Expression): CdcChunkHashes = copy(child = c)
+}
+
 object TextHashExpressions {
   def polyHash(c: Column): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c)))
@@ -212,4 +269,6 @@ object TextHashExpressions {
     ExpressionUtils.column(Gram13Hashes(ExpressionUtils.expression(c)))
   def winnowHashes(c: Column, w: Int): Column =
     ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(c), w))
+  def cdcChunkHashes(c: Column, divisor: Int): Column =
+    ExpressionUtils.column(CdcChunkHashes(ExpressionUtils.expression(c), divisor))
 }
