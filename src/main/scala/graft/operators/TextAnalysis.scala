@@ -494,6 +494,38 @@ object TextAnalysis {
   private def functions_replace(src: Column, search: Column, repl: Column): Column =
     org.apache.spark.sql.functions.replace(src, search, repl)
 
+  /** BPE ENCODE — the tokenizer-INFERENCE pass: apply the
+    * [[learnBpeMerges]] merge table to every document and report
+    * per-doc symbol counts (n_words, n_bpe_tokens, fertility =
+    * symbols/word — the number tokenizer rollouts are judged by).
+    *
+    * Scale shape: learning touches only the word-frequency dict; the
+    * learned merges (a handful of strings) are then inlined as a literal
+    * replace CHAIN inside one `transform` lambda, so the encode itself
+    * is a shuffle-free, broadcast-free map that stays in whole-stage
+    * codegen — the right shape for the pass that, unlike learning, runs
+    * over the full 100 TB. Merges apply in learned order; `replace` is
+    * literal, non-overlapping, left-to-right in both engines, which IS
+    * greedy BPE application over the space-separated symbol string. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    val merges = learnBpeMerges(docs, nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    def q(s: String) = s.replace("'", "''")
+    val base = "' ' || array_join(split(w, ''), ' ') || ' '"
+    val chain = merges.foldLeft(base) { case (acc, (pa, pb)) =>
+      s"replace($acc, ' ${q(pa)} ${q(pb)} ', ' ${q(pa)}${q(pb)} ')"
+    }
+    docs.select(col("doc_id"),
+        expr(s"transform(split(text, ' '), w -> trim($chain))").as("reps"))
+      .select(col("doc_id"),
+        size(col("reps")).cast("long").as("n_words"),
+        expr("aggregate(reps, 0L, (a, r) -> a + CAST(size(split(r, ' ')) AS BIGINT))")
+          .as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Distribution drift between two sources as scaled TOTAL-VARIATION
     * contributions over hashed token buckets — the corpus-monitoring
     * statistic (is today's crawl the same language as yesterday's?)

@@ -104,6 +104,32 @@ object PipelineQueries {
 
   private val tokCte = "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"
 
+  /** The BPE merge-learning CTE chain (wf0 → best_r/wf_r per round),
+    * shared by q120 (emit the merge table) and q158 (apply the merges):
+    * each round's weighted pair count, (cnt DESC, pa, pb) argmax, and
+    * greedy literal re-segmentation replay over the word-frequency dict. */
+  private def bpeMergeCtes(rounds: Range): String = {
+    val wf0 =
+      """wf0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |               array_to_string(string_split(w, ''), ' ') AS rep
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE w <> '' GROUP BY w)""".stripMargin
+    val per = rounds.map { r =>
+      s"""e$r AS (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |        FROM (SELECT freq, string_split(rep, ' ') AS syms FROM wf${r - 1})
+         |        WHERE len(syms) >= 2),
+         |pr$r AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, CAST(sum(freq) AS BIGINT) AS cnt
+         |         FROM e$r GROUP BY 1, 2),
+         |best$r AS (SELECT $r AS round, pa, pb, pa || pb AS merged, cnt
+         |           FROM pr$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |wf$r AS (SELECT w, freq,
+         |           trim(replace(' ' || rep || ' ', ' ' || b.pa || ' ' || b.pb || ' ',
+         |                        ' ' || b.pa || b.pb || ' ')) AS rep
+         |         FROM wf${r - 1} CROSS JOIN best$r b)""".stripMargin
+    }
+    s"$wf0,\n${per.mkString(",\n")}"
+  }
+
   /** Unrolled SQL mirror of [[Similarity.ivfLearnedTopK]]: deterministic
     * init (first kCells vectors by vec_id), `iters` k-medians rounds
     * (medians spelled out — sorted list, middle pick, explicit two-middle
@@ -1801,29 +1827,35 @@ object PipelineQueries {
     QueryDef("q120_bpe_merges",
       (s, dir) => TextAnalysis.learnBpeMerges(Tables.load(s, dir, "documents"), nMerges = 4),
       Some {
-        val rounds = 1 to 4
-        val wf0 =
-          """wf0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
-            |               array_to_string(string_split(w, ''), ' ') AS rep
-            |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-            |        WHERE w <> '' GROUP BY w)""".stripMargin
-        val per = rounds.map { r =>
-          s"""e$r AS (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
-             |        FROM (SELECT freq, string_split(rep, ' ') AS syms FROM wf${r - 1})
-             |        WHERE len(syms) >= 2),
-             |pr$r AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, CAST(sum(freq) AS BIGINT) AS cnt
-             |         FROM e$r GROUP BY 1, 2),
-             |best$r AS (SELECT $r AS round, pa, pb, pa || pb AS merged, cnt
-             |           FROM pr$r ORDER BY cnt DESC, pa, pb LIMIT 1),
-             |wf$r AS (SELECT w, freq,
-             |           trim(replace(' ' || rep || ' ', ' ' || b.pa || ' ' || b.pb || ' ',
-             |                        ' ' || b.pa || b.pb || ' ')) AS rep
-             |         FROM wf${r - 1} CROSS JOIN best$r b)""".stripMargin
-        }
-        val sel = rounds
+        val sel = (1 to 4)
           .map(r => s"SELECT round, pa, pb, merged, cnt FROM best$r")
           .mkString("\nUNION ALL\n")
-        s"WITH $wf0,\n${per.mkString(",\n")}\n$sel"
+        s"WITH ${bpeMergeCtes(1 to 4)}\n$sel"
+      }),
+
+    // BPE ENCODE — apply the q120-learned merges to the corpus (the
+    // tokenizer-inference pass that actually runs at training-data
+    // scale): merges are learned once on the dict then inlined as a
+    // literal replace chain, so encoding is a pure shuffle-free
+    // whole-stage-codegen map over documents. The oracle re-derives the
+    // merges with the shared CTE chain and applies them in-lambda.
+    QueryDef("q158_bpe_encode",
+      (s, dir) => TextAnalysis.bpeEncode(Tables.load(s, dir, "documents"), nMerges = 4),
+      Some {
+        val base = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+        val chain = (1 to 4).foldLeft(base) { (acc, r) =>
+          s"replace($acc, ' ' || b$r.pa || ' ' || b$r.pb || ' ', ' ' || b$r.pa || b$r.pb || ' ')"
+        }
+        val joins = (1 to 4).map(r => s"CROSS JOIN best$r b$r").mkString(" ")
+        s"""WITH ${bpeMergeCtes(1 to 4)},
+           |enc AS (SELECT doc_id,
+           |               list_transform(string_split(text, ' '), w -> trim($chain)) AS reps
+           |        FROM documents $joins)
+           |SELECT doc_id, CAST(len(reps) AS BIGINT) AS n_words,
+           |       CAST(list_sum(list_transform(reps, r -> len(string_split(r, ' ')))) AS BIGINT) AS n_bpe_tokens,
+           |       CAST(list_sum(list_transform(reps, r -> len(string_split(r, ' ')))) AS DOUBLE)
+           |         / CAST(len(reps) AS DOUBLE) AS fertility
+           |FROM enc""".stripMargin
       }),
 
     // global curriculum rank (quality desc) via range-partition +

@@ -390,6 +390,18 @@ class AnalyticsOpsSpec extends SparkSpec {
       triMerges.mkString(","))
   }
 
+  test("bpeEncode: learned merges collapse symbol counts in learned order") {
+    // merges learned: (a,b)->ab then (c,d)->cd; encoding "ab ab ab cd"
+    // gives 4 words, symbols 1+1+1+1 = 4 (each word fully merged);
+    // "abcd" (unseen word) becomes [ab, cd] = 2 symbols
+    val docs = Seq((1L, "ab ab ab cd", "s"), (2L, "abcd", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.bpeEncode(docs, nMerges = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))
+    assert(out(2L) === ((1L, 2L, 2.0)))
+  }
+
   test("triangleCount: K4 has 4 triangles; a hub star closes exactly its leaf edges") {
     def census(edges: Seq[(Long, Long)]) = GraphOps
       .triangleCount(edges.toDF("a", "b"), "a", "b")
