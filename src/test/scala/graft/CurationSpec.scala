@@ -103,4 +103,32 @@ class CurationSpec extends SparkSpec {
     assert(kept.keySet === Set(order(0), order(1), 4L), s"kept=$kept order=${order.toSeq}")
     assert(kept(order(0)) === 40L && kept(order(1)) === 80L && kept(4L) === 10L)
   }
+
+  test("weightedPrioritySample: replayable k-smallest, weight-monotone, no global sort") {
+    val docs = (1L to 500L).map(i => (i, "t", "s", (i % 7) + 1))
+      .toDF("doc_id", "text", "source", "wt")
+    val sample = Curation.weightedPrioritySample(docs, 50, col("wt"))
+    val ids = sample.collect().map(_.getLong(0)).toSeq
+    assert(ids.size === 50)
+    // replayable: identical second run
+    val again = Curation.weightedPrioritySample(docs, 50, col("wt"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === ids)
+    // weight-monotone: scaling one doc's weight up can only shrink its
+    // priority key (more likely to be picked), never grow it
+    val pri = sample.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val boosted = Curation.weightedPrioritySample(
+      docs.withColumn("wt", col("wt") * 100), 50, col("wt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    pri.keySet.intersect(boosted.keySet).foreach { id =>
+      assert(boosted(id) <= pri(id), s"doc $id priority grew under a heavier weight")
+    }
+    // the plan must be the per-partition-heap merge, not a global sort
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(5).mkString("\n"))
+    // zero/negative weights are excluded, not divide-by-zero errors
+    val z = Curation.weightedPrioritySample(
+      docs.withColumn("wt", when(col("doc_id") <= 490, lit(0L)).otherwise(col("wt"))), 50, col("wt"))
+    assert(z.collect().map(_.getLong(0)).forall(_ > 490))
+  }
 }

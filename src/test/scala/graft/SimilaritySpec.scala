@@ -65,6 +65,28 @@ class SimilaritySpec extends SparkSpec {
     * recall at nprobe/kCells of the corpus tracks the probed fraction —
     * that is the physics of IVF, not a bug — so the recall bar is pinned
     * on the near-dup queries where cell locality is real. */
+  test("semanticDecontaminate: drops exactly the brute-force contaminated set; empty benchmark drops nothing") {
+    val aug = Similarity.withNearDupEmbeddings(Tables.load(spark, dir, "embeddings"))
+    val train = aug.filter(col("vec_id") < 1000000)
+    val heldout = aug.filter(col("vec_id") >= 1000000)
+    val survivors = Similarity.semanticDecontaminate(train, heldout, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // brute-force ground truth: cross-split cosine >= 0.9
+    val n = (df: org.apache.spark.sql.DataFrame) => df.withColumn("norm",
+      sqrt(Similarity.fdot(col("embedding"), col("embedding"))))
+    val bad = n(train).as("a").join(n(heldout).as("b"),
+        Similarity.fdot(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm")) >= 0.9)
+      .select(col("a.vec_id")).collect().map(_.getLong(0)).toSet
+    val all = train.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(bad.nonEmpty, "testdata must contain contaminated rows")
+    assert(survivors === all -- bad)
+    // the injected copies' originals are exactly the contaminated rows here
+    assert(bad === all.filter(_ % 10 == 0))
+    val none = Similarity.semanticDecontaminate(train, heldout.limit(0), 0.9)
+    assert(none.count() === all.size.toLong)
+  }
+
   test("learned IVF: recall >= 0.95 vs brute force on near-dup queries, candidates bounded") {
     val aug = Similarity.withNearDupEmbeddings(Tables.load(spark, dir, "embeddings"))
     val queries = aug.filter(col("vec_id") >= 1000000)
