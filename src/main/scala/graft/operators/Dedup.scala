@@ -91,8 +91,12 @@ object Dedup {
     * the DuckDB oracle still runs at verification scale). The filter
     * constants subtract 1e-9 before ⌈·⌉ so FP rounding can only admit an
     * extra candidate, never kill a true pair.
-    * Output: (id_a, id_b, inter, uni, jacc) for jacc ≥ minJaccard. */
-  def jaccardPairs(corpus: DataFrame, minJaccard: Double): DataFrame = {
+    * Output: (id_a, id_b, inter, uni, jacc) for jacc ≥ minJaccard.
+    * `sameSourceOnly = false` drops the source blocking (used by
+    * [[dedupFamilyEval]]'s unblocked ground truth — the prefix/length/
+    * positional filters don't depend on it). */
+  def jaccardPairs(corpus: DataFrame, minJaccard: Double,
+      sameSourceOnly: Boolean = true): DataFrame = {
     val tau = minJaccard
     val eps = 1e-9
     val docShingles = shingled(corpus).select(col("doc_id"), col("source"),
@@ -112,8 +116,10 @@ object Dedup {
     val overlapBound = lit(1) +
       least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
     val alpha = ceil((col("a.sz") + col("b.sz")) * lit(tau / (1.0 + tau)) - eps)
+    val block =
+      if (sameSourceOnly) col("a.source") === col("b.source") else lit(true)
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.source") === col("b.source")
+        col("a.s") === col("b.s") && block
           && col("a.doc_id") < col("b.doc_id")
           && col("b.sz") >= col("a.sz") * tau - eps
           && col("a.sz") >= col("b.sz") * tau - eps
@@ -335,6 +341,40 @@ object Dedup {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** Candidate-family QA harness (the dedup analog of the ANN eval
+    * q127): per pair family — MinHash/LSH banding, SimHash pigeonhole
+    * banding, winnow fingerprints — measure the CANDIDATE stage's
+    * precision and recall against the exact ground truth (unblocked
+    * PPJoin all-pairs Jaccard ≥ τ, itself oracle-verified by q41/q43).
+    * This is the number that decides banding parameters before a 100 TB
+    * run: recall bounds what the shared verify pass can ever recover,
+    * precision bounds what it must pay to filter. Truth is computed
+    * once (lazy localCheckpoint) and reused by all three probes; each
+    * family's count triple is one aggregate, unioned into a 3-row
+    * report — the expensive part is exactly one exact-Jaccard pass.
+    * SimHash is evaluated AS SHIPPED (source-blocked, hamming ≤ 6):
+    * the harness measures the families' real contracts, not idealized
+    * ones. */
+  def dedupFamilyEval(corpus: DataFrame, minJaccard: Double = 0.5,
+      maxFpDf: Int = DefaultMaxFpDf): DataFrame = {
+    val truth = jaccardPairs(corpus, minJaccard, sameSourceOnly = false)
+      .select(col("id_a"), col("id_b")).localCheckpoint(false)
+    def metrics(name: String, cand: DataFrame): DataFrame =
+      cand.select(col("id_a"), col("id_b")).distinct()
+        .join(truth.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("hit")), lit(0L)).as("tp"))
+        .withColumn("family", lit(name))
+    val fams =
+      metrics("minhash_lsh", lshCandidates(lshBands(minhashSignatures(corpus))))
+        .unionByName(metrics("simhash", simhashPairs(corpus)))
+        .unionByName(metrics("winnow", winnowCandidates(corpus, 4, maxFpDf)))
+    fams.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("family"), col("n_candidates"), col("n_truth"), col("tp"),
+        (col("tp").cast("double") / col("n_candidates").cast("double")).as("prec"),
+        (col("tp").cast("double") / col("n_truth").cast("double")).as("recall"))
   }
 
   // ---- canonicalization (connected components over near-dup pairs) --------

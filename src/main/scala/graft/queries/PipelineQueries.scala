@@ -652,6 +652,65 @@ object PipelineQueries {
              |SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jacc
              |FROM v WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // dedup-family eval harness (the q127 analog for pair generation):
+    // per family, candidate precision/recall vs the unblocked exact-
+    // Jaccard ground truth — the parameter-tuning numbers a 100 TB run
+    // is sized by. The oracle replays every family's exact predicate
+    // plus the truth set and counts the joins.
+    QueryDef("q162_dedup_family_eval",
+      (s, dir) => Dedup.dedupFamilyEval(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some {
+        val bits = 24
+        val sums = (0 until bits).map(b =>
+          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        s"""WITH $nearDupCorpus,
+           |$shingleCtes,
+           |${jaccardCtes(blocked = false)},
+           |truth AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.5),
+           |$sigCte,
+           |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+           |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+           |          FROM sig GROUP BY 1, 2),
+           |mcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |          FROM bands a JOIN bands b
+           |            ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+           |               AND a.doc_id < b.doc_id),
+           |sx AS (SELECT doc_id, unnest(whs) AS wh FROM tok),
+           |ssum AS (SELECT doc_id, $sums FROM sx GROUP BY 1),
+           |shh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+           |        FROM ssum s JOIN corpus c ON c.doc_id = s.doc_id),
+           |scand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |          FROM shh a JOIN shh b ON a.source = b.source AND a.doc_id < b.doc_id
+           |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |wf AS (SELECT DISTINCT doc_id, fp FROM
+           |       (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh)),
+           |rare AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= ${Dedup.DefaultMaxFpDf}),
+           |wk AS (SELECT w.doc_id, w.fp FROM wf w JOIN rare USING (fp)),
+           |wcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |          FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+           |m AS (
+           |  SELECT 'minhash_lsh' AS family,
+           |         (SELECT count(*) FROM mcand) AS n_candidates,
+           |         (SELECT count(*) FROM mcand JOIN truth USING (id_a, id_b)) AS tp
+           |  UNION ALL
+           |  SELECT 'simhash',
+           |         (SELECT count(*) FROM scand),
+           |         (SELECT count(*) FROM scand JOIN truth USING (id_a, id_b))
+           |  UNION ALL
+           |  SELECT 'winnow',
+           |         (SELECT count(*) FROM wcand),
+           |         (SELECT count(*) FROM wcand JOIN truth USING (id_a, id_b)))
+           |SELECT family, CAST(n_candidates AS BIGINT) AS n_candidates,
+           |       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           |       CAST(tp AS BIGINT) AS tp,
+           |       CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS prec,
+           |       CAST(tp AS DOUBLE) / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+           |FROM m""".stripMargin
+      }),
+
     // ENSEMBLE dedup: union of all three pair families (MinHash/LSH +
     // SimHash + winnow) -> connected components -> one survivor per
     // group. The oracle replays each family's exact predicate, unions
@@ -2219,6 +2278,34 @@ object PipelineQueries {
              |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |       CAST(count(*) AS BIGINT) AS n_occ
              |FROM pk GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // per-doc boilerplate fraction on top of q157's chunks: a chunk is
+    // boilerplate if some OTHER doc carries the same (hash, len) chunk;
+    // dup_rate = duplicated chunks / chunks — the doc-level drop signal
+    // chunk-granular dedup pipelines threshold on. Chunk df is a pure
+    // aggregation (vocabulary-sized), joined back on the chunk key.
+    QueryDef("q161_chunk_dup_rate",
+      (s, dir) => {
+        val chunks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextHash.cdcChunkHashes(col("text"), 16)).as("packed"))
+        val dfc = chunks.groupBy(col("packed"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        chunks.join(dfc, "packed")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .withColumn("dup_rate",
+            col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      },
+      Some(s"""WITH pk AS (${TextHash.cdcChunkPackedSql(16)}),
+             |dfc AS (SELECT packed, count(DISTINCT doc_id) AS nd FROM pk GROUP BY 1),
+             |per AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |               CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+             |        FROM pk p JOIN dfc d USING (packed) GROUP BY 1)
+             |SELECT doc_id, n_chunks, n_dup_chunks,
+             |       CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_rate
+             |FROM per""".stripMargin)),
 
     // distribution-shape monitor: four raw moments in exact decimal,
     // skew/kurtosis algebra in one fixed double order

@@ -210,4 +210,44 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set((1L, 2L, 9L), (9L, 9L, 8L)),
       s"cluster 1 keeps the longer doc 2 (9 tokens); singleton 9 keeps itself: $kept")
   }
+
+  test("dedupFamilyEval: internally consistent counts, minhash/winnow recall high on injected dups") {
+    val corpus = Dedup.withNearDuplicates(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val rows = Dedup.dedupFamilyEval(corpus)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.keySet === Set("minhash_lsh", "simhash", "winnow"))
+    val nTruth = rows.values.map(_._2).toSet
+    assert(nTruth.size === 1 && nTruth.head > 0, "one shared non-empty truth set")
+    rows.foreach { case (fam, (nc, nt, tp, prec, recall)) =>
+      assert(tp <= nc && tp <= nt, s"$fam: tp must be bounded by both sets")
+      assert(math.abs(prec - tp.toDouble / nc) < 1e-12, s"$fam precision arithmetic")
+      assert(math.abs(recall - tp.toDouble / nt) < 1e-12, s"$fam recall arithmetic")
+    }
+    // the Jaccard-targeting families must catch (nearly) all injected
+    // near-dups; simhash's hamming contract is a different semantic and
+    // is reported, not required
+    assert(rows("minhash_lsh")._5 >= 0.9, s"minhash recall ${rows("minhash_lsh")._5}")
+    assert(rows("winnow")._5 >= 0.9, s"winnow recall ${rows("winnow")._5}")
+  }
+
+  test("chunk dup_rate: exact-copy docs share every chunk; unrelated docs share none") {
+    import graft.functions.TextHash
+    val rnd = new scala.util.Random(23L)
+    val vocab = Vector("alpha", "beta7", "gam", "delta42", "ep", "zeta")
+    def mk() = (0 until 120).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val a = mk(); val c = mk()
+    val docs = Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text")
+    val chunks = docs.select(col("doc_id"),
+      explode(TextHash.cdcChunkHashes(col("text"), 16)).as("packed"))
+    val dfc = chunks.groupBy(col("packed"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val rates = chunks.join(dfc, "packed").groupBy(col("doc_id"))
+      .agg((sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("rate"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rates(1L) === 1.0 && rates(2L) === 1.0, s"exact copies: $rates")
+    assert(rates(3L) === 0.0, s"unrelated doc: $rates")
+  }
 }

@@ -51,6 +51,8 @@ class QualityGatesSpec extends SparkSpec {
     "q124_triangles",
     // contains q51's brute-force baseline by definition (eval harness)
     "q127_ann_eval",
+    // one-row n_truth attach onto the 3-row family report
+    "q162_dedup_family_eval",
     // one-row (ta, tb) totals attach for the scaled probabilities
     "q130_token_drift",
     // one-row corpus-size attach feeding the affine negative probe
