@@ -291,6 +291,17 @@ object Cli {
       val n = spark.read.parquet(s"$outDir/merges").count()
       println(s"[graft] bpe: learned $n merges -> $outDir/merges")
 
+    case "dedup-eval" :: corpusPath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
+      val report = graft.operators.Dedup.dedupFamilyEval(
+        spark.read.parquet(corpusPath), tau)
+      report.write.mode("overwrite").parquet(s"$outDir/family_eval")
+      val rows = spark.read.parquet(s"$outDir/family_eval").orderBy("family").collect()
+      println(s"[graft] dedup-eval: tau=$tau -> $outDir/family_eval")
+      rows.foreach(r => println(f"[graft]   ${r.getString(0)}%-12s cand=${r.getLong(1)}%-7d " +
+        f"truth=${r.getLong(2)}%-6d tp=${r.getLong(3)}%-6d prec=${r.getDouble(4)}%.4f recall=${r.getDouble(5)}%.4f"))
+
     case _ =>
       System.err.println(
         """usage: graft.Cli <command> ...
@@ -309,7 +320,8 @@ object Cli {
           |  curate       <corpusParquet> <outDir> [--seq-len N]
           |  card         <corpusParquet> <outDir>
           |  release      <corpusParquet> <outDir> [--bench P] [--jaccard T] [--seq-len N]
-          |  bpe          <corpusParquet> <outDir> [--merges N]""".stripMargin)
+          |  bpe          <corpusParquet> <outDir> [--merges N]
+          |  dedup-eval   <corpusParquet> <outDir> [--jaccard T]""".stripMargin)
       sys.exit(2)
   }
 

@@ -244,6 +244,30 @@ object StreamOps {
       .select(col("doc_id"), col("n_contaminated_grams"))
   }
 
+  /** Streaming boilerplate-chunk flagging: arriving docs' content-
+    * defined chunks ([[graft.functions.TextHash.cdcChunkHashes]])
+    * probed against a STATIC blocklist of known boilerplate chunks
+    * (e.g. the duplicated-chunk report's keys) — the ingest-time face
+    * of chunk-level dedup, catching the license footer pasted into an
+    * otherwise-novel doc. Same zero-state shape as
+    * [[streamingDecontaminate]]: narrow native chunking on the stream
+    * side, broadcast blocklist, one watermarked per-doc aggregation.
+    * Output: (doc_id, n_chunks, n_boilerplate). */
+  def streamingChunkFlag(docs: DataFrame, blocklist: DataFrame,
+      divisor: Int = 16): DataFrame = {
+    import graft.functions.TextHash
+    val bl = blocklist.select(col("packed")).distinct()
+      .withColumn("hit", lit(1L))
+    docs.withWatermark("ts", "2 hours")
+      .select(col("doc_id"), col("ts"),
+        explode(TextHash.cdcChunkHashes(col("text"), divisor)).as("packed"))
+      .join(broadcast(bl), Seq("packed"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_chunks"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_boilerplate"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boilerplate"))
+  }
+
   // ---- streaming as-of enrichment -----------------------------------------
 
   /** One interleaved left/right event for [[asOfEnrich]]: `ts` drives the

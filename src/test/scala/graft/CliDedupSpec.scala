@@ -189,4 +189,17 @@ class CliDedupSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(3))).sorted.toSeq
     assert(merges === Seq((1, "ab"), (2, "cd")), s"merge table on disk: $merges")
   }
+
+  test("dedup-eval subcommand writes the 3-family precision/recall report") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clideval").toString
+    graft.operators.Dedup.withNearDuplicates(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .write.parquet(s"$dir/corpus")
+    Cli.run(spark, List("dedup-eval", s"$dir/corpus", s"$dir/out"))
+    val rows = spark.read.parquet(s"$dir/out/family_eval")
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(rows.keySet === Set("minhash_lsh", "simhash", "winnow"))
+    assert(rows("winnow") >= 0.9, s"winnow recall on disk: $rows")
+  }
 }

@@ -394,6 +394,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming chunk flag == batch blocklist probe, clean docs report zero") {
+    import graft.functions.TextHash
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29L)
+    val vocab = Vector("alpha", "beta7", "gam", "delta42", "ep", "zeta")
+    def mk(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val footer = mk(60)
+    // blocklist = the footer's own chunks
+    val blocklist = Seq(footer).toDF("text")
+      .select(explode(TextHash.cdcChunkHashes(col("text"), 16)).as("packed"))
+    val arriving = Seq(
+      (1L, "2024-01-01 00:01:00", mk(40) + " " + footer), // carries boilerplate
+      (2L, "2024-01-01 00:02:00", mk(50)))                // clean
+    val batchWant = {
+      val b = arriving.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(TextHash.cdcChunkHashes(col("text"), 16)).as("packed"))
+        .join(broadcast(blocklist.distinct().withColumn("hit", lit(1L))), Seq("packed"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("nb"))
+      b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamOps.streamingChunkFlag(
+        stream.toDF().toDF("doc_id", "ts", "text"), blocklist)
+      .writeStream.format("memory").queryName("chunkflag")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(arriving.map { case (id, t, txt) => (id, ts(t), txt) })
+      query.processAllAvailable()
+      stream.addData(Seq((99L, ts("2024-01-01 06:00:00"), "tick")))
+      query.processAllAvailable()
+      val got = spark.table("chunkflag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === batchWant)
+      val flagged = got.find(_._1 == 1L).get
+      assert(flagged._3 > 0, s"doc 1 must hit the blocklist: $got")
+      assert(got.find(_._1 == 2L).get._3 === 0L, s"doc 2 must be clean: $got")
+    } finally query.stop()
+  }
+
   test("stream-static ingest dedup against the band index == batch indexed path") {
     import graft.operators.Dedup
     import spark.implicits._
