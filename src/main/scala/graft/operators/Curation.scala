@@ -234,7 +234,11 @@ object Curation {
     // cast("long") truncates toward zero == floor for this non-negative
     // product; floor() spelled explicitly so the contract is visible
     val frac = floor((weight - floor(weight)) * 1000).cast("long")
-    val extra = (pmod(TextHash.polyHash(col("text")), lit(1000L)) < frac).cast("int")
+    // mixed gate, not the raw residue: polynomial hashes of near-
+    // identical texts are near-consecutive integers (see
+    // [[sqrtTemperatureSample]]), so the raw mod-1000 would admit
+    // all-or-none of a sequentially-numbered run
+    val extra = (gateHash(TextHash.polyHash(col("text")), 1000L) < frac).cast("int")
     val n = base + extra
     // sequence(1, 0) DESCENDS in Spark — only build it when n >= 1, and
     // let the non-outer explode drop zero-copy docs
@@ -336,6 +340,43 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Temperature-scaled source rebalancing (the multilingual-corpus
+    * sampling rule, α = 0.5): per-source keep rate
+    * √(n_min / n_source) — big sources downsample toward the square
+    * root of their size, the smallest keeps everything. α is FIXED at
+    * 0.5 because √ is the one power both engines compute identically
+    * (IEEE-correctly-rounded sqrt after one double division); arbitrary
+    * n^α needs libm pow, which is not cross-engine exact. The per-doc
+    * gate is a QUADRATICALLY MIXED content-hash ppm threshold —
+    * replayable, no RNG, no shuffle beyond the vocabulary-sized source
+    * counts (broadcast back). The mix is load-bearing: raw polynomial
+    * hashes of sequentially-numbered texts ("doc 1", "doc 2", …) are
+    * CONSECUTIVE integers, so an unmixed residue gate keeps all-or-none
+    * of such a run (measured: 0 of 400 below a 50% threshold);
+    * (h² + 3h + 7) mod P restores uniformity — the same structured-
+    * low-bit lesson as the HLL and CDC hashes.
+    * Output: kept (doc_id, source, rate_ppm). */
+  def sqrtTemperatureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val nMin = counts.agg(min(col("n")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("source"),
+        floor(sqrt(col("n_min").cast("double") / col("n").cast("double")) * 1000000)
+          .cast("long").as("rate_ppm"))
+    docs.join(broadcast(rates), "source")
+      .filter(gateHash(TextHash.polyHash(col("text")), 1000000L) < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("rate_ppm"))
+  }
+
+  /** Quadratic-mix admission gate over a polynomial content hash:
+    * ((h² + 3h + 7) mod P) mod `buckets`. Shared by the mixture and
+    * temperature samplers; [[gateHashSql]] is the oracle mirror. */
+  private[graft] def gateHash(h: Column, buckets: Long): Column =
+    ((h * h + lit(3L) * h + lit(7L)) % TextHash.P) % buckets
+
+  private[graft] def gateHashSql(h: String, buckets: Long): String =
+    s"((($h) * ($h) + 3 * ($h) + 7) % ${TextHash.P}) % $buckets"
 
   /** Deterministic weighted priority sample of k docs: priority =
     * mix(doc_id) div weight (the integer-exact analog of the

@@ -59,4 +59,26 @@ object Funnels {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Next-event-prediction training examples (the sequence-model
+    * example builder): per user, ordered by (ts, id), each event with a
+    * full 3-deep history becomes one example — history = the previous
+    * three event types oldest-first, label = the current type. A fixed
+    * lag chain (not collect_list) keeps the row bounded and the whole
+    * thing one per-user window pass: the single shuffle keys on the
+    * high-cardinality user id, so it scales exactly like the
+    * sessionize/retention family. */
+  def nextEventExamples(events: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(idCol))
+    events
+      .withColumn("h1", lag(col(typeCol), 1).over(w))
+      .withColumn("h2", lag(col(typeCol), 2).over(w))
+      .withColumn("h3", lag(col(typeCol), 3).over(w))
+      .filter(col("h3").isNotNull)
+      .select(col(keyCol), col(idCol),
+        concat_ws(">", col("h3"), col("h2"), col("h1")).as("history"),
+        col(typeCol).as("label"))
+  }
 }

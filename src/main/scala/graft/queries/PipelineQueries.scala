@@ -1070,7 +1070,7 @@ object PipelineQueries {
              |n AS (
              |  SELECT doc_id, source,
              |         CAST(floor(wt) AS INTEGER)
-             |         + CASE WHEN ${TextHash.polyHashSql("text")} % 1000
+             |         + CASE WHEN ${Curation.gateHashSql(TextHash.polyHashSql("text"), 1000L)}
              |                     < CAST(floor((wt - floor(wt)) * 1000) AS BIGINT)
              |                THEN 1 ELSE 0 END AS n_copies
              |  FROM w)
@@ -2278,6 +2278,52 @@ object PipelineQueries {
              |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |       CAST(count(*) AS BIGINT) AS n_occ
              |FROM pk GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // temperature-scaled source rebalancing (alpha = 0.5, the one power
+    // both engines compute identically): keep rate sqrt(n_min/n_src),
+    // content-hash ppm gate — replayable multilingual-style sampling.
+    // The synthetic corpus is source-balanced (rate would be 1.0
+    // everywhere), so the row first regroups into a deterministic
+    // 60/30/10 skew to make the rebalancing observable and gated.
+    QueryDef("q163_temperature_sample",
+      (s, dir) => Curation.sqrtTemperatureSample(
+        Tables.load(s, dir, "documents").withColumn("source",
+          when(col("doc_id") % 10 < 6, lit("big"))
+            .when(col("doc_id") % 10 < 9, lit("mid"))
+            .otherwise(lit("small")))),
+      Some(s"""WITH d AS (SELECT doc_id, text,
+             |                  CASE WHEN doc_id % 10 < 6 THEN 'big'
+             |                       WHEN doc_id % 10 < 9 THEN 'mid'
+             |                       ELSE 'small' END AS source
+             |           FROM documents),
+             |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |           FROM d GROUP BY 1),
+             |mn AS (SELECT min(n) AS n_min FROM c),
+             |r AS (SELECT source,
+             |             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS rate_ppm
+             |      FROM c CROSS JOIN mn)
+             |SELECT d.doc_id, d.source, r.rate_ppm
+             |FROM d JOIN r USING (source)
+             |WHERE ${Curation.gateHashSql(TextHash.polyHashSql("d.text"), 1000000L)} < r.rate_ppm""".stripMargin)),
+
+    // next-event-prediction example builder: per-user lag-3 history ->
+    // label, one window pass keyed on the user id
+    QueryDef("q164_next_event_examples",
+      (s, dir) => graft.operators.Funnels.nextEventExamples(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type")),
+        "user_id", "us", "event_id", "event_type"),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+             |           FROM events),
+             |l AS (SELECT user_id, event_id, event_type,
+             |             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS h1,
+             |             lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS h2,
+             |             lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY us, event_id) AS h3
+             |      FROM e)
+             |SELECT user_id, event_id, h3 || '>' || h2 || '>' || h1 AS history,
+             |       event_type AS label
+             |FROM l WHERE h3 IS NOT NULL""".stripMargin)),
 
     // per-doc boilerplate fraction on top of q157's chunks: a chunk is
     // boilerplate if some OTHER doc carries the same (hash, len) chunk;

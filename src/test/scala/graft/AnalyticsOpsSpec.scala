@@ -71,6 +71,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("nextEventExamples: lag-3 history oldest-first, short prefixes dropped") {
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "view"), (1L, 30L, 3L, "click"),
+      (1L, 40L, 4L, "buy"), (1L, 50L, 5L, "view"),
+      (2L, 10L, 6L, "view"), (2L, 20L, 7L, "click") // only 2 events: nothing emitted
+    ).toDF("user_id", "us", "event_id", "event_type")
+    val got = Funnels.nextEventExamples(ev, "user_id", "us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 4L, "view>view>click", "buy"),
+      (1L, 5L, "view>click>buy", "view")))
+  }
+
   test("blockedPairs: edit-distance gate within blocks, oversized blocks skipped") {
     val recs = Seq(
       (1L, "smith", "b1"), (2L, "smyth", "b1"), (3L, "jones", "b1"),

@@ -104,6 +104,27 @@ class CurationSpec extends SparkSpec {
     assert(kept(order(0)) === 40L && kept(order(1)) === 80L && kept(4L) === 10L)
   }
 
+  test("sqrtTemperatureSample: smallest source keeps all, rates follow sqrt(n_min/n), replayable") {
+    val docs = ((1L to 400L).map(i => (i, s"text number $i", "big")) ++
+      (401L to 500L).map(i => (i, s"text number $i", "small")))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.sqrtTemperatureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = kept.groupBy(_._2)
+    // smallest source: rate 1.0, every doc kept
+    assert(bySrc("small").length === 100)
+    assert(bySrc("small").forall(_._3 === 1000000L))
+    // big source: rate floor(sqrt(100/400)*1e6) = 500000 ppm, and the
+    // content-hash gate keeps roughly (not exactly) half
+    assert(bySrc("big").forall(_._3 === 500000L))
+    val nBig = bySrc("big").length
+    assert(nBig > 100 && nBig < 300, s"big kept $nBig of 400")
+    // replayable
+    val again = Curation.sqrtTemperatureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq === kept.sortBy(_._1).toSeq)
+  }
+
   test("weightedPrioritySample: replayable k-smallest, weight-monotone, no global sort") {
     val docs = (1L to 500L).map(i => (i, "t", "s", (i % 7) + 1))
       .toDF("doc_id", "text", "source", "wt")
