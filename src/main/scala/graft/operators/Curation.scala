@@ -330,8 +330,10 @@ object Curation {
   }
 
   def budgetFill(docs: DataFrame, budget: Long): DataFrame = {
+    // mixed-hash admission order (raw hashes of templated texts are
+    // counter-ordered — the budget would always go to the oldest docs)
     val w = Window.partitionBy(col("source"))
-      .orderBy(TextHash.polyHash(col("text")), col("doc_id"))
+      .orderBy(gateHash(TextHash.polyHash(col("text")), TextHash.P), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"), col("source"),
         size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),

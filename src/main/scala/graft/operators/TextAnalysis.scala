@@ -73,11 +73,16 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_tokens"))
 
   /** Deterministic train/validation/test split by content hash: bucket =
-    * polyHash(text) mod 100 → train < 90, valid < 95, else test. Content
-    * hashing (not doc_id) keeps exact duplicates in the same split — the
-    * standard leakage guard. Pure projection, zero shuffle, replayable. */
+    * mix(polyHash(text)) mod 100 → train < 90, valid < 95, else test.
+    * Content hashing (not doc_id) keeps exact duplicates in the same
+    * split — the standard leakage guard. The quadratic mix
+    * ([[Curation.gateHash]]) is load-bearing: raw polynomial hashes of
+    * templated texts differing by a counter are consecutive (or
+    * fixed-stride) integers, and a stride that divides 100 would send
+    * an entire template family to ONE split. Pure projection, zero
+    * shuffle, replayable. */
   def hashSplit(docs: DataFrame): DataFrame = {
-    val bucket = pmod(TextHash.polyHash(col("text")), lit(100L))
+    val bucket = Curation.gateHash(TextHash.polyHash(col("text")), 100L)
     docs.select(col("doc_id"), bucket.cast("int").as("bucket"),
       when(bucket < 90, "train").when(bucket < 95, "valid")
         .otherwise("test").as("split"))
@@ -365,9 +370,13 @@ object TextAnalysis {
     * class-balanced subsets for eval sets / ablations. One shuffle on the
     * stratum key; rank window never materializes beyond each partition. */
   def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int): DataFrame = {
+    // mixed-hash order, not raw: raw polynomial hashes of templated
+    // texts are counter-ordered, which would make "first k by hash"
+    // mean "oldest k" (see Curation.gateHash)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(TextHash.polyHash(col("text")), col("doc_id"))
+      .orderBy(Curation.gateHash(TextHash.polyHash(col("text")), TextHash.P),
+        col("doc_id"))
     docs.select(col("doc_id"), col(stratumCol), col("text"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= perStratum)

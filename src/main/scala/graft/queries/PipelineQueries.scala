@@ -250,12 +250,14 @@ object PipelineQueries {
 
     QueryDef("q36_hash_split",
       (s, dir) => TextAnalysis.hashSplit(Tables.load(s, dir, "documents")),
-      Some(s"""SELECT doc_id,
-             |       CAST(${TextHash.polyHashSql("text")} % 100 AS INTEGER) AS bucket,
-             |       CASE WHEN ${TextHash.polyHashSql("text")} % 100 < 90 THEN 'train'
-             |            WHEN ${TextHash.polyHashSql("text")} % 100 < 95 THEN 'valid'
+      Some(s"""WITH b AS (SELECT doc_id,
+             |                  ${Curation.gateHashSql(TextHash.polyHashSql("text"), 100L)} AS bucket
+             |           FROM documents)
+             |SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+             |       CASE WHEN bucket < 90 THEN 'train'
+             |            WHEN bucket < 95 THEN 'valid'
              |            ELSE 'test' END AS split
-             |FROM documents""".stripMargin)),
+             |FROM b""".stripMargin)),
 
     QueryDef("q38_repetition",
       (s, dir) => TextAnalysis.repetitionStats(Tables.load(s, dir, "documents")),
@@ -277,7 +279,7 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.stratifiedSample(Tables.load(s, dir, "documents"), "lang", 50),
       Some(s"""WITH r AS (SELECT doc_id, lang,
              |                CAST(row_number() OVER (PARTITION BY lang
-             |                       ORDER BY ${TextHash.polyHashSql("text")}, doc_id) AS INTEGER) AS rn
+             |                       ORDER BY ${Curation.gateHashSql(TextHash.polyHashSql("text"), TextHash.P)}, doc_id) AS INTEGER) AS rn
              |          FROM documents)
              |SELECT doc_id, lang, rn FROM r WHERE rn <= 50""".stripMargin)),
 
@@ -1965,7 +1967,7 @@ object PipelineQueries {
       (s, dir) => Curation.budgetFill(Tables.load(s, dir, "documents"), budget = 600L),
       Some(s"""WITH t AS (SELECT doc_id, source,
              |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             |                  ${TextHash.polyHashSql("text")} AS ph
+             |                  ${Curation.gateHashSql(TextHash.polyHashSql("text"), TextHash.P)} AS ph
              |           FROM documents),
              |c AS (SELECT doc_id, source, n_tokens,
              |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ph, doc_id
@@ -2190,10 +2192,12 @@ object PipelineQueries {
              |       FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
              |       WHERE j.jacc >= 0.5),
              |sp AS (SELECT doc_id,
-             |              CASE WHEN ${TextHash.polyHashSql("text")} % 100 < 90 THEN 'train'
-             |                   WHEN ${TextHash.polyHashSql("text")} % 100 < 95 THEN 'valid'
+             |              CASE WHEN bkt < 90 THEN 'train'
+             |                   WHEN bkt < 95 THEN 'valid'
              |                   ELSE 'test' END AS split
-             |       FROM corpus)
+             |       FROM (SELECT doc_id,
+             |                    ${Curation.gateHashSql(TextHash.polyHashSql("text"), 100L)} AS bkt
+             |             FROM corpus))
              |SELECT least(sa.split, sb.split) AS split_lo,
              |       greatest(sa.split, sb.split) AS split_hi,
              |       CAST(count(*) AS BIGINT) AS n_leaked_pairs

@@ -95,11 +95,15 @@ class CurationSpec extends SparkSpec {
       (4L, Seq.fill(10)("dd").mkString(" "), "t")).toDF("doc_id", "text", "source")
     val kept = Curation.budgetFill(docs, budget = 80L)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
-    // admission order within source s is by content hash — recompute it
-    // independently to know WHICH two 40-token docs fit the 80 budget
+    // admission order within source s is by MIXED content hash —
+    // recompute it independently to know WHICH two 40-token docs fit
+    // the 80 budget
+    val P = TextHash.P
     val order = docs.filter(col("source") === "s")
       .select(col("doc_id"), TextHash.polyHash(col("text")).as("ph"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).map(_._1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (id, h) => (id, (BigInt(h) * h + 3 * h + 7).mod(P).toLong) }
+      .sortBy(_._2).map(_._1)
     assert(kept.keySet === Set(order(0), order(1), 4L), s"kept=$kept order=${order.toSeq}")
     assert(kept(order(0)) === 40L && kept(order(1)) === 80L && kept(4L) === 10L)
   }
