@@ -199,6 +199,54 @@ object QualityChecks {
         (col("bin") * binWidthCents).as("lo_cents"), col("cum"), col("total"))
   }
 
+  /** EXACT order statistics without a global sort — the 100 TB path that
+    * [[histogramQuantiles]]'s bin-granular answer brackets. Two
+    * aggregation passes: pass 1 histograms `cents div bucketWidthCents`
+    * (driver gets at most value-range/width rows) and locates, for each
+    * requested rank k = ceil(n·pct/100), the bucket holding rank k;
+    * pass 2 re-scans with `groupBy(cents)` restricted to JUST those
+    * bracket buckets — at most bucketWidthCents distinct cent values per
+    * bucket, so the collect is bounded by the width constant, never by
+    * data size. No raw row ever reaches the driver; both passes are
+    * map-side-combining aggregations, so the shape survives a 1000-node
+    * scale-up where sort-based `row_number` would shuffle the world.
+    * Output one row per percentile: (pct, rnk, value) with `value` the
+    * exact cent-scaled element at 1-indexed rank rnk. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      bucketWidthCents: Long, pcts: Seq[Int]): DataFrame = {
+    require(bucketWidthCents > 0, s"bucketWidthCents must be > 0: $bucketWidthCents")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in 1..100: $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(expr(centsSql(valueCol)).as("v"))
+    val hist = vals.groupBy(expr(s"v div $bucketWidthCents").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    require(n > 0, "exactQuantiles on an empty input")
+    val cum = hist.scanLeft(0L)(_ + _._2).tail
+    val located = pcts.map { p =>
+      val k = (n * p + 99) / 100
+      val i = cum.indexWhere(_ >= k)
+      (p, k, hist(i)._1, if (i == 0) 0L else cum(i - 1))
+    }
+    val needed = located.map(_._3).distinct
+    // Scala Long `/` and Spark `div` both truncate toward zero, so the
+    // driver-side bucket recompute below matches the pass-1 keys exactly.
+    val fine = vals.filter(expr(s"v div $bucketWidthCents").isin(needed: _*))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val out = located.map { case (p, k, b, before) =>
+      val inBucket = fine.filter(_._1 / bucketWidthCents == b)
+      var rem = k - before
+      var i = 0
+      while (rem > inBucket(i)._2) { rem -= inBucket(i)._2; i += 1 }
+      (p, k, inBucket(i)._1)
+    }
+    out.toDF("pct", "rnk", "value")
+  }
+
   private def centsSql(c: String): String =
     s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
 

@@ -1138,6 +1138,22 @@ object RelationalQueries {
              |SELECT sel.pct, sel.bin, sel.bin * 100000 AS lo_cents, cum.cum, sel.total
              |FROM sel JOIN cum ON cum.bin = sel.bin""".stripMargin)),
 
+    // ---- EXACT quantiles via histogram-bracket + bounded refine: two
+    // aggregation passes replace the global sort the oracle's
+    // row_number() spells out — same exact element, 100 TB shape --------
+    QueryDef("q165_exact_quantiles",
+      (s, dir) => graft.operators.QualityChecks.exactQuantiles(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice",
+        bucketWidthCents = 10000L, pcts = Seq(50, 90, 99)),
+      Some("""WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             |           FROM lineitem),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |k AS (SELECT pct, CAST((n.n * pct + 99) // 100 AS BIGINT) AS rnk
+             |      FROM (SELECT unnest([50, 90, 99]) AS pct) p, n),
+             |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+             |SELECT CAST(k.pct AS INTEGER) AS pct, k.rnk, s.v AS value
+             |FROM k JOIN s ON s.rn = k.rnk""".stripMargin)),
+
     // ---- point-in-time join: each fact picks the SCD2 dimension version
     // valid at its timestamp — keyed equi-join + residual interval test,
     // NOT the no-equi-key range join ------------------------------------

@@ -215,6 +215,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(95) === ((9L, 9000L, 99L)), s"$out")
   }
 
+  test("exactQuantiles: matches brute-force order statistics, ties included") {
+    // heavy ties + an outlier run: cents = 100*{1,1,1,2,2,3,...,3(x5),50}
+    val vs = Seq(1, 1, 1, 2, 2, 3, 3, 3, 3, 3, 50).map(_.toDouble)
+    val sorted = vs.sorted.map(v => (v * 100).toLong)
+    val df = vs.toDF("v")
+    for (width <- Seq(1L, 7L, 100L, 1000000L)) { // degenerate through one-bucket
+      val out = QualityChecks.exactQuantiles(df, "v", width, Seq(1, 50, 90, 100))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for (p <- Seq(1, 50, 90, 100)) {
+        val k = (vs.size * p + 99) / 100
+        assert(out(p) === ((k.toLong, sorted(k - 1))),
+          s"pct $p width $width: $out vs rank $k -> ${sorted(k - 1)}")
+      }
+    }
+  }
+
+  test("exactQuantiles: percentiles landing in distinct brackets") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val out = QualityChecks.exactQuantiles(df, "v", bucketWidthCents = 5000L,
+        pcts = Seq(10, 50, 99))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === Map(10 -> 10000L, 50 -> 50000L, 99 -> 99000L), s"$out")
+  }
+
   test("chunkDocs: stride windows with short tails, content hashed") {
     val text = (1 to 20).map(i => s"w$i").mkString(" ")
     val rows = graft.operators.Curation.chunkDocs(
