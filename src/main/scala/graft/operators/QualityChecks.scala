@@ -214,37 +214,108 @@ object QualityChecks {
     * exact cent-scaled element at 1-indexed rank rnk. */
   def exactQuantiles(df: DataFrame, valueCol: String,
       bucketWidthCents: Long, pcts: Seq[Int]): DataFrame = {
-    require(bucketWidthCents > 0, s"bucketWidthCents must be > 0: $bucketWidthCents")
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be in 1..100: $pcts")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(expr(centsSql(valueCol)).as("v"))
+    val (_, at) = valuesAtRanks(vals, bucketWidthCents,
+      n => pcts.map(p => (n * p + 99) / 100))
+    pcts.zip(at).map { case (p, (k, v)) => (p, k, v) }
+      .toDF("pct", "rnk", "value")
+  }
+
+  /** The shared two-aggregation-pass rank engine behind
+    * [[exactQuantiles]] and [[rangeShards]]. `vals` must be a single
+    * BIGINT column named `v`; `ranksOf` derives the wanted 1-indexed
+    * ranks from the pass-1 total count. Returns (n, (rank, value) per
+    * requested rank, preserving order). */
+  private def valuesAtRanks(vals: DataFrame, bucketWidthCents: Long,
+      ranksOf: Long => Seq[Long]): (Long, Seq[(Long, Long)]) = {
+    require(bucketWidthCents > 0, s"bucketWidthCents must be > 0: $bucketWidthCents")
     val hist = vals.groupBy(expr(s"v div $bucketWidthCents").as("b"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.map(_._2).sum
-    require(n > 0, "exactQuantiles on an empty input")
+    require(n > 0, "valuesAtRanks on an empty input")
     val cum = hist.scanLeft(0L)(_ + _._2).tail
-    val located = pcts.map { p =>
-      val k = (n * p + 99) / 100
+    val located = ranksOf(n).map { k =>
+      require(k >= 1 && k <= n, s"rank out of range: $k of $n")
       val i = cum.indexWhere(_ >= k)
-      (p, k, hist(i)._1, if (i == 0) 0L else cum(i - 1))
+      (k, hist(i)._1, if (i == 0) 0L else cum(i - 1))
     }
-    val needed = located.map(_._3).distinct
+    val needed = located.map(_._2).distinct
     // Scala Long `/` and Spark `div` both truncate toward zero, so the
     // driver-side bucket recompute below matches the pass-1 keys exactly.
     val fine = vals.filter(expr(s"v div $bucketWidthCents").isin(needed: _*))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val out = located.map { case (p, k, b, before) =>
+    val out = located.map { case (k, b, before) =>
       val inBucket = fine.filter(_._1 / bucketWidthCents == b)
       var rem = k - before
       var i = 0
       while (rem > inBucket(i)._2) { rem -= inBucket(i)._2; i += 1 }
-      (p, k, inBucket(i)._1)
+      (k, inBucket(i)._1)
     }
-    out.toDF("pct", "rnk", "value")
+    (n, out)
+  }
+
+  /** Balanced range sharding — the piece a 100 TB global sort actually
+    * needs: split points are EXACT order statistics at ranks
+    * ceil(i·n/shards) (same two-aggregation-pass engine as
+    * [[exactQuantiles]] — no global sort, and none of the sampled
+    * nondeterminism of Spark's RangePartitioner), and a row's shard is
+    * the count of splits strictly below its value, so the boundary rule
+    * is a pure value predicate — ties can never straddle shards
+    * run-to-run. Returns the balance report a range-sorted writer would
+    * log, one row per non-empty shard: (shard_id, n_rows, min_v, max_v);
+    * the same `shardId` expression handed to a `repartitionByRange`-style
+    * writer gives the deterministic sorted layout itself. */
+  def rangeShards(df: DataFrame, valueCol: String,
+      bucketWidthCents: Long, shards: Int): DataFrame = {
+    require(shards >= 2, s"shards must be >= 2: $shards")
+    val vals = df.select(expr(centsSql(valueCol)).as("v"))
+    val (_, splits) = valuesAtRanks(vals, bucketWidthCents,
+      n => (1 until shards).map(i => (n * i + shards - 1) / shards))
+    val shardId = splits.map { case (_, s) =>
+      when(col("v") > lit(s), 1).otherwise(0) }.reduce(_ + _)
+    vals.groupBy(shardId.cast("int").as("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between two groups of a
+    * 2-decimal measure — the distribution-SHAPE sibling of
+    * [[mannWhitneyU]]'s location test (drift detection between two
+    * sources or two snapshot dates). Exact to the last bit: both ECDFs
+    * live on the collapsed cents histogram (the windows run over
+    * distinct VALUES, never rows — bounded by the value range, not the
+    * data), and the sup-distance is cross-multiplied into integers,
+    * D·n_a·n_b = max |cumA·n_b − cumB·n_a|, so the max is BIGINT
+    * arithmetic; the only double is the final 1-row division. Output:
+    * (n_a, n_b, d_num, d) with d = d_num/(n_a·n_b). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(expr(centsSql(valueCol)).as("v"), col(groupCol).as("g"))
+      .groupBy(col("v")).agg(
+        count(when(col("g") === groupA, 1)).as("ca"),
+        count(when(col("g") === groupB, 1)).as("cb"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val m = vals
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"))
+    def d(c: Column) = c.cast("double")
+    m.select(col("n_a"), col("n_b"), col("d_num"),
+      (d(col("d_num")) / (d(col("n_a")) * d(col("n_b")))).as("d"))
   }
 
   private def centsSql(c: String): String =

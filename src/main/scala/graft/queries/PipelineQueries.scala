@@ -2649,6 +2649,29 @@ object PipelineQueries {
              |                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))) AS z
              |FROM m""".stripMargin)),
 
+    // two-sample KS distance: exact sup|ECDF_a - ECDF_b| via integer
+    // cross-multiplication over the collapsed cents histogram — the
+    // distribution-drift readout next to q141's location test
+    QueryDef("q167_ks_test",
+      (s, dir) => QualityChecks.ksTest(
+        Tables.events(s, dir), "event_type", "value", "click", "view"),
+      Some("""WITH c AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+             |                  event_type AS g
+             |           FROM events WHERE event_type IN ('click', 'view')),
+             |h AS (SELECT v, CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS ca,
+             |             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS cb
+             |      FROM c GROUP BY 1),
+             |w AS (SELECT CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+             |             CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+             |             CAST(sum(ca) OVER () AS BIGINT) AS na,
+             |             CAST(sum(cb) OVER () AS BIGINT) AS nb
+             |      FROM h)
+             |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             |       CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+             |       CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+             |         / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) AS d
+             |FROM w""".stripMargin)),
+
     // robust outlier fence: exact percentile_disc median + MAD over
     // collapsed cents histograms, integer fence test end to end
     QueryDef("q142_mad_outliers",

@@ -1154,6 +1154,28 @@ object RelationalQueries {
              |SELECT CAST(k.pct AS INTEGER) AS pct, k.rnk, s.v AS value
              |FROM k JOIN s ON s.rn = k.rnk""".stripMargin)),
 
+    // ---- balanced range sharding: exact-rank split points (the
+    // deterministic RangePartitioner) + per-shard balance report ---------
+    QueryDef("q166_range_shards",
+      (s, dir) => graft.operators.QualityChecks.rangeShards(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice",
+        bucketWidthCents = 10000L, shards = 8),
+      Some("""WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             |           FROM lineitem),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+             |sp AS (SELECT s.v AS split
+             |       FROM s, n, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS i) i
+             |       WHERE s.rn = (n.n * i.i + 7) // 8),
+             |dv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+             |b AS (SELECT dv.v, dv.c,
+             |             (SELECT count(*) FROM sp WHERE sp.split < dv.v) AS shard_id
+             |      FROM dv)
+             |SELECT CAST(shard_id AS INTEGER) AS shard_id,
+             |       CAST(sum(c) AS BIGINT) AS n_rows,
+             |       CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+             |FROM b GROUP BY 1""".stripMargin)),
+
     // ---- point-in-time join: each fact picks the SCD2 dimension version
     // valid at its timestamp — keyed equi-join + residual interval test,
     // NOT the no-equi-key range join ------------------------------------

@@ -239,6 +239,50 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map(10 -> 10000L, 50 -> 50000L, 99 -> 99000L), s"$out")
   }
 
+  test("rangeShards: 1..1000 into 8 exactly balanced shards") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val out = QualityChecks.rangeShards(df, "v", bucketWidthCents = 5000L, shards = 8)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.size === 8)
+    for (i <- 0 until 8) {
+      val (nRows, minV, maxV) = out(i)
+      assert(nRows === 125L, s"shard $i: $out")
+      assert(minV === (i * 125 + 1) * 100L && maxV === (i + 1) * 125 * 100L,
+        s"shard $i: $out")
+    }
+  }
+
+  test("rangeShards: a mega-tie never straddles a shard boundary") {
+    // 900 copies of one value + 100 distinct: splits land inside the tie
+    // run, but shard assignment is by value, so all 900 stay together
+    val df = (Seq.fill(900)(5.0) ++ (1 to 100).map(i => 100.0 + i)).toDF("v")
+    val out = QualityChecks.rangeShards(df, "v", bucketWidthCents = 100L, shards = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(0) === 900L, s"$out") // the whole tie run in shard 0
+    assert(out.values.sum === 1000L, s"$out")
+  }
+
+  test("ksTest: identical groups give d = 0, disjoint ranges give d = 1") {
+    val same = (1 to 50).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("g", "v")
+    val r0 = QualityChecks.ksTest(same, "g", "v", "a", "b").collect().head
+    assert(r0.getLong(2) === 0L && r0.getDouble(3) === 0.0)
+    val disjoint = ((1 to 30).map(i => ("a", i.toDouble)) ++
+      (1 to 20).map(i => ("b", 1000.0 + i))).toDF("g", "v")
+    val r1 = QualityChecks.ksTest(disjoint, "g", "v", "a", "b").collect().head
+    assert(r1.getLong(0) === 30L && r1.getLong(1) === 20L)
+    assert(r1.getLong(2) === 600L && r1.getDouble(3) === 1.0)
+  }
+
+  test("ksTest: closed-form mid-shift, exact integer numerator") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: sup gap at v=2 or v=4 -> |2*4-0*4|=8
+    val df = (Seq(1, 2, 3, 4).map(i => ("a", i.toDouble)) ++
+      Seq(3, 4, 5, 6).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val r = QualityChecks.ksTest(df, "g", "v", "a", "b").collect().head
+    assert(r.getLong(2) === 8L && r.getDouble(3) === 0.5, s"$r")
+  }
+
   test("chunkDocs: stride windows with short tails, content hashed") {
     val text = (1 to 20).map(i => s"w$i").mkString(" ")
     val rows = graft.operators.Curation.chunkDocs(
