@@ -77,6 +77,26 @@ object Curation {
       rest.map(col) :+ col("suppressed"): _*)
   }
 
+  /** l-diversity audit — the release gate k-anonymity alone misses:
+    * a quasi-identifier group can hold ≥ k users yet give every one of
+    * them the SAME sensitive value, so membership still discloses it
+    * (Machanavajjhala et al. 2007). One row per QI group:
+    * (quasi..., n_rows, n_users, n_sensitive, diverse) where diverse ⇔
+    * the group carries ≥ l distinct sensitive values. Single groupBy
+    * with two exact distinct counts (Spark expands multi-distinct
+    * aggregates map-side); the group frame is tiny, the scan is one
+    * pass. Pairs with [[pseudonymizeKAnon]]: suppress (or generalize)
+    * the groups this audit fails before release. */
+  def lDiversityAudit(events: DataFrame, idCol: String,
+      quasiCols: Seq[String], sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, "need QI columns and l >= 2")
+    events.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_users"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
   // ---- document chunking ---------------------------------------------------
 
   /** Overlapping sliding-window chunking — the context-window splitter

@@ -37,4 +37,43 @@ object Linkage {
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
+
+  /** Sorted-neighborhood candidate pairs (Hernández–Stolfo): sort the
+    * records by a fuzzy key, slide a window of `windowSize` positions,
+    * and compare only records within the window — the complementary
+    * blocker to [[blockedPairs]] (equi-blocking misses near-misses that
+    * cross a block boundary; SNM catches whatever the sort key puts
+    * adjacent, with linear O(n·w) candidates).
+    *
+    * Scale shape: the rank comes from a window function (at cluster
+    * scale, swap in [[QualityChecks.rangeShards]]' exact split points +
+    * per-shard local ranks with a w-row boundary overlap — the standard
+    * distributed SNM construction; same output, no global sort), and the
+    * neighborhood join is an EQUI-join on ⌊rank/w⌋ buckets (each rank
+    * joins its own and the next bucket, then |Δrank| < w filters), so
+    * the planner never sees an inequality-only join. Candidates with
+    * Levenshtein distance ≤ `maxDist` survive. Output: (a_id, b_id,
+    * gap, dist) with a_id's rank below b_id's, gap = rank distance. */
+  def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
+      nameCol: String, sortKey: org.apache.spark.sql.Column,
+      windowSize: Int, maxDist: Int): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2: $windowSize")
+    import org.apache.spark.sql.expressions.Window
+    val w = windowSize.toLong
+    val ranked = records.select(col(idCol).as("id"), col(nameCol).as("nm"),
+        sortKey.as("sk"))
+      .withColumn("rn", (row_number().over(Window.orderBy(col("sk"), col("id"))) - 1)
+        .cast("long"))
+      .withColumn("bkt", expr(s"rn div $w"))
+    val right = ranked.select(col("id").as("b_id"), col("nm").as("b_nm"),
+      col("rn").as("b_rn"), col("bkt").as("b_bkt"))
+    val cand = ranked
+      .withColumn("probe_bkt", explode(array(col("bkt"), col("bkt") + 1)))
+      .join(right, col("probe_bkt") === col("b_bkt"))
+      .filter(col("b_rn") > col("rn") && col("b_rn") - col("rn") < w)
+    cand.withColumn("dist", levenshtein(col("nm"), col("b_nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id").as("a_id"), col("b_id"),
+        (col("b_rn") - col("rn")).as("gap"), col("dist"))
+  }
 }

@@ -580,6 +580,103 @@ object QualityChecks {
         col("n"))
   }
 
+  /** 2-D Pareto frontier (skyline): rows not dominated on (minimize
+    * `xCol`, maximize `yCol`) — the classic price/quality trade-off
+    * query (SkyLine operator, Börzsönyi et al. 2001), and in a training
+    * -data pipeline the cost/quality frontier over candidate sources.
+    * Dominance: row r is OFF the frontier iff some r' has x' ≤ x, y' ≥ y
+    * with one inequality strict.
+    *
+    * Shape that holds at 100 TB: never a self-join and never a window
+    * over data rows. One groupBy collapses to the per-x-value maximum y
+    * (bounded by the x value RANGE, not row count); the strict-prefix
+    * running max runs over that collapsed histogram; the thresholds then
+    * broadcast-join back to the rows. A row survives iff its y equals
+    * its x-group's max AND beats every strictly-cheaper group's best —
+    * duplicates of a frontier point all survive (neither strictly
+    * dominates the other). */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String,
+      idCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xc = expr(centsSql(xCol)).as("xc")
+    val rows = df.select(idCols.map(col) :+ xc :+ col(yCol).cast("long").as("yv"): _*)
+    val hist = rows.groupBy(col("xc")).agg(max(col("yv")).as("max_y"))
+    val wPrev = Window.orderBy(col("xc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = hist.withColumn("best_cheaper", max(col("max_y")).over(wPrev))
+    rows.join(broadcast(thr), "xc")
+      .filter(col("yv") === col("max_y") &&
+        (col("best_cheaper").isNull || col("max_y") > col("best_cheaper")))
+      .select(idCols.map(col) :+ col("xc") :+ col("yv"): _*)
+  }
+
+  /** Chi-squared contingency cells for independence testing between two
+    * categorical columns (token-drift / source-vs-label dependence — the
+    * "did the label distribution shift by source?" audit). Exactness
+    * contract: the observed count o, row total r, column total c, and
+    * grand total n are BIGINTs; the cell discrepancy n·o − r·c is
+    * computed in DECIMAL(38,0) (n·o alone overflows BIGINT past ~3·10⁹
+    * rows), so every reported integer is exact on both engines. The
+    * per-cell χ² term (n·o−r·c)²/(n·r·c) is then ONE fixed order of
+    * double operations from those exact integers — bit-identical cross-
+    * engine, and cells are few (|A|·|B|), so no ordered-sum trap exists:
+    * consumers sum the handful of terms however they like.
+    *
+    * Shape: one groupBy(a,b) collapses the data; row/col/grand totals are
+    * re-aggregations of the COLLAPSED cells (never a second data scan);
+    * the joins run on the tiny cell frame. */
+  def chi2Cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val grand = cells.agg(sum(col("o")).as("n"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val j = cells.join(broadcast(rowT), "a").join(broadcast(colT), "b")
+      .crossJoin(broadcast(grand))
+      .withColumn("diff", dec(col("n")) * dec(col("o")) - dec(col("r")) * dec(col("c")))
+    def d(c: Column) = c.cast("double")
+    j.select(col("a"), col("b"), col("o"), col("r"), col("c"), col("n"),
+      col("diff"),
+      (d(col("diff")) * d(col("diff")) / (d(col("n")) * d(col("r")) * d(col("c"))))
+        .as("term"))
+  }
+
+  /** Per-group winsorization: clamp a 2-decimal measure to its group's
+    * [loPct, hiPct] percentile band — the outlier treatment a feature
+    * pipeline applies before scaling (vs [[madOutliers]], which FLAGS;
+    * winsorize REPAIRS). Thresholds are EXACT per-group order
+    * statistics with the same deterministic rank rule as
+    * [[exactQuantiles]] (k = ceil(n·p/100), value = k-th smallest), but
+    * computed fully distributed: the rank probe runs as a cumulative
+    * window over the collapsed (group, cents-value) histogram — bounded
+    * by distinct values per group, never row count — so no sort or
+    * collect of data rows anywhere. Output: one row per input row
+    * (ids, group, v, lo, hi, v_wins) with v_wins = clamp(v, lo, hi). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loPct: Int, hiPct: Int, idCols: Seq[String]): DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 1 <= lo < hi <= 100: $loPct, $hiPct")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(
+      idCols.map(col) :+ col(groupCol) :+ expr(centsSql(valueCol)).as("v"): _*)
+    val hist = rows.groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def thresholdAt(p: Int, name: String) =
+      cum.filter(col("cum") * 100 >= col("n") * p)
+        .groupBy(col(groupCol)).agg(min(col("v")).as(name))
+    val thr = thresholdAt(loPct, "lo").join(thresholdAt(hiPct, "hi"), groupCol)
+    rows.join(broadcast(thr), groupCol)
+      .withColumn("v_wins", greatest(col("lo"), least(col("hi"), col("v"))))
+      .select(idCols.map(col) :+ col(groupCol) :+ col("v") :+
+        col("lo") :+ col("hi") :+ col("v_wins"): _*)
+  }
+
   /** Cross-source contamination matrix: for every unordered source pair,
     * how many distinct documents (by content hash) appear in BOTH — the
     * first question asked when a "new" crawl source arrives ("is this

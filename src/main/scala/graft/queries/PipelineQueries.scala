@@ -2815,5 +2815,106 @@ object PipelineQueries {
              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
              |       CAST(count(*) AS INTEGER) AS n_events
-             |FROM s GROUP BY 1, 2""".stripMargin)))
+             |FROM s GROUP BY 1, 2""".stripMargin)),
+
+    // 2-D Pareto frontier (skyline): parts not dominated on (cheaper
+    // price, larger size) — per-x-value collapse + strict-prefix running
+    // max over the collapsed histogram, never a self-join
+    QueryDef("q168_pareto_front",
+      (s, dir) => QualityChecks.paretoFront(
+        Tables.load(s, dir, "part"), "p_retailprice", "p_size", Seq("p_partkey")),
+      Some("""WITH r AS (SELECT p_partkey,
+             |                  CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+             |                  CAST(p_size AS BIGINT) AS yv
+             |           FROM part),
+             |h AS (SELECT xc, max(yv) AS max_y FROM r GROUP BY 1),
+             |t AS (SELECT xc, max_y,
+             |             max(max_y) OVER (ORDER BY xc
+             |                              ROWS BETWEEN UNBOUNDED PRECEDING
+             |                              AND 1 PRECEDING) AS best_cheaper
+             |      FROM h)
+             |SELECT r.p_partkey, r.xc, r.yv
+             |FROM r JOIN t USING (xc)
+             |WHERE r.yv = t.max_y
+             |  AND (t.best_cheaper IS NULL OR t.max_y > t.best_cheaper)""".stripMargin)),
+
+    // chi-squared contingency cells (event_type x epoch-day-of-week):
+    // n*o - r*c exact in DECIMAL(38,0) (HUGEINT on the oracle side), the
+    // per-cell term one fixed order of doubles from exact integers
+    QueryDef("q169_chi2_cells",
+      (s, dir) => QualityChecks.chi2Cells(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("dow")),
+        "event_type", "dow"),
+      Some("""WITH e AS (SELECT event_type AS a,
+             |                  (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS b
+             |           FROM events),
+             |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY 1, 2),
+             |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+             |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+             |g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+             |SELECT cells.a, cells.b, cells.o, rt.r, ct.c, g.n,
+             |       CAST(CAST(g.n AS HUGEINT) * cells.o
+             |            - CAST(rt.r AS HUGEINT) * ct.c AS DECIMAL(38,0)) AS diff,
+             |       CAST(CAST(g.n AS HUGEINT) * cells.o
+             |            - CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE)
+             |         * CAST(CAST(g.n AS HUGEINT) * cells.o
+             |                - CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE)
+             |         / (CAST(g.n AS DOUBLE) * CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+             |         AS term
+             |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN g""".stripMargin)),
+
+    // sorted-neighborhood linkage: rank by name, w=4 neighborhood as an
+    // equi-join on rank div w buckets, Levenshtein <= 2 survivors
+    QueryDef("q170_sorted_neighborhood",
+      (s, dir) => graft.operators.Linkage.sortedNeighborhoodPairs(
+        Tables.load(s, dir, "customer"), "c_custkey", "c_name",
+        col("c_name"), windowSize = 4, maxDist = 2),
+      Some("""WITH rk AS (SELECT c_custkey AS id, c_name AS nm,
+             |                   CAST(row_number() OVER (ORDER BY c_name, c_custkey) - 1
+             |                        AS BIGINT) AS rn
+             |            FROM customer)
+             |SELECT a.id AS a_id, b.id AS b_id, b.rn - a.rn AS gap,
+             |       CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+             |FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < 4
+             |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin)),
+
+    // l-diversity audit over (event_type, day) quasi-groups with the
+    // props.k payload as the sensitive attribute — the disclosure gate
+    // k-anonymity alone misses (homogeneous groups)
+    QueryDef("q171_ldiversity",
+      (s, dir) => graft.operators.Curation.lDiversityAudit(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          get_json_object(col("props"), "$.k").cast("int").as("sens")),
+        "user_id", Seq("event_type", "day"), "sens", l = 60),
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |                  CAST(json_extract(props, '$.k') AS INTEGER) AS sens
+             |           FROM events)
+             |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive,
+             |       count(DISTINCT sens) >= 60 AS diverse
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
+    // per-group winsorization: exact [p5, p95] clamp, thresholds from a
+    // cumulative window over the collapsed (group, cents) histogram
+    QueryDef("q172_winsorize",
+      (s, dir) => QualityChecks.winsorize(
+        Tables.events(s, dir), "event_type", "value", 5, 95, Seq("event_id")),
+      Some("""WITH c AS (SELECT event_id, event_type,
+             |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             |           FROM events),
+             |h AS (SELECT event_type, v, count(*) AS ct FROM c GROUP BY 1, 2),
+             |w AS (SELECT event_type, v,
+             |             sum(ct) OVER (PARTITION BY event_type ORDER BY v
+             |                           ROWS UNBOUNDED PRECEDING) AS cum,
+             |             sum(ct) OVER (PARTITION BY event_type) AS n
+             |      FROM h),
+             |lo AS (SELECT event_type, min(v) AS lo FROM w WHERE cum * 100 >= n * 5 GROUP BY 1),
+             |hi AS (SELECT event_type, min(v) AS hi FROM w WHERE cum * 100 >= n * 95 GROUP BY 1)
+             |SELECT c.event_id, c.event_type, c.v, lo.lo, hi.hi,
+             |       greatest(lo.lo, least(hi.hi, c.v)) AS v_wins
+             |FROM c JOIN lo USING (event_type) JOIN hi USING (event_type)""".stripMargin)))
 }
