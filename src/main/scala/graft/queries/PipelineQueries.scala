@@ -2916,5 +2916,40 @@ object PipelineQueries {
              |hi AS (SELECT event_type, min(v) AS hi FROM w WHERE cum * 100 >= n * 95 GROUP BY 1)
              |SELECT c.event_id, c.event_type, c.v, lo.lo, hi.hi,
              |       greatest(lo.lo, least(hi.hi, c.v)) AS v_wins
-             |FROM c JOIN lo USING (event_type) JOIN hi USING (event_type)""".stripMargin)))
+             |FROM c JOIN lo USING (event_type) JOIN hi USING (event_type)""".stripMargin)),
+
+    // native NFC normalization (codegen'd java.text.Normalizer): a
+    // decomposed suffix (e + U+0301, twice) is appended to every doc,
+    // normalized, and gated by md5 + the codepoint-count contraction
+    QueryDef("q173_nfc_normalize",
+      (s, dir) => {
+        val raw = concat(substring(col("text"), 1, 24), lit(" café é"))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          length(raw).as("raw_chars"),
+          length(graft.functions.StringNorm.nfc(raw)).as("nfc_chars"),
+          md5(graft.functions.StringNorm.nfc(raw)).as("nfc_md5"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(length(substr(text, 1, 24) || ' café é') AS INTEGER) AS raw_chars,
+             |       CAST(length(nfc_normalize(substr(text, 1, 24) || ' café é')) AS INTEGER) AS nfc_chars,
+             |       md5(nfc_normalize(substr(text, 1, 24) || ' café é')) AS nfc_md5
+             |FROM documents""".stripMargin)),
+
+    // native Jaro-Winkler (DuckDB/rapidfuzz convention, bit-identical —
+    // fixture-pinned in StringNormSpec) over consecutive-id customer
+    // name pairs; the DOUBLE itself is part of the hash gate
+    QueryDef("q174_jaro_winkler",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_nm"))
+        val b = c.select((col("c_custkey") - 1).as("a_id"),
+          col("c_custkey").as("b_id"), col("c_name").as("b_nm"))
+        a.join(b, "a_id")
+          .select(col("a_id"), col("b_id"),
+            graft.functions.StringNorm.jaroWinkler(col("a_nm"), col("b_nm")).as("jw"))
+      },
+      Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             |       jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+             |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin)))
 }
