@@ -410,4 +410,27 @@ object Multimodal {
       }
     }
   }
+
+  /** Scene-cut detection: decode every frame ([[sampleFrames]] step 1 —
+    * the full-decode path the length-prefix hop exists to avoid when
+    * sampling suffices), then flag frame i as a cut when the mean
+    * absolute luminance jump from frame i−1 crosses `thresholdPct`
+    * (percent of full scale, 2 decimals): 100·|Δpx_sum| ≥ T·n_px — all
+    * BIGINT, no float threshold. The lag window partitions by doc, so
+    * state never crosses a video boundary and the shuffle key is the
+    * natural one; per-partition work is bounded by frames-per-video,
+    * not corpus size. Output: (doc_id, frame_idx, px_sum, prev_sum,
+    * is_cut) for every frame with a predecessor. */
+  def sceneCuts(video: DataFrame, thresholdPct: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sampleFrames(video, 1).toDF()
+      .withColumn("prev_sum", lag(col("px_sum"), 1).over(w))
+      .filter(col("prev_sum").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("px_sum"), col("prev_sum"),
+        (abs(col("px_sum") - col("prev_sum")) * 100 >=
+          lit(thresholdPct.toLong) * (col("width") * col("height")).cast("long"))
+          .as("is_cut"))
+  }
 }

@@ -2951,5 +2951,44 @@ object PipelineQueries {
       },
       Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
              |       jaro_winkler_similarity(a.c_name, b.c_name) AS jw
-             |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin)))
+             |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin)),
+
+    // video scene cuts: every frame decoded through the real PNG codec,
+    // consecutive-frame mean-luminance jump >= 20.00% of full scale
+    // flagged via the all-integer gate 100*|delta| >= 2000*n_px; oracle
+    // reconstructs each frame's pixel sum from the md5 generation rule
+    QueryDef("q175_scene_cuts",
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.sceneCuts(
+          Multimodal.videoTable(Tables.load(s, dir, "documents")), 2000)
+      },
+      Some("""WITH m AS (SELECT doc_id, text,
+             |                 CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames,
+             |                 CAST(n_chars % 16 + 1 AS INTEGER) AS width,
+             |                 CAST(doc_id % 12 + 1 AS INTEGER) AS height
+             |          FROM documents),
+             |f AS (SELECT doc_id, text, width, height,
+             |             CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx
+             |      FROM m),
+             |s AS (SELECT doc_id, frame_idx, width, height,
+             |             md5(text || '#' || CAST(frame_idx AS VARCHAR)) AS h,
+             |             width * height AS n_px
+             |      FROM f),
+             |b AS (SELECT doc_id, frame_idx, n_px,
+             |             list_transform(generate_series(1, 16),
+             |               i -> CAST(16 * (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1)
+             |                         + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+             |      FROM s),
+             |p AS (SELECT doc_id, frame_idx, n_px,
+             |             CAST(n_px // 16 AS BIGINT) * list_reduce(bytes, (a, b) -> a + b)
+             |               + CASE WHEN n_px % 16 = 0 THEN 0
+             |                      ELSE list_reduce(bytes[1:(n_px % 16)], (a, b) -> a + b) END AS px_sum
+             |      FROM b),
+             |l AS (SELECT doc_id, frame_idx, n_px, px_sum,
+             |             lag(px_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_sum
+             |      FROM p)
+             |SELECT doc_id, frame_idx, px_sum, prev_sum,
+             |       abs(px_sum - prev_sum) * 100 >= 2000 * n_px AS is_cut
+             |FROM l WHERE prev_sum IS NOT NULL""".stripMargin)))
 }
