@@ -417,36 +417,71 @@ object QualityChecks {
     * at any cardinality. Bias correction (linear counting) needs `ln`,
     * so the RAW estimator is reported alongside the hit-register count;
     * callers needing small-range correction apply it driver-side. */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, Seq(groupCol), valueCol), Seq(groupCol))
+
+  /** The (groups..., j, mj) register sketch behind [[hllDistinct]] /
+    * [[hllSketchRollup]] — the MERGEABLE persisted form (register-wise
+    * max combines sketches across any grain without raw data). */
+  private def hllRegisters(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
     val P = graft.functions.TextHash.P
+    val g = groupCols.map(col)
     // affine map alone is NOT enough here: sequential keys form an
     // arithmetic progression mod P whose trailing-zero statistics are
     // biased (+50% on a 2k-distinct test), so two QUADRATIC rounds
     // follow — affine∘affine stays affine, squaring does not. h² ≤
     // (P−1)² ≈ 1.0e18 keeps every step inside int64.
     val h0 = (col(valueCol).cast("long") * 2654435761L + 7L) % P
-    val regs = df
-      .select(col(groupCol), h0.as("h"))
-      .select(col(groupCol), ((col("h") * col("h") + col("h") * 5L + 1L) % P).as("h"))
-      .select(col(groupCol), ((col("h") * col("h") + col("h") * 3L + 7L) % P).as("h"))
-      .select(col(groupCol), (col("h") % 64).cast("int").as("j"),
-        expr("h div 64").as("v"))
-      .select(col(groupCol), col("j"),
-        when(col("v") === 0L, lit(25)).otherwise(length(bin(expr("v & -v")))).as("rho"))
-      .groupBy(col(groupCol), col("j")).agg(max(col("rho")).as("mj"))
-    regs.groupBy(col(groupCol))
+    df.select(g :+ h0.as("h"): _*)
+      .select(g :+ (((col("h") * col("h") + col("h") * 5L + 1L) % P).as("h")): _*)
+      .select(g :+ (((col("h") * col("h") + col("h") * 3L + 7L) % P).as("h")): _*)
+      .select(g :+ (col("h") % 64).cast("int").as("j") :+ expr("h div 64").as("v"): _*)
+      .select(g :+ col("j") :+
+        when(col("v") === 0L, lit(25)).otherwise(length(bin(expr("v & -v")))).as("rho"): _*)
+      .groupBy(g :+ col("j"): _*).agg(max(col("rho")).as("mj"))
+  }
+
+  /** The harmonic-mean fold from (groups..., j, mj) registers to
+    * (groups..., n_registers, raw_est) — one fixed operation order,
+    * bit-identical across engines (see [[hllDistinct]] scaladoc). */
+  private def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    regs.groupBy(g: _*)
       .agg(sort_array(collect_list(struct(col("j"), col("mj")))).as("rs"))
-      .select(col(groupCol),
-        size(col("rs")).as("n_registers"),
-        expr("transform(rs, r -> 1.0D / CAST(shiftleft(1L, r.mj) AS DOUBLE))").as("terms"))
-      .select(col(groupCol), col("n_registers"),
+      .select(g :+
+        size(col("rs")).as("n_registers") :+
+        expr("transform(rs, r -> 1.0D / CAST(shiftleft(1L, r.mj) AS DOUBLE))").as("terms"): _*)
+      .select(g :+ col("n_registers") :+
         (expr("aggregate(slice(terms, 2, size(terms) - 1), terms[0], (a, x) -> a + x)")
-          + (lit(64) - col("n_registers")).cast("double")).as("inv_sum"))
-      .select(col(groupCol), col("n_registers"),
+          + (lit(64) - col("n_registers")).cast("double")).as("inv_sum"): _*)
+      .select(g :+ col("n_registers") :+
         // α_64·m² pre-multiplied to ONE double literal (0.709·4096 —
         // composing it from two literals would round differently than
         // DuckDB's decimal-exact product)
-        (lit(2904.064) / col("inv_sum")).as("raw_est"))
+        (lit(2904.064) / col("inv_sum")).as("raw_est"): _*)
+  }
+
+  /** Sketch ROLLUP: per-(coarse, fine) register sketches — the form a
+    * nightly job persists per day/source — merged up to the coarse
+    * grain by register-wise max and only then folded to an estimate.
+    * This is the piece plain incremental aggregation (q148) cannot do
+    * for COUNT DISTINCT: a count is not summable across days, but HLL
+    * registers merge losslessly — the rollup stage touches ONLY the
+    * collapsed (coarse, fine, j, mj) sketch rows (≤ 64·|fine| per
+    * coarse group), never the raw data, which is exactly how a 100 TB
+    * pipeline serves "distinct users this month" from 30 daily
+    * sketches. The merged estimate is IDENTICAL to sketching the
+    * coarse grain directly (max is associative), which the unit spec
+    * pins. Output: (coarse, n_sketches, n_registers, raw_est). */
+  def hllSketchRollup(df: DataFrame, coarseCol: String, fineCol: String,
+      valueCol: String): DataFrame = {
+    val daily = hllRegisters(df, Seq(coarseCol, fineCol), valueCol)
+    val nSketches = daily.select(col(coarseCol), col(fineCol)).distinct()
+      .groupBy(col(coarseCol)).agg(count(lit(1)).as("n_sketches"))
+    val merged = daily.groupBy(col(coarseCol), col("j")).agg(max(col("mj")).as("mj"))
+    hllEstimate(merged, Seq(coarseCol)).join(broadcast(nSketches), coarseCol)
+      .select(col(coarseCol), col("n_sketches"), col("n_registers"), col("raw_est"))
   }
 
   /** Mann–Whitney U between two groups of a 2-decimal measure — the

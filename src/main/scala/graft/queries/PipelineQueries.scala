@@ -2990,5 +2990,43 @@ object PipelineQueries {
              |      FROM p)
              |SELECT doc_id, frame_idx, px_sum, prev_sum,
              |       abs(px_sum - prev_sum) * 100 >= 2000 * n_px AS is_cut
-             |FROM l WHERE prev_sum IS NOT NULL""".stripMargin)))
+             |FROM l WHERE prev_sum IS NOT NULL""".stripMargin)),
+
+    // HLL sketch ROLLUP: per-(event_type, day) register sketches merged
+    // to per-type by register-wise max, folded only after the merge —
+    // the mergeable-sketch path "distinct users this month" takes at
+    // scale (count distinct is not summable; registers are)
+    QueryDef("q176_hll_rollup",
+      (s, dir) => QualityChecks.hllSketchRollup(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"), col("user_id")),
+        "event_type", "day", "user_id"),
+      Some("""WITH e AS (SELECT event_type,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |                  user_id
+             |           FROM events),
+             |h0 AS (SELECT event_type, day,
+             |              (CAST(user_id AS BIGINT) * 2654435761 + 7) % 1000000007 AS h
+             |       FROM e),
+             |h1 AS (SELECT event_type, day, (h * h + h * 5 + 1) % 1000000007 AS h FROM h0),
+             |h AS (SELECT event_type, day, (h * h + h * 3 + 7) % 1000000007 AS h FROM h1),
+             |r AS (SELECT event_type, day, CAST(h % 64 AS INTEGER) AS j, h // 64 AS v FROM h),
+             |rr AS (SELECT event_type, day, j,
+             |              CASE WHEN v = 0 THEN 25
+             |                   ELSE CAST(length(bin(v & -v)) AS INTEGER) END AS rho
+             |       FROM r),
+             |m AS (SELECT event_type, day, j, max(rho) AS mj FROM rr GROUP BY 1, 2, 3),
+             |ns AS (SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_sketches
+             |       FROM m GROUP BY 1),
+             |mm AS (SELECT event_type, j, max(mj) AS mj FROM m GROUP BY 1, 2),
+             |g AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_registers,
+             |             list(CAST(1.0 AS DOUBLE) / CAST((1 << mj) AS DOUBLE) ORDER BY j) AS terms
+             |      FROM mm GROUP BY 1),
+             |s AS (SELECT event_type, n_registers,
+             |             list_reduce(terms, (a, b) -> a + b)
+             |               + CAST(64 - n_registers AS DOUBLE) AS inv_sum
+             |      FROM g)
+             |SELECT s.event_type, ns.n_sketches, s.n_registers,
+             |       CAST(2904.064 AS DOUBLE) / inv_sum AS raw_est
+             |FROM s JOIN ns USING (event_type)""".stripMargin)))
 }

@@ -45,4 +45,18 @@ class SketchSpec extends SparkSpec {
     val want = counts.collect { case (w, c) if c * 4 > n => ph(w) -> c }.toMap
     assert(want.nonEmpty && got === want)
   }
+
+  test("hllSketchRollup: merged daily sketches equal the direct sketch") {
+    import spark.implicits._
+    import graft.operators.QualityChecks
+    val rows = (1 to 3000).map(i => ("t", i.toLong % 7, (i % 900).toLong))
+    val df = rows.toDF("g", "day", "uid")
+    val direct = QualityChecks.hllDistinct(df, "g", "uid")
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).head
+    val rolled = QualityChecks.hllSketchRollup(df, "g", "day", "uid")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).head
+    assert(rolled._1 === 7L, "one sketch per day merged")
+    assert((rolled._2, rolled._3) === direct,
+      "register-wise max merge is lossless: rollup == direct sketch")
+  }
 }
