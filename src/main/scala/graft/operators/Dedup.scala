@@ -43,6 +43,36 @@ object Dedup {
           expr("substring(text, instr(text, ' ') + 1)").as("text"),
           col("source")))
 
+  /** The corpus with a composed accent suffix on every doc, plus a
+    * byte-DIFFERENT but canonically-EQUAL copy (same suffix in NFD —
+    * e + U+0301) of every doc_id ≡ 0 (mod 4), copy id = doc_id +
+    * 4000000: the Unicode-normalization blind spot of byte-level exact
+    * dedup (a crawl mixing macOS-NFD and web-NFC sources hashes the
+    * same text differently). */
+  def withNfcVariants(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"), lit(" café")).as("text"),
+        col("source"))
+      .unionAll(docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(col("text"), lit(" café")).as("text"), col("source")))
+
+  /** Canonicalization-aware exact dedup: groups keyed by
+    * md5(NFC(text)) instead of md5(text) — same map-side-combining
+    * group shape as [[exactDuplicateGroups]], with the native NFC
+    * expression canonicalizing inside whole-stage codegen before the
+    * hash. Output one row per canonical group: (canon_md5, n_docs,
+    * n_raw_hashes, keep_id) where n_raw_hashes > 1 ⇔ byte-level dedup
+    * would have MISSED this group's members. */
+  def nfcDedupGroups(corpus: DataFrame): DataFrame = {
+    val canon = graft.functions.StringNorm.nfc(col("text"))
+    corpus.select(col("doc_id"), md5(canon).as("canon_md5"),
+        md5(col("text")).as("raw_md5"))
+      .groupBy(col("canon_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_md5")).as("n_raw_hashes"),
+        min(col("doc_id")).as("keep_id"))
+  }
+
   // ---- exact dedup ---------------------------------------------------------
 
   /** Exact dedup by content hash: groups with ≥ 2 docs, canonical = min id.

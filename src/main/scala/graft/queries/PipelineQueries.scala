@@ -3028,5 +3028,23 @@ object PipelineQueries {
              |      FROM g)
              |SELECT s.event_type, ns.n_sketches, s.n_registers,
              |       CAST(2904.064 AS DOUBLE) / inv_sum AS raw_est
-             |FROM s JOIN ns USING (event_type)""".stripMargin)))
+             |FROM s JOIN ns USING (event_type)""".stripMargin)),
+
+    // canonicalization-aware exact dedup: byte-different but
+    // NFC-canonically-equal copies (NFD accent suffix) collapse into
+    // one group; n_raw_hashes = 2 on exactly the doc_id % 4 groups
+    // byte-level dedup would have missed
+    QueryDef("q177_nfc_dedup",
+      (s, dir) => Dedup.nfcDedupGroups(
+        Dedup.withNfcVariants(Tables.load(s, dir, "documents"))),
+      Some(("""WITH corpus AS (
+             |  SELECT doc_id, text || ' café' AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 4000000 AS doc_id, text || ' café' AS text
+             |  FROM documents WHERE doc_id % 4 = 0)
+             |SELECT md5(nfc_normalize(text)) AS canon_md5,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_hashes,
+             |       min(doc_id) AS keep_id
+             |FROM corpus GROUP BY 1""").stripMargin)))
 }
