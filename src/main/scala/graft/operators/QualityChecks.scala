@@ -321,6 +321,56 @@ object QualityChecks {
   private def centsSql(c: String): String =
     s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
 
+  /** Benford first-significant-digit audit — the classic fabricated-
+    * numbers / broken-ETL screen (a measure column whose leading-digit
+    * distribution departs hard from log₁₀(1+1/d) was usually generated,
+    * truncated, or unit-mangled somewhere upstream). No libm: the
+    * expected shares are the nine Benford constants in integer parts-
+    * per-million, the observed share is integer division, and the digit
+    * comes from the decimal string head — exact on both engines. One
+    * groupBy over positive values; nine output rows:
+    * (digit, n, n_total, expected_ppm, observed_ppm). */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val ppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val counts = df.select(expr(centsSql(valueCol)).as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"), col("n_total"),
+        element_at(array(ppm.map(lit): _*), col("digit")).as("expected_ppm"),
+        expr("n * 1000000 div n_total").as("observed_ppm"))
+  }
+
+  /** ECDF normalization against a REFERENCE population: each row's
+    * 2-decimal measure becomes its percentile rank in `ref`'s
+    * distribution — the cross-snapshot score calibration a quality
+    * pipeline runs ("is this doc long for the web-crawl population?").
+    * Exact: the reference ECDF lives on the collapsed cents histogram;
+    * data values merge into the same collapsed frame (count 0) so ONE
+    * cumulative window — over distinct VALUES, never rows — serves
+    * every lookup; the only double is the final division. Output:
+    * (ids..., v, n_le, n_ref, pct_rank = n_le/n_ref). */
+  def ecdfNormalize(data: DataFrame, ref: DataFrame, valueCol: String,
+      idCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = data.select(idCols.map(col) :+ expr(centsSql(valueCol)).as("v"): _*)
+    val rhist = ref.select(expr(centsSql(valueCol)).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val dvals = rows.select(col("v")).distinct().withColumn("c", lit(0L))
+    val merged = rhist.unionByName(dvals).groupBy(col("v")).agg(sum(col("c")).as("c"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged.withColumn("n_le", sum(col("c")).over(wCum))
+      .select(col("v"), col("n_le"))
+    val tot = rhist.agg(sum(col("c")).as("n_ref"))
+    rows.join(broadcast(cum), "v").crossJoin(broadcast(tot))
+      .select(idCols.map(col) :+ col("v") :+ col("n_le") :+ col("n_ref") :+
+        (col("n_le").cast("double") / col("n_ref").cast("double")).as("pct_rank"): _*)
+  }
+
   /** Welch's two-sample t statistic between two groups of a 2-decimal
     * measure — the A/B comparison every experiment readout runs. One
     * aggregate pass with conditional sums (no join, no pivot): both
@@ -710,6 +760,39 @@ object QualityChecks {
       .withColumn("v_wins", greatest(col("lo"), least(col("hi"), col("v"))))
       .select(idCols.map(col) :+ col(groupCol) :+ col("v") :+
         col("lo") :+ col("hi") :+ col("v_wins"): _*)
+  }
+
+  /** Per-group OLS trend over an integer x (day index, epoch week):
+    * slope and intercept of least-squares y ~ x from the five exact
+    * integer moments (n, Σx, Σy, Σxy, Σx²) — the volume-trend /
+    * drift-direction readout next to [[correlationMatrix]]'s strength.
+    * Every moment is an exact BIGINT ridden by one groupBy; slope =
+    * (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) with numerator/denominator emitted
+    * as exact DECIMAL(38,0) and the slope/intercept each ONE fixed-
+    * order double division — bit-identical cross-engine. Degenerate
+    * groups (a single distinct x) emit null slope/intercept. Output:
+    * (group, n, slope_num, slope_den, slope, intercept). */
+  def groupTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+    val den = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    def d(c: Column) = c.cast("double")
+    m.select(col(groupCol), col("n"), col("sx"), col("sy"),
+        num.as("slope_num"), den.as("slope_den"))
+      .withColumn("slope",
+        when(col("slope_den") === 0, lit(null).cast("double"))
+          .otherwise(d(col("slope_num")) / d(col("slope_den"))))
+      .withColumn("intercept",
+        when(col("slope_den") === 0, lit(null).cast("double"))
+          .otherwise((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n"))))
+      .select(col(groupCol), col("n"), col("slope_num"), col("slope_den"),
+        col("slope"), col("intercept"))
   }
 
   /** Cross-source contamination matrix: for every unordered source pair,

@@ -3046,5 +3046,85 @@ object PipelineQueries {
              |       CAST(count(*) AS BIGINT) AS n_docs,
              |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_hashes,
              |       min(doc_id) AS keep_id
-             |FROM corpus GROUP BY 1""").stripMargin)))
+             |FROM corpus GROUP BY 1""").stripMargin)),
+
+    // Benford first-digit audit: observed vs expected leading-digit
+    // shares in integer parts-per-million, digit from the decimal
+    // string head — no libm anywhere
+    QueryDef("q178_benford",
+      (s, dir) => QualityChecks.benfordAudit(Tables.events(s, dir), "value"),
+      Some("""WITH v AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             |           FROM events),
+             |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit
+             |      FROM v WHERE v > 0),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+             |SELECT c.digit, c.n, t.n_total,
+             |       ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+             |         45757][c.digit]) AS expected_ppm,
+             |       c.n * 1000000 // t.n_total AS observed_ppm
+             |FROM c CROSS JOIN t""".stripMargin)),
+
+    // ECDF normalization: every event's value scored as its percentile
+    // rank within the 'view' population — one cumulative window over
+    // the collapsed cents histogram serves every lookup
+    QueryDef("q179_ecdf_normalize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        QualityChecks.ecdfNormalize(ev,
+          ev.filter(col("event_type") === "view"), "value", Seq("event_id"))
+      },
+      Some("""WITH d AS (SELECT event_id,
+             |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             |           FROM events),
+             |r AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+             |             CAST(count(*) AS BIGINT) AS c
+             |      FROM events WHERE event_type = 'view' GROUP BY 1),
+             |m AS (SELECT v, sum(c) AS c FROM (
+             |        SELECT v, c FROM r
+             |        UNION ALL
+             |        SELECT DISTINCT v, 0 FROM d) GROUP BY 1),
+             |w AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |                     AS BIGINT) AS n_le
+             |      FROM m),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_ref FROM r)
+             |SELECT d.event_id, d.v, w.n_le, t.n_ref,
+             |       CAST(w.n_le AS DOUBLE) / CAST(t.n_ref AS DOUBLE) AS pct_rank
+             |FROM d JOIN w USING (v) CROSS JOIN t""".stripMargin)),
+
+    // per-type OLS volume trend: slope of daily event counts over the
+    // epoch-day index from five exact BIGINT moments; slope_num/_den
+    // exact DECIMAL(38,0) (HUGEINT oracle-side), slope one division
+    QueryDef("q180_trend",
+      (s, dir) => QualityChecks.groupTrend(
+        Tables.events(s, dir).groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_day")),
+        "event_type", "day", "n_day"),
+      Some("""WITH daily AS (SELECT event_type,
+             |                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |                      CAST(count(*) AS BIGINT) AS n_day
+             |               FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(day) AS BIGINT) AS sx,
+             |             CAST(sum(n_day) AS BIGINT) AS sy,
+             |             CAST(sum(day * n_day) AS BIGINT) AS sxy,
+             |             CAST(sum(day * day) AS BIGINT) AS sxx
+             |      FROM daily GROUP BY 1),
+             |s AS (SELECT event_type, n, sx, sy,
+             |             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+             |                  AS DECIMAL(38,0)) AS slope_num,
+             |             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+             |                  AS DECIMAL(38,0)) AS slope_den
+             |      FROM m),
+             |sl AS (SELECT event_type, n, sx, sy, slope_num, slope_den,
+             |              CASE WHEN slope_den = 0 THEN NULL
+             |                   ELSE CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+             |              END AS slope
+             |       FROM s)
+             |SELECT event_type, n, slope_num, slope_den, slope,
+             |       CASE WHEN slope_den = 0 THEN NULL
+             |            ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             |                 / CAST(n AS DOUBLE) END AS intercept
+             |FROM sl""".stripMargin)))
 }

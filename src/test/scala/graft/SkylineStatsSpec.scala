@@ -93,6 +93,44 @@ class SkylineStatsSpec extends SparkSpec {
     assert(got === Set((10L, 20L, 1L, 1), (20L, 30L, 1L, 1)))
   }
 
+  test("benfordAudit: exact digit extraction, ppm shares sum near 1e6") {
+    // values 1.00..9.99 cents => digits follow the cents string head
+    val df = Seq(1.23, 1.99, 2.50, 0.0, -3.0, 91.0, 0.05).toDF("v")
+    val out = QualityChecks.benfordAudit(df, "v")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    // cents: 123, 199, 250, (0 and -300 dropped), 9100, 5
+    assert(out.keySet === Set(1, 2, 9, 5))
+    assert(out(1)._1 === 2L)
+    assert(out(1)._2 === 301030L, "Benford constant for digit 1")
+    assert(out(1)._3 === 400000L, "2 of 5 positive values")
+    assert(out(5)._1 === 1L, "5-cent value leads with digit 5")
+  }
+
+  test("ecdfNormalize ranks data values against the reference ECDF") {
+    val ref = Seq(1.0, 2.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    val data = Seq((10L, 0.50), (20L, 2.00), (30L, 2.50), (40L, 9.0))
+      .toDF("id", "v")
+    val out = QualityChecks.ecdfNormalize(data, ref, "v", Seq("id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(10L) === (0L, 4L, 0.0), "below every ref value")
+    assert(out(20L) === (3L, 4L, 0.75), "ties count as <=")
+    assert(out(30L) === (3L, 4L, 0.75), "between ref values")
+    assert(out(40L) === (4L, 4L, 1.0), "above every ref value")
+  }
+
+  test("groupTrend recovers an exact linear series and nulls degenerate groups") {
+    // y = 3x + 7 exactly; degenerate group has one distinct x
+    val df = (Seq((0L, 7L), (1L, 10L), (2L, 13L), (3L, 16L)).map(p => ("lin", p._1, p._2)) ++
+      Seq(("deg", 5L, 1L), ("deg", 5L, 9L))).toDF("g", "x", "y")
+    val out = QualityChecks.groupTrend(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some((r.getDouble(4), r.getDouble(5))))).toMap
+    assert(out("lin") === Some((3.0, 7.0)))
+    assert(out("deg") === None, "single-x group has no defined slope")
+  }
+
   test("sortedNeighborhood bucket join covers every gap up to w-1") {
     // ids sort as their own key; window 4 must yield gaps 1, 2 and 3
     // across bucket boundaries (rank 3 -> 4 crosses buckets 0 -> 1)
