@@ -63,6 +63,24 @@ object TextAnalysis {
       .withColumn("pred_lang", pred)
   }
 
+  /** Language-ID eval: confusion matrix of [[langId]]'s prediction
+    * against the corpus's labeled `lang` column, plus per-true-language
+    * recall — the accuracy readout that decides whether the cheap
+    * n-gram heuristic suffices for a source or a model upgrade is due
+    * (the same eval-harness shape as the ANN and dedup-family evals).
+    * Truth totals re-aggregate the COLLAPSED confusion cells, never a
+    * second corpus scan; the fraction is one double division per cell.
+    * Output: (lang, pred_lang, n, n_true, frac). */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val cells = langId(docs).select(col("doc_id"), col("pred_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val truth = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    cells.join(broadcast(truth), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_true"),
+        (col("n").cast("double") / col("n_true").cast("double")).as("frac"))
+  }
+
   /** BPE-ish subword token count: runs of letters, runs of digits, and
     * single other non-space chars — the pre-tokenization shape BPE vocabs
     * apply before merges, enough for the token-budget accounting a

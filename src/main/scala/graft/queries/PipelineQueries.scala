@@ -3092,6 +3092,32 @@ object PipelineQueries {
              |       CAST(w.n_le AS DOUBLE) / CAST(t.n_ref AS DOUBLE) AS pct_rank
              |FROM d JOIN w USING (v) CROSS JOIN t""".stripMargin)),
 
+    // langid confusion matrix + per-true-language recall: the eval
+    // harness for the q32 heuristic, truth totals re-aggregated from
+    // the collapsed confusion cells
+    QueryDef("q181_langid_eval",
+      (s, dir) => TextAnalysis.langIdEval(Tables.load(s, dir, "documents")),
+      Some {
+        val scores = TextAnalysis.profiles.map { case (lang, words) =>
+          s"CAST(len(list_filter(tk, w -> w IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.profiles.map(_._1)
+        val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+          val conds = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+           |sc AS (SELECT doc_id, lang, $scores FROM t),
+           |p AS (SELECT doc_id, lang, CASE $cases ELSE '${langs.last}' END AS pred_lang
+           |      FROM sc),
+           |cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+           |          FROM p GROUP BY 1, 2),
+           |tr AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1)
+           |SELECT cells.lang, cells.pred_lang, cells.n, tr.n_true,
+           |       CAST(cells.n AS DOUBLE) / CAST(tr.n_true AS DOUBLE) AS frac
+           |FROM cells JOIN tr USING (lang)""".stripMargin
+      }),
+
     // per-type OLS volume trend: slope of daily event counts over the
     // epoch-day index from five exact BIGINT moments; slope_num/_den
     // exact DECIMAL(38,0) (HUGEINT oracle-side), slope one division
