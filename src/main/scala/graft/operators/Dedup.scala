@@ -502,6 +502,24 @@ object Dedup {
     result
   }
 
+  /** Incremental connected components: fold a NEW batch's near-dup
+    * edges into EXISTING canonical assignments without re-running pair
+    * generation over the corpus. The existing assignment is itself a
+    * star edge list (doc → canonical) that exactly preserves the old
+    * components' connectivity, so CC over (star ∪ new edges) equals CC
+    * over (all old edges ∪ new edges) — but its input is bounded by
+    * |assigned docs| + |batch edges|, not by the corpus pair set. The
+    * min-label contract is preserved because every old member id is
+    * still present as a star endpoint. This is the assignment-side
+    * twin of [[incrementalNearDupPairs]]: together they make
+    * continuous-ingest dedup fully incremental (probe the index for
+    * edges, fold them into the assignment). */
+  def incrementalCanonical(existing: DataFrame, newEdges: DataFrame): DataFrame = {
+    val star = existing.filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("id_a"), col("canonical_id").as("id_b"))
+    canonicalAssignments(star.unionAll(newEdges.select(col("id_a"), col("id_b"))))
+  }
+
   // ---- incremental dedup (continuous ingest) ------------------------------
 
   /** Exact-Jaccard verification of incremental candidates — O(candidates),

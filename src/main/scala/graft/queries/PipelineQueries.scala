@@ -3092,6 +3092,72 @@ object PipelineQueries {
              |       CAST(w.n_le AS DOUBLE) / CAST(t.n_ref AS DOUBLE) AS pct_rank
              |FROM d JOIN w USING (v) CROSS JOIN t""".stripMargin)),
 
+    // incremental connected components: a new batch's indexed-probe
+    // edges fold into the EXISTING canonical assignment (star edges
+    // preserve old connectivity) — oracle recomputes the full closure
+    // over old + batch edges, so incremental == full is the hash gate
+    QueryDef("q182_incremental_cc",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = Dedup.withNearDuplicates(docs)
+        val existing = Dedup.canonicalAssignments(Dedup.minhashLshPairs(corpus))
+        val batch = docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 5000000).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text"),
+            col("source"))
+        val newEdges = Dedup.incrementalNearDupPairs(batch, corpus)
+          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+        Dedup.incrementalCanonical(existing, newEdges)
+      },
+      Some(s"""WITH RECURSIVE $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |              AND a.doc_id < b.doc_id),
+             |${jaccardCtes(blocked = false)},
+             |edges AS (SELECT c.id_a, c.id_b
+             |          FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+             |          WHERE j.jacc >= 0.5),
+             |batch AS (SELECT doc_id + 5000000 AS doc_id,
+             |                 substr(text, strpos(text, ' ') + 1) AS text, source
+             |          FROM documents WHERE doc_id % 10 = 5),
+             |tokb AS (SELECT doc_id, ${TextHash.wordHashesSql("text")} AS whs FROM batch),
+             |shb AS (SELECT doc_id, ${TextHash.shingleHashesOverSql("whs")} AS shs FROM tokb),
+             |sigb AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+             |                list_min(list_transform(shs, x -> ${TextHash.permuteSql("i", "x")})) AS mh
+             |         FROM shb, g WHERE len(shs) > 0),
+             |bandsb AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                  sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |           FROM sigb GROUP BY 1, 2),
+             |candb AS (SELECT DISTINCT bb.doc_id AS new_id, bc.doc_id AS old_id
+             |          FROM bandsb bb JOIN bands bc
+             |            ON bb.band = bc.band AND bb.s = bc.s AND bb.mn = bc.mn
+             |               AND bb.mx = bc.mx),
+             |setsb AS (SELECT doc_id, list_distinct(shs) AS st FROM shb),
+             |setsc AS (SELECT doc_id, list_distinct(shs) AS st FROM sh),
+             |vb AS (SELECT c.new_id, c.old_id,
+             |              len(list_intersect(s2.st, s1.st)) AS inter,
+             |              len(s2.st) + len(s1.st) - len(list_intersect(s2.st, s1.st)) AS uni
+             |       FROM candb c JOIN setsb s2 ON s2.doc_id = c.new_id
+             |                    JOIN setsc s1 ON s1.doc_id = c.old_id),
+             |edgesb AS (SELECT new_id AS id_a, old_id AS id_b FROM vb
+             |           WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+             |alledges AS (SELECT id_a, id_b FROM edges
+             |             UNION ALL SELECT id_a, id_b FROM edgesb),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM alledges
+             |       UNION ALL SELECT id_b, id_a FROM alledges),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM bi
+             |  UNION
+             |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src)
+             |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+             |FROM reach GROUP BY src""".stripMargin)),
+
     // langid confusion matrix + per-true-language recall: the eval
     // harness for the q32 heuristic, truth totals re-aggregated from
     // the collapsed confusion cells

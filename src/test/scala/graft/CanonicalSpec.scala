@@ -33,4 +33,37 @@ class CanonicalSpec extends SparkSpec {
     assert(canon.keySet === Set(1L, 2L, 3L))
     assert(canon.values.toSet === Set(1L))
   }
+
+  test("incrementalCanonical: batch edges merge old components to the global min") {
+    import spark.implicits._
+    // old world: {1,2} and {5,6} as separate components
+    val existing = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "canonical_id")
+    // a new doc 9 bridges 2 and 6 -> one component, min = 1
+    val newEdges = Seq((9L, 2L), (9L, 6L)).toDF("id_a", "id_b")
+    val merged = Dedup.incrementalCanonical(existing, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L))
+  }
+
+  test("incrementalCanonical equals full recompute on the union edge set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val oldEdges = (1 to 40).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val newEdges = (1 to 15).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val existing = Dedup.canonicalAssignments(oldEdges)
+    val incr = Dedup.incrementalCanonical(existing, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.canonicalAssignments(oldEdges.unionAll(newEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ids only in untouched old components keep their label; every id in
+    // the union recompute that the incremental path covers must agree
+    incr.foreach { case (id, label) => assert(full(id) === label,
+      s"id $id: incremental $label vs full ${full(id)}") }
+    assert(incr.keySet === full.keySet)
+  }
 }

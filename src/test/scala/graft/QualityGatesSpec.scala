@@ -63,7 +63,12 @@ class QualityGatesSpec extends SparkSpec {
     "q142_mad_outliers",
     // per-group totals broadcast to the 3-row percentile threshold
     // frame; the cum >= thr probe runs on the COLLAPSED histogram
-    "q145_grouped_quantiles")
+    "q145_grouped_quantiles",
+    // one-row grand-total attach onto the |A|x|B| cell frame
+    "q169_chi2_cells",
+    // one-row n_total / n_ref attaches onto the 9-digit frame and the
+    // collapsed-ECDF lookup
+    "q178_benford", "q179_ecdf_normalize")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
