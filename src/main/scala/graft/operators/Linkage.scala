@@ -76,4 +76,31 @@ object Linkage {
       .select(col("id").as("a_id"), col("b_id"),
         (col("b_rn") - col("rn")).as("gap"), col("dist"))
   }
+
+  /** Jaro–Winkler linkage: blocked candidate pairs gated on the native
+    * [[graft.functions.StringNorm.jaroWinkler]] similarity — the
+    * comparator record linkage actually runs on names (edit distance
+    * over-penalizes transpositions and length; JW's prefix bonus
+    * matches how name variants behave). Same two-stage shape as
+    * [[blockedPairs]]: equi-join on the block key bounds the pair
+    * count, the scorer is a codegen'd expression inside the join's
+    * projection, and the block-size cap is the hot-key defense.
+    * Output: (a_id, b_id, jw) for jw ≥ `minJw`, a_id < b_id. */
+  def jaroWinklerPairs(records: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], minJw: Double,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    val bc = blockCols.map(col)
+    val sizes = records.groupBy(bc: _*).agg(count(lit(1)).as("block_n"))
+    val kept = records.join(sizes, blockCols)
+      .filter(col("block_n") <= maxBlockSize)
+    val a = kept.select(bc :+ col(idCol).as("a_id") :+ col(nameCol).as("a_name"): _*)
+    val b = kept.select(bc :+ col(idCol).as("b_id") :+ col(nameCol).as("b_name"): _*)
+    a.join(b, blockCols)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jw",
+        graft.functions.StringNorm.jaroWinkler(col("a_name"), col("b_name")))
+      .filter(col("jw") >= minJw)
+      .select(col("a_id"), col("b_id"), col("jw"))
+  }
 }

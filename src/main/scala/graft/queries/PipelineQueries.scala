@@ -3092,6 +3092,45 @@ object PipelineQueries {
              |       CAST(w.n_le AS DOUBLE) / CAST(t.n_ref AS DOUBLE) AS pct_rank
              |FROM d JOIN w USING (v) CROSS JOIN t""".stripMargin)),
 
+    // bounded top-k aggregate: the scale-right top-k-per-group shape —
+    // k-entry buffers with map-side partials and k-bounded shuffle
+    // volume instead of the window form's full per-group sort; oracle
+    // is the window recompute, so agg == window is the gate
+    QueryDef("q184_topk_agg",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders").select(
+          col("o_orderpriority").as("grp"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v"),
+          col("o_orderkey").as("id"))
+        o.groupBy(col("grp"))
+          .agg(org.apache.spark.sql.graftnative.SketchAggregates
+            .topK(col("v"), col("id"), 10).as("tk"))
+          .select(col("grp"), posexplode(col("tk")))
+          .select(col("grp"), col("pos"), col("col.v").as("v"), col("col.id").as("id"))
+      },
+      Some("""WITH c AS (SELECT o_orderpriority AS grp,
+             |                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+             |                  o_orderkey AS id
+             |           FROM orders),
+             |r AS (SELECT grp, v, id,
+             |             row_number() OVER (PARTITION BY grp ORDER BY v DESC, id) AS rnk
+             |      FROM c)
+             |SELECT grp, CAST(rnk - 1 AS INTEGER) AS pos, v, id
+             |FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // Jaro-Winkler linkage: nation-blocked candidate pairs scored by
+    // the native expression inside the join projection; the DOUBLE is
+    // in the hash gate (bit-identical to DuckDB's comparator)
+    QueryDef("q183_jw_linkage",
+      (s, dir) => graft.operators.Linkage.jaroWinklerPairs(
+        Tables.load(s, dir, "customer"), "c_custkey", "c_name",
+        Seq("c_nationkey"), minJw = 0.97),
+      Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             |       jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97""".stripMargin)),
+
     // incremental connected components: a new batch's indexed-probe
     // edges fold into the EXISTING canonical assignment (star edges
     // preserve old connectivity) — oracle recomputes the full closure

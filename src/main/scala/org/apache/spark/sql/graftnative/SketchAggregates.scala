@@ -112,6 +112,106 @@ case class MisraGriesAgg(child: Expression, k: Int,
     copy(child = c)
 }
 
+/** Bounded top-k as a custom Catalyst aggregate: per-group the k
+  * largest (value, id) pairs by (value DESC, id ASC), with aggregation
+  * state bounded at k entries per buffer — the scale-right physical
+  * shape for "top k per group". The window form
+  * (`row_number over (partition by g order by v desc)`) must shuffle
+  * and SORT every row of every group; this aggregate keeps a k-entry
+  * ordered buffer per group per partition (map-side partials), merges
+  * buffers pairwise, and ships at most k entries per group across the
+  * wire — the difference between O(n log n) per group and O(n log k)
+  * with k-bounded shuffle volume at 100 TB. Output: the k pairs as an
+  * array<struct<v,id>> in rank order (deterministic: full tie-break on
+  * id). EXACT, not a sketch — (value, id) is a total order, so partial
+  * top-k sets merge losslessly. */
+case class TopKAgg(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[(Long, Long), Unit]]
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 1, "topK needs k >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk"
+
+  override def createAggregationBuffer(): java.util.TreeMap[(Long, Long), Unit] =
+    new java.util.TreeMap[(Long, Long), Unit](TopKAgg.Ord)
+
+  private def add(buf: java.util.TreeMap[(Long, Long), Unit], v: Long, id: Long): Unit = {
+    buf.put((v, id), ())
+    if (buf.size > k) buf.pollLastEntry()
+  }
+
+  override def update(buf: java.util.TreeMap[(Long, Long), Unit],
+      input: InternalRow): java.util.TreeMap[(Long, Long), Unit] = {
+    val v = left.eval(input)
+    val id = right.eval(input)
+    if (v != null && id != null) add(buf, v.asInstanceOf[Long], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[(Long, Long), Unit],
+      other: java.util.TreeMap[(Long, Long), Unit]): java.util.TreeMap[(Long, Long), Unit] = {
+    val it = other.keySet().iterator()
+    while (it.hasNext) { val p = it.next(); add(buf, p._1, p._2) }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeMap[(Long, Long), Unit]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val p = it.next()
+      out(i) = InternalRow(p._1, p._2)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[(Long, Long), Unit]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    val it = buf.keySet().iterator()
+    while (it.hasNext) { val p = it.next(); bb.putLong(p._1).putLong(p._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[(Long, Long), Unit] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.put((bb.getLong, bb.getLong), ()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TopKAgg = copy(left = l, right = r)
+}
+
+object TopKAgg {
+  /** (v desc, id asc): the head of the map is the BEST pair, the tail
+    * the eviction candidate. Serializable — the expression ships to
+    * executors inside the physical plan. */
+  object Ord extends java.util.Comparator[(Long, Long)] with Serializable {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+}
+
 object SketchAggregates {
   /** Misra–Gries candidate heavy hitters of a LongType column: an
     * array of ≤ k-1 items guaranteed to contain every item with
@@ -119,4 +219,11 @@ object SketchAggregates {
   def misraGries(c: Column, k: Int): Column =
     ExpressionUtils.column(
       MisraGriesAgg(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  /** Exact bounded top-k of (value, id) pairs by (value DESC, id ASC):
+    * array<struct<v,id>> in rank order, k-bounded aggregation state. */
+  def topK(value: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKAgg(ExpressionUtils.expression(value), ExpressionUtils.expression(id), k)
+        .toAggregateExpression())
 }

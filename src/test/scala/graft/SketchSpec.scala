@@ -59,4 +59,24 @@ class SketchSpec extends SparkSpec {
     assert((rolled._2, rolled._3) === direct,
       "register-wise max merge is lossless: rollup == direct sketch")
   }
+
+  test("topK aggregate: exact rank order, ties broken by id, k-bounded merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftnative.SketchAggregates
+    // 2 partitions force partial buffers + a merge; ties on v=50
+    val df = spark.sparkContext.parallelize(Seq(
+      ("g", 50L, 7L), ("g", 50L, 3L), ("g", 90L, 1L), ("g", 10L, 9L),
+      ("g", 70L, 2L), ("g", 50L, 5L), ("h", 5L, 1L)), 2)
+      .toDF("g", "v", "id")
+    val out = df.groupBy($"g")
+      .agg(SketchAggregates.topK($"v", $"id", 3).as("tk"))
+      .select($"g", org.apache.spark.sql.functions.posexplode($"tk"))
+      .select($"g", $"pos", $"col.v", $"col.id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val g = out.filter(_._1 == "g").sortBy(_._2)
+    assert(g.map(t => (t._3, t._4)).toSeq === Seq((90L, 1L), (70L, 2L), (50L, 3L)),
+      "rank order v desc, tie id asc, truncated at k")
+    assert(out.filter(_._1 == "h").map(t => (t._3, t._4)).toSeq === Seq((5L, 1L)),
+      "group smaller than k emits what it has")
+  }
 }
