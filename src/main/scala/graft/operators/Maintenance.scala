@@ -162,4 +162,32 @@ object Maintenance {
           .otherwise("unchanged"))
       .select(keys.map(col) :+ col("diff_class"): _*)
   }
+
+  /** Small-files compaction plan: group input files into target-sized
+    * compaction bins by prefix-sum range binning — files sort by
+    * (bytes DESC, id) and a file's bin is its PRECEDING cumulative
+    * bytes div `targetBytes`, so each bin covers one contiguous
+    * target-sized span of the size-sorted stream. Deterministic and a
+    * pure window rule (first/next-fit-decreasing needs a mutable bin
+    * list no set-based engine replays identically), with the bounds
+    * that matter for compaction: every bin except the last holds ≥
+    * target bytes before its boundary file, and overfill per bin is at
+    * most one file. The window runs over the FILE MANIFEST
+    * (catalog-scale, thousands of rows), not data rows — at 100 TB
+    * this is the metadata query a table-maintenance service runs, not
+    * a data scan. Output one row per bin:
+    * (bin, n_files, total_bytes, min_file_id, max_file_id). */
+  def compactionPlan(files: DataFrame, idCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bytes").desc, col("fid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.select(col(idCol).as("fid"), col(bytesCol).cast("long").as("bytes"))
+      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div ${targetBytes}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        min(col("fid")).as("min_file_id"), max(col("fid")).as("max_file_id"))
+  }
 }

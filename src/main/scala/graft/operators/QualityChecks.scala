@@ -371,6 +371,73 @@ object QualityChecks {
         (col("n_le").cast("double") / col("n_ref").cast("double")).as("pct_rank"): _*)
   }
 
+  /** Drift MATRIX: [[ksTest]] for every unordered pair of groups — the
+    * "which sources diverged from which" readout a multi-source corpus
+    * runs nightly. One collapsed (value, group-count) histogram is
+    * computed ONCE; each pair's sup-distance is then windows over that
+    * collapsed frame (bounded by distinct values, never rows), unioned
+    * into one report. Pairs come from the Scala side (group lists are
+    * catalog-scale, not data-scale); the data is still scanned once.
+    * Output: (group_a, group_b, n_a, n_b, d_num, d) per pair. */
+  def ksMatrix(df: DataFrame, groupCol: String, valueCol: String,
+      groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2, "need at least two groups")
+    val condCounts = groups.map(g => count(when(col("g") === g, 1)).as(s"c_$g"))
+    val hist = df.filter(col(groupCol).isin(groups: _*))
+      .select(expr(centsSql(valueCol)).as("v"), col(groupCol).as("g"))
+      .groupBy(col("v"))
+      .agg(condCounts.head, condCounts.tail: _*)
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pairs = for {
+      (a, i) <- groups.zipWithIndex; b <- groups.drop(i + 1)
+    } yield hist
+      .withColumn("cuma", sum(col(s"c_$a")).over(wCum))
+      .withColumn("cumb", sum(col(s"c_$b")).over(wCum))
+      .withColumn("na", sum(col(s"c_$a")).over(wAll))
+      .withColumn("nb", sum(col(s"c_$b")).over(wAll))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"))
+      .select(lit(a).as("group_a"), lit(b).as("group_b"),
+        col("n_a"), col("n_b"), col("d_num"))
+    pairs.reduce(_ unionByName _)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"))
+  }
+
+  /** Tukey/IQR outlier fences — the third robust-fence family next to
+    * [[zScoreOutliers]] (moment-based) and [[madOutliers]]
+    * (median-based): exact Q1/Q3 from the collapsed cents histogram
+    * (rank rule k = ceil(n·p/4... same convention as
+    * [[exactQuantiles]]), fence test kept integral by scaling ×2:
+    * outlier ⇔ 2·v < 2·q1 − 3·iqr or 2·v > 2·q3 + 3·iqr (1.5·IQR with
+    * no fractional arithmetic). Output: outlier rows
+    * (ids..., v, q1, q3) — the thresholds ride along for audit. */
+  def iqrOutliers(df: DataFrame, valueCol: String,
+      idCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(idCols.map(col) :+ expr(centsSql(valueCol)).as("v"): _*)
+    val hist = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def thr(mult: Int, name: String) =
+      cum.filter(col("cum") * 4 >= col("n") * mult)
+        .agg(min(col("v")).as(name))
+    val q = thr(1, "q1").crossJoin(thr(3, "q3"))
+      .select(col("q1"), col("q3"), (col("q3") - col("q1")).as("iqr"))
+    rows.crossJoin(broadcast(q))
+      .filter(col("v") * 2 < col("q1") * 2 - col("iqr") * 3 ||
+        col("v") * 2 > col("q3") * 2 + col("iqr") * 3)
+      .select(idCols.map(col) :+ col("v") :+ col("q1") :+ col("q3"): _*)
+  }
+
   /** Welch's two-sample t statistic between two groups of a 2-decimal
     * measure — the A/B comparison every experiment readout runs. One
     * aggregate pass with conditional sums (no join, no pivot): both

@@ -3092,6 +3092,73 @@ object PipelineQueries {
              |       CAST(w.n_le AS DOUBLE) / CAST(t.n_ref AS DOUBLE) AS pct_rank
              |FROM d JOIN w USING (v) CROSS JOIN t""".stripMargin)),
 
+    // KS drift matrix: one collapsed histogram with per-group counts,
+    // every unordered pair's sup-distance in exact integers
+    QueryDef("q185_ks_matrix",
+      (s, dir) => QualityChecks.ksMatrix(Tables.events(s, dir),
+        "event_type", "value", Seq("click", "error", "purchase", "view")),
+      Some {
+        val gs = Seq("click", "error", "purchase", "view")
+        val condCols = gs.map(g =>
+          s"CAST(count(CASE WHEN g = '$g' THEN 1 END) AS BIGINT) AS c_$g").mkString(", ")
+        val pairSelects = for {
+          (a, i) <- gs.zipWithIndex; b <- gs.drop(i + 1)
+        } yield
+          s"""SELECT '$a' AS group_a, '$b' AS group_b, n_a, n_b, d_num,
+             |       CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+             |FROM (SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             |             CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+             |      FROM (SELECT sum(c_$a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             |                   sum(c_$b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             |                   sum(c_$a) OVER () AS na, sum(c_$b) OVER () AS nb
+             |            FROM h))""".stripMargin
+        s"""WITH c AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+           |                  event_type AS g
+           |           FROM events
+           |           WHERE event_type IN (${gs.map(g => s"'$g'").mkString(", ")})),
+           |h AS (SELECT v, $condCols FROM c GROUP BY 1)
+           |${pairSelects.mkString("\nUNION ALL\n")}""".stripMargin
+      }),
+
+    // Tukey/IQR fences: exact Q1/Q3 from the collapsed histogram, the
+    // 1.5-IQR test kept integral by scaling x2
+    QueryDef("q186_iqr_outliers",
+      (s, dir) => QualityChecks.iqrOutliers(
+        Tables.events(s, dir), "value", Seq("event_id")),
+      Some("""WITH c AS (SELECT event_id,
+             |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             |           FROM events),
+             |h AS (SELECT v, count(*) AS ct FROM c GROUP BY 1),
+             |w AS (SELECT v, sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             |             sum(ct) OVER () AS n
+             |      FROM h),
+             |t1 AS (SELECT min(v) AS q1 FROM w WHERE cum * 4 >= n * 1),
+             |t3 AS (SELECT min(v) AS q3 FROM w WHERE cum * 4 >= n * 3)
+             |SELECT c.event_id, c.v, t1.q1, t3.q3
+             |FROM c, t1, t3
+             |WHERE c.v * 2 < t1.q1 * 2 - (t3.q3 - t1.q1) * 3
+             |   OR c.v * 2 > t3.q3 * 2 + (t3.q3 - t1.q1) * 3""".stripMargin)),
+
+    // compaction plan: prefix-sum range binning of a synthetic file
+    // manifest (bytes desc, id) into 10 kB bins — a catalog-scale
+    // window, the table-maintenance metadata query
+    QueryDef("q187_compaction_plan",
+      (s, dir) => graft.operators.Maintenance.compactionPlan(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", targetBytes = 10000L),
+      Some("""WITH f AS (SELECT doc_id AS fid, CAST(n_chars AS BIGINT) AS bytes
+             |           FROM documents),
+             |w AS (SELECT fid, bytes,
+             |             COALESCE(sum(bytes) OVER (ORDER BY bytes DESC, fid
+             |                                       ROWS BETWEEN UNBOUNDED PRECEDING
+             |                                       AND 1 PRECEDING), 0) AS before
+             |      FROM f)
+             |SELECT before // 10000 AS bin, CAST(count(*) AS BIGINT) AS n_files,
+             |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+             |       min(fid) AS min_file_id, max(fid) AS max_file_id
+             |FROM w GROUP BY 1""".stripMargin)),
+
     // bounded top-k aggregate: the scale-right top-k-per-group shape —
     // k-entry buffers with map-side partials and k-bounded shuffle
     // volume instead of the window form's full per-group sort; oracle
