@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graftnative.{AsOfJoinStrategy, RangeJoinRewrite}
+import org.apache.spark.sql.graftnative.{AsOfJoinStrategy, RangeJoinRewrite, StringNormExpressions, VectorExpressions}
 
 /** Runtime enablement of the engine's Catalyst extensions on an ALREADY
   * RUNNING session — the programmatic twin of setting
@@ -19,5 +19,10 @@ object GraftRuntime {
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         RangeJoinRewrite +: spark.experimental.extraOptimizations
+    // SQL-name bridges for the native scalar expressions (idempotent —
+    // registerFunction replaces): spark.sql text gets the same codegen'd
+    // implementations the Column API uses
+    VectorExpressions.register(spark)
+    StringNormExpressions.register(spark)
   }
 }

@@ -3092,6 +3092,24 @@ object PipelineQueries {
              |       CAST(w.n_le AS DOUBLE) / CAST(t.n_ref AS DOUBLE) AS pct_rank
              |FROM d JOIN w USING (v) CROSS JOIN t""".stripMargin)),
 
+    // SQL-text surface for the NATIVE expressions: the registered
+    // graft_* names run through spark.sql and match DuckDB's built-ins
+    // (graft_jaro_winkler is bit-identical to jaro_winkler_similarity,
+    // graft_nfc to nfc_normalize)
+    QueryDef("q188_sql_native",
+      (s, dir) => {
+        graft.plans.GraftRuntime.enable(s)
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT c_custkey,
+                |       md5(graft_nfc(concat(c_name, ' café'))) AS nfc_md5,
+                |       graft_jaro_winkler(c_name, 'Customer#000000001') AS jw
+                |FROM customer""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |       md5(nfc_normalize(c_name || ' café')) AS nfc_md5,
+             |       jaro_winkler_similarity(c_name, 'Customer#000000001') AS jw
+             |FROM customer""".stripMargin)),
+
     // KS drift matrix: one collapsed histogram with per-group counts,
     // every unordered pair's sup-distance in exact integers
     QueryDef("q185_ks_matrix",

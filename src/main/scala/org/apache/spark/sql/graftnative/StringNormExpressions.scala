@@ -124,4 +124,27 @@ object StringNormExpressions {
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinkler(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** SQL-name registration (`graft_nfc`, `graft_jaro_winkler`) so
+    * `spark.sql` text reaches the native expressions too — same
+    * bridge shape as `VectorExpressions.register`. Idempotent
+    * (registerFunction replaces). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalize(children.head)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
+      })
+  }
 }

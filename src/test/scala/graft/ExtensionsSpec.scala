@@ -21,6 +21,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql === 32.0 && api === 32.0)
   }
 
+  test("graft_nfc and graft_jaro_winkler callable from SQL text") {
+    graft.plans.GraftRuntime.enable(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc('é') AS n, graft_jaro_winkler('martha', 'marhta') AS jw")
+      .collect().head
+    assert(r.getString(0) === "é")
+    assert(r.getDouble(1) ===
+      org.apache.spark.sql.graftnative.StringNormOps.jaroWinklerStr("martha", "marhta"))
+  }
+
   test("GraftExtensions class injects into a fresh session") {
     // exercises the spark.sql.extensions entry point end-to-end: build an
     // isolated session with the extensions class and call the function
