@@ -124,4 +124,44 @@ object GraphOps {
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(wt))
   }
+
+  /** BFS levels: exact minimum hop distance from a SEED set over a
+    * directed edge list, capped at `maxDepth` — the reachability-with-
+    * distance primitive next to the component (min-label) and
+    * centrality (PageRank) operators: "everything within k hops of the
+    * flagged nodes" is the blast-radius query an incident review or a
+    * contamination trace runs. Frontier iteration: each round joins the
+    * CURRENT frontier to the edge list, anti-joins everything already
+    * visited (so a node's first discovery fixes its level — BFS
+    * optimality), and checkpoints the frontier (the same lazy
+    * localCheckpoint idiom as the CC loop: constant-depth plans,
+    * realized by the round's one count action). Work per round is
+    * O(frontier-adjacent edges), shuffled on node ids; the loop ends at
+    * an empty frontier or the cap. Output: (id, level) for every
+    * reached node, level = exact hop distance (≤ maxDepth). */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int = 20): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = edges.select(col("src"), col("dst")).cache()
+    var visited = seeds.select(col("id"), lit(0).as("level"))
+      .distinct().localCheckpoint(false)
+    var frontier = visited
+    var depth = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      val next = e.join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(depth).as("level"))
+        .localCheckpoint(false)
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visited.unionAll(next).localCheckpoint(false)
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
 }

@@ -3092,6 +3092,41 @@ object PipelineQueries {
              |       CAST(w.n_le AS DOUBLE) / CAST(t.n_ref AS DOUBLE) AS pct_rank
              |FROM d JOIN w USING (v) CROSS JOIN t""".stripMargin)),
 
+    // BFS hop distances: frontier iteration with first-discovery
+    // levels over the part co-order graph, capped at 4 hops; oracle is
+    // the bounded recursive closure with min(level)
+    QueryDef("q189_bfs_levels",
+      (s, dir) => {
+        val dp = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e0 = dp.as("a").join(dp.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+        val bi = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val seeds = Tables.load(s, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("id"))
+        graft.operators.GraphOps.bfsLevels(bi, seeds, maxDepth = 4)
+      },
+      Some("""WITH RECURSIVE dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS (SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+             |       FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+             |                          AND a.l_partkey < b.l_partkey
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM e0
+             |       UNION ALL SELECT id_b, id_a FROM e0),
+             |seeds AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0),
+             |lvl(id, level) AS (
+             |  SELECT id, 0 FROM seeds
+             |  UNION
+             |  SELECT bi.dst, l.level + 1 FROM lvl l JOIN bi ON bi.src = l.id
+             |  WHERE l.level < 4)
+             |SELECT id, CAST(min(level) AS INTEGER) AS level FROM lvl GROUP BY 1""".stripMargin)),
+
     // SQL-text surface for the NATIVE expressions: the registered
     // graft_* names run through spark.sql and match DuckDB's built-ins
     // (graft_jaro_winkler is bit-identical to jaro_winkler_similarity,

@@ -534,4 +534,15 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(1L) === ((3L, 1L, 1.0 / 3.0)), s"doc1: only 'b' is OOV: $got")
     assert(got(2L) === ((1L, 1L, 1.0)), s"doc2 is fully OOV: $got")
   }
+
+  test("bfsLevels: exact hop distances, first discovery wins, cap honored") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L), (9L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val lv = GraphOps.bfsLevels(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 1->2->4 beats 1->2->3->4 (so 4 is level 2, and 5 reaches at 3
+    // exactly on the cap); 9's self-loop component is unreachable
+    assert(lv === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3))
+  }
 }
