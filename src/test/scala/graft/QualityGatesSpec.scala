@@ -68,7 +68,10 @@ class QualityGatesSpec extends SparkSpec {
     "q169_chi2_cells",
     // one-row n_total / n_ref attaches onto the 9-digit frame and the
     // collapsed-ECDF lookup
-    "q178_benford", "q179_ecdf_normalize")
+    "q178_benford", "q179_ecdf_normalize",
+    // one-row (q1, q3) fence attach; the threshold probe runs on the
+    // COLLAPSED cents histogram, the fence test itself is a map
+    "q186_iqr_outliers")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
