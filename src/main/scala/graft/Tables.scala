@@ -2,24 +2,33 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md) and shared
   * derived views used by the oracle-checked queries. */
 object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    // read nanos as LongType and convert explicitly (see [[events]]).
+    // older testdata generations wrote events.ts as TIMESTAMP(NANOS), which
+    // vanilla Spark rejects; the flag reads those as LongType nanos so
+    // [[normalizeTs]] can convert explicitly. Harmless for micros files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events` with `ts` restored to a proper TimestampType. Integer `div`
-    * (not `/`) keeps full precision: nanos-since-epoch exceeds a double's
-    * 53-bit mantissa. */
+  /** Normalize the `ts` column to session-TZ TimestampType across testdata
+    * generations: INT64 TIMESTAMP(NANOS) arrives as LongType (legacy flag,
+    * integer `div` keeps precision past a double's mantissa), current files
+    * carry TIMESTAMP_NTZ micros (wall-clock == epoch under UTC sessions). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
+  }
+
+  /** `events` with `ts` restored to a proper TimestampType. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(spark, dir, "events"))
 
   /** The tweet-feature analog derived from `events` (the testdata has no
     * tweet CSV): time bucket from the event hour (P6 semantics,

@@ -49,21 +49,16 @@ class StreamingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val expected = StreamOps.hourlyCounts(Tables.events(spark, dir)).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
-    // readStream needs an explicit schema; ts arrives as nanos (legacy flag)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // readStream needs an explicit schema; take it from the batch reader so
+    // the test tracks the testdata generation (nanos-as-long vs NTZ micros)
+    val schema = Tables.load(spark, dir, "events").schema
     // file streams consume a DIRECTORY; stage the single-file table
     val stage = java.nio.file.Files.createTempDirectory("events-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val streamDf = spark.readStream.schema(schema)
-      .parquet(stage.toString)
-      .withColumn(
-        "ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val streamDf = Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(stage.toString))
     val query = StreamOps.hourlyCountsStream(streamDf)
       .writeStream.format("memory").queryName("file_hourly")
       .outputMode(OutputMode.Complete())
