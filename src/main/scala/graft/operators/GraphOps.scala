@@ -164,4 +164,29 @@ object GraphOps {
     e.unpersist()
     visited
   }
+
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * vertex with degree < k, recount" over a symmetric edge list — the
+    * spam/boilerplate-hub screen on the co-occurrence graph (a true
+    * k-core iterates to fixpoint; the FIXED round count here makes the
+    * result exactly expressible as an unrolled oracle, and in practice
+    * peeling converges in a handful of rounds). Each round is one
+    * degree aggregate shuffled on the vertex id plus two semi-joins
+    * restricting edges to survivors — no collect, work strictly
+    * shrinks per round. Output: survivors (id, degree) with the
+    * post-round-`rounds` degree. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1: $k, $rounds")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      e = e.join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select(col("src"), col("dst")).localCheckpoint(false)
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -190,4 +190,37 @@ object Maintenance {
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
         min(col("fid")).as("min_file_id"), max(col("fid")).as("max_file_id"))
   }
+
+  /** Zone-map pruning audit: build the per-shard (min, max, rows)
+    * manifest a lakehouse keeps per file, then score a predicate set
+    * against it — "if queries filter on this column, what fraction of
+    * shards does the layout actually let us skip?" The data is scanned
+    * ONCE for the manifest (shard = keyCol div shardWidth, the
+    * file-assignment stand-in); each [lo, hi] probe then runs against
+    * the catalog-scale manifest (broadcast, no second data pass). A
+    * shard is pruned when its range misses the predicate entirely
+    * (mx < lo or mn > hi). Output per predicate:
+    * (lo, hi, n_shards, n_pruned, rows_scanned_bound). */
+  def zoneMapAudit(df: DataFrame, keyCol: String, valueCol: String,
+      shardWidth: Long, preds: Seq[(Long, Long)]): DataFrame = {
+    require(shardWidth > 0 && preds.nonEmpty, "need shardWidth > 0 and predicates")
+    val manifest = df.select(
+        expr(s"$keyCol div ${shardWidth}L").as("shard"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("shard"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("rows"))
+    val probes = preds.map { case (lo, hi) =>
+      struct(lit(lo).as("lo"), lit(hi).as("hi"))
+    }
+    val p = manifest.sparkSession.range(1).select(
+        explode(array(probes: _*)).as("p"))
+      .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
+    p.crossJoin(broadcast(manifest))
+      .withColumn("pruned", col("mx") < col("lo") || col("mn") > col("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_shards"),
+        count(when(col("pruned"), 1)).as("n_pruned"),
+        sum(when(!col("pruned"), col("rows")).otherwise(lit(0L)))
+          .as("rows_scanned_bound"))
+  }
 }

@@ -878,4 +878,157 @@ object QualityChecks {
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Spearman rank correlation — the monotone-association reading next
+    * to [[correlationMatrix]]'s linear one (robust to the heavy tails
+    * and unit weirdness real telemetry has). Ranks are EXACT average
+    * ranks kept integral by doubling: a value with `c` ties after
+    * `cum − c` smaller rows has average rank (2·(cum−c) + c + 1)/2, so
+    * r2 = 2·cum − c + 1 is an integer and ρ is scale-invariant under
+    * the ×2. Each axis ranks over its COLLAPSED cents histogram
+    * (bounded by distinct values, never rows) and the rank maps
+    * broadcast back; five DECIMAL(38,0) moments ride one aggregate; ρ
+    * is ONE fixed order of double ops (num / (√denx · √deny)) from the
+    * exact integers — sqrt is IEEE-correctly-rounded, so bit-identical
+    * cross-engine. Output one row:
+    * (n, num, den_x, den_y, rho). */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(expr(centsSql(xCol)).as("x"), expr(centsSql(yCol)).as("y"))
+    def rankMap(c: String) = {
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.select(col(c).as("v")).groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .select(col("v").as(c), (lit(2) * col("cum") - col("c") + 1).as(s"r_$c"))
+    }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val ranked = rows.join(broadcast(rankMap("x")), "x")
+      .join(broadcast(rankMap("y")), "y")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("r_x"))).as("sx"), sum(dec(col("r_y"))).as("sy"),
+      sum(dec(col("r_x")) * dec(col("r_y"))).as("sxy"),
+      sum(dec(col("r_x")) * dec(col("r_x"))).as("sxx"),
+      sum(dec(col("r_y")) * dec(col("r_y"))).as("syy"))
+    def d(c: Column) = c.cast("double")
+    m.select(col("n"),
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("rho",
+        when(col("den_x") === 0 || col("den_y") === 0, lit(null).cast("double"))
+          .otherwise(d(col("num")) / (sqrt(d(col("den_x"))) * sqrt(d(col("den_y"))))))
+  }
+
+  /** Per-group Gini concentration of a 2-decimal measure — the
+    * "is this source's token budget dominated by a few whales?" audit
+    * (mixture weighting and shard planning both read it). With values
+    * ascending and 1-based ranks, G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx); ties
+    * make Σi·xᵢ rank-assignment-invariant, so it folds over the
+    * COLLAPSED per-group histogram: a value `v` with count `c` after
+    * `b = cum − c` smaller rows occupies ranks b+1..b+c, contributing
+    * v·(c·b + c·(c+1)/2) — doubled to 2Σix = Σ v·(2·c·b + c² + c) so
+    * everything stays integral in DECIMAL(38,0). The only double is the
+    * final division. Output per group:
+    * (group, n, sum_v, g_num = 2Σi·xᵢ − (n+1)·Σx, gini). */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val hist = df.select(col(groupCol).as("g"), expr(centsSql(valueCol)).as("v"))
+      .filter(col("v") >= 0)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val contrib = hist.withColumn("b", sum(col("c")).over(wCum) - col("c"))
+      .select(col("g"), col("c"), col("v"),
+        (dec(col("v")) * (dec(col("c")) * dec(col("b")) * 2 +
+          dec(col("c")) * dec(col("c")) + dec(col("c")))).as("two_six"))
+    val m = contrib.groupBy(col("g")).agg(
+      sum(col("c")).as("n"),
+      sum(dec(col("v")) * dec(col("c"))).as("sum_v"),
+      sum(col("two_six")).as("two_sum_ix"))
+    def d(c: Column) = c.cast("double")
+    m.select(col("g"), col("n"), col("sum_v"),
+        (col("two_sum_ix") - (dec(col("n")) + 1) * col("sum_v")).as("g_num"))
+      .withColumn("gini",
+        when(col("sum_v") === 0, lit(null).cast("double"))
+          .otherwise(d(col("g_num")) / (d(col("n")) * d(col("sum_v")))))
+  }
+
+  /** Cramér's V effect size on top of [[chi2Cells]] — "are these two
+    * categorical columns actually associated, at what strength?" in one
+    * number. The per-cell χ² terms are each ONE fixed order of double
+    * ops from exact integers (bit-identical cross-engine), but a DOUBLE
+    * sum over cells would be iteration-order-dependent — so each term
+    * is scaled to parts-per-billion and TRUNCATED to BIGINT (both steps
+    * IEEE-deterministic), making the sum an order-free integer. V then
+    * is one fixed double expression from (χ²_ppb, n, min(r,c)−1). Note
+    * the χ² sums OBSERVED cells ([[chi2Cells]] materializes the groupBy
+    * frame): structural-zero cells contribute nothing — identical on
+    * both engines, and dense categorical pairs populate every cell.
+    * Output: (n, n_rows_cat, n_cols_cat, chi2_ppb, v). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chi2Cells(df, aCol, bCol)
+    val m = cells.agg(
+      max(col("n")).as("n"),
+      countDistinct(col("a")).as("ra"),
+      countDistinct(col("b")).as("cb"),
+      sum(expr("CAST(term * 1e9 AS BIGINT)")).as("chi2_ppb"))
+    def d(c: Column) = c.cast("double")
+    m.select(col("n"), col("ra").as("n_rows_cat"), col("cb").as("n_cols_cat"),
+        col("chi2_ppb"))
+      .withColumn("v",
+        sqrt(d(col("chi2_ppb")) / 1e9 /
+          (d(col("n")) * d(least(col("n_rows_cat"), col("n_cols_cat")) - 1))))
+  }
+
+  /** Per-group weighted median: the smallest value whose cumulative
+    * weight reaches half the group's total (2·cum ≥ W, all integral) —
+    * the robust center for weighted populations (docs weighted by token
+    * count, lineitems by quantity). Folds over the collapsed
+    * (group, value) histogram with per-group windows bounded by
+    * distinct values. Output: (group, total_w, wmedian). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol).as("g"), expr(centsSql(valueCol)).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist.withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("g")).agg(max(col("tw")).as("total_w"), min(col("v")).as("wmedian"))
+  }
+
+  /** Category-similarity matrix: cosine between category "behavior
+    * vectors" over a shared entity axis (event types over users here;
+    * items over baskets in the retail reading — the item-item
+    * collaborative-filtering pass). Dot products ride a self-join on
+    * the ENTITY, whose per-key group is bounded by the category count
+    * (≤ tens) — no hot keys by construction; norms are one extra
+    * aggregate of the same collapsed (entity, category, cnt) frame.
+    * Counts are integers so dot/norms are exact BIGINTs; cosine is ONE
+    * fixed order of double ops (dot / (√na · √nb)). Output per
+    * unordered pair: (cat_a, cat_b, dot, norm_a, norm_b, cos). */
+  def categoryCosine(df: DataFrame, entityCol: String,
+      catCol: String): DataFrame = {
+    val vec = df.groupBy(col(entityCol).as("e"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("cnt"))
+    val dots = vec.as("a").join(vec.as("b"),
+        col("a.e") === col("b.e") && col("a.cat") < col("b.cat"))
+      .groupBy(col("a.cat").as("cat_a"), col("b.cat").as("cat_b"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
+    val norms = vec.groupBy(col("cat")).agg(sum(col("cnt") * col("cnt")).as("nrm"))
+    def d(c: Column) = c.cast("double")
+    dots.join(broadcast(norms.select(col("cat").as("cat_a"), col("nrm").as("norm_a"))), "cat_a")
+      .join(broadcast(norms.select(col("cat").as("cat_b"), col("nrm").as("norm_b"))), "cat_b")
+      .select(col("cat_a"), col("cat_b"), col("dot"), col("norm_a"), col("norm_b"),
+        (d(col("dot")) / (sqrt(d(col("norm_a"))) * sqrt(d(col("norm_b"))))).as("cos"))
+  }
 }

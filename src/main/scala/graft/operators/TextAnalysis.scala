@@ -596,4 +596,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
   }
+
+  /** Exact phrase search over a POSITIONAL posting list — the retrieval
+    * step [[invertedIndex]]'s docfreq index can't answer ("these words,
+    * adjacent, in order"). Postings are (term, doc_id, pos); an m-term
+    * phrase is m probes of the posting table joined on
+    * (doc_id, pos = pos₀ + i) — each probe is term-selective BEFORE the
+    * join, so the plan is m filtered scans equi-joined on (doc, pos),
+    * never a per-doc rescan. At index scale the posting table would be
+    * the persisted bucketed table; here it derives inline. Output:
+    * (doc_id, n_hits) per matching doc. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, s"need a multi-word phrase: $phrase")
+    val postings = docs.select(col("doc_id"),
+      posexplode(TextHash.tokens(col("text"))).as(Seq("pos", "term")))
+    val first = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        postings.filter(col("term") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
 }

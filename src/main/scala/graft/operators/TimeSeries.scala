@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,5 +91,43 @@ object TimeSeries {
           element_at(col("vals"), 1),
           (acc, v) => (acc * lit(1.0 - alpha)) + (v * lit(alpha))))
       .select(col(keyCol), col("n_events"), col("ewma"))
+  }
+
+  /** CUSUM change-point detection over a per-group daily count series —
+    * "when did this source's volume regime shift?" The classic mean-
+    * shift statistic S_i = Σ_{t≤i}(x_t − x̄) is kept EXACT by scaling
+    * ×n: s_i = n·prefix_i − i·total is an integer (no mean, no
+    * division), |s| is maximized with the earliest day as the
+    * deterministic tie-break, and the reported magnitude
+    * s_abs_max/(n·n) is the only double. The series is the collapsed
+    * (group, day) count frame — windows are bounded by distinct days
+    * per group, never rows. Output per group:
+    * (group, n_days, total, day_star, s_abs_max, shift_score). */
+  def cusumChangePoint(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = events.select(col(groupCol).as("g"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000").as("day"))
+      .groupBy(col("g"), col("day")).agg(count(lit(1)).as("x"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s = daily
+      .withColumn("i", count(lit(1)).over(wCum))
+      .withColumn("prefix", sum(col("x")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("x")).over(wAll))
+      .withColumn("s_abs",
+        abs(dec(col("n")) * dec(col("prefix")) - dec(col("i")) * dec(col("total"))))
+    val best = s.groupBy(col("g")).agg(max(col("s_abs")).as("s_abs_max"))
+    def d(c: Column) = c.cast("double")
+    s.join(broadcast(best), "g")
+      .filter(col("s_abs") === col("s_abs_max"))
+      .groupBy(col("g")).agg(
+        max(col("n")).as("n_days"), max(col("total")).as("total"),
+        min(col("day")).as("day_star"), max(col("s_abs")).as("s_abs_max"))
+      .withColumn("shift_score",
+        d(col("s_abs_max")) / (d(col("n_days")) * d(col("n_days"))))
   }
 }

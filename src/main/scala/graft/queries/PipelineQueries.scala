@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextHash
-import graft.operators.{Curation, Dedup, Multimodal, QualityChecks, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, QualityChecks, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.StreamOps
 
 /** Training-data pipeline queries: dedup (exact / MinHash+LSH / SimHash /
@@ -3377,5 +3377,235 @@ object PipelineQueries {
              |       CASE WHEN slope_den = 0 THEN NULL
              |            ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
              |                 / CAST(n AS DOUBLE) END AS intercept
-             |FROM sl""".stripMargin)))
+             |FROM sl""".stripMargin)),
+
+    // Spearman rank correlation: exact doubled average ranks from each
+    // axis's collapsed cents histogram, five HUGEINT/DECIMAL moments,
+    // rho one fixed order of double ops (num / (sqrt*sqrt))
+    QueryDef("q190_spearman",
+      (s, dir) => QualityChecks.spearmanCorr(
+        Tables.load(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+      Some("""WITH r AS (SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             |                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+             |           FROM lineitem),
+             |hx AS (SELECT x AS v, count(*) AS c FROM r GROUP BY 1),
+             |rx AS (SELECT v AS x,
+             |              2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r_x
+             |       FROM hx),
+             |hy AS (SELECT y AS v, count(*) AS c FROM r GROUP BY 1),
+             |ry AS (SELECT v AS y,
+             |              2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r_y
+             |       FROM hy),
+             |j AS (SELECT r_x, r_y FROM r JOIN rx USING (x) JOIN ry USING (y)),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |             sum(CAST(r_x AS HUGEINT)) AS sx, sum(CAST(r_y AS HUGEINT)) AS sy,
+             |             sum(CAST(r_x AS HUGEINT) * r_y) AS sxy,
+             |             sum(CAST(r_x AS HUGEINT) * r_x) AS sxx,
+             |             sum(CAST(r_y AS HUGEINT) * r_y) AS syy
+             |      FROM j),
+             |f AS (SELECT n,
+             |             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+             |             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS den_x,
+             |             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DECIMAL(38,0)) AS den_y
+             |      FROM m)
+             |SELECT n, num, den_x, den_y,
+             |       CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+             |            ELSE CAST(num AS DOUBLE)
+             |                 / (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS DOUBLE)))
+             |       END AS rho
+             |FROM f""".stripMargin)),
+
+    // per-group Gini concentration: rank-sum folded over the collapsed
+    // histogram (2Sigma-i-x integral by doubling), one final division
+    QueryDef("q191_gini",
+      (s, dir) => QualityChecks.giniConcentration(
+        Tables.load(s, dir, "orders"), "o_orderpriority", "o_totalprice"),
+      Some("""WITH c AS (SELECT o_orderpriority AS g,
+             |                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             |           FROM orders),
+             |h AS (SELECT g, v, count(*) AS c FROM c WHERE v >= 0 GROUP BY 1, 2),
+             |w AS (SELECT g, v, c,
+             |             sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS b
+             |      FROM h),
+             |m AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             |             sum(CAST(v AS HUGEINT) * c) AS sum_v_h,
+             |             sum(CAST(v AS HUGEINT) *
+             |                 (2 * CAST(c AS HUGEINT) * b + CAST(c AS HUGEINT) * c + c)) AS two_sum
+             |      FROM w GROUP BY 1)
+             |SELECT g, n, CAST(sum_v_h AS DECIMAL(38,0)) AS sum_v,
+             |       CAST(two_sum - (CAST(n AS HUGEINT) + 1) * sum_v_h AS DECIMAL(38,0)) AS g_num,
+             |       CASE WHEN sum_v_h = 0 THEN NULL
+             |            ELSE CAST(two_sum - (CAST(n AS HUGEINT) + 1) * sum_v_h AS DOUBLE)
+             |                 / (CAST(n AS DOUBLE) * CAST(sum_v_h AS DOUBLE)) END AS gini
+             |FROM m""".stripMargin)),
+
+    // CUSUM change point per event type: scaled mean-shift statistic
+    // n*prefix - i*total kept exact, earliest-day argmax tie-break
+    QueryDef("q192_cusum",
+      (s, dir) => TimeSeries.cusumChangePoint(Tables.events(s, dir), "event_type", "ts"),
+      Some("""WITH daily AS (SELECT event_type AS g,
+             |                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |                      CAST(count(*) AS BIGINT) AS x
+             |               FROM events GROUP BY 1, 2),
+             |w AS (SELECT g, day,
+             |             count(*) OVER (PARTITION BY g ORDER BY day
+             |                            ROWS UNBOUNDED PRECEDING) AS i,
+             |             sum(x) OVER (PARTITION BY g ORDER BY day
+             |                          ROWS UNBOUNDED PRECEDING) AS prefix,
+             |             count(*) OVER (PARTITION BY g) AS n,
+             |             sum(x) OVER (PARTITION BY g) AS total
+             |      FROM daily),
+             |s AS (SELECT g, day, n, total,
+             |             abs(CAST(n AS HUGEINT) * prefix - CAST(i AS HUGEINT) * total) AS s_abs
+             |      FROM w),
+             |b AS (SELECT g, max(s_abs) AS s_abs_max FROM s GROUP BY 1)
+             |SELECT s.g, CAST(max(s.n) AS BIGINT) AS n_days,
+             |       CAST(max(s.total) AS BIGINT) AS total,
+             |       min(s.day) AS day_star,
+             |       CAST(max(s.s_abs) AS DECIMAL(38,0)) AS s_abs_max,
+             |       CAST(max(s.s_abs) AS DOUBLE)
+             |         / (CAST(max(s.n) AS DOUBLE) * CAST(max(s.n) AS DOUBLE)) AS shift_score
+             |FROM s JOIN b ON b.g = s.g AND s.s_abs = b.s_abs_max
+             |GROUP BY s.g""".stripMargin)),
+
+    // bounded k-core peeling (k=3, 3 synchronous rounds) on the q189
+    // co-order part graph; oracle is the identical unrolled peel
+    QueryDef("q193_kcore",
+      (s, dir) => {
+        val dp = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e0 = dp.as("a").join(dp.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+        val bi = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
+        graft.operators.GraphOps.kCorePeel(bi, k = 3, rounds = 3)
+      },
+      Some("""WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS (SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+             |       FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+             |                          AND a.l_partkey < b.l_partkey
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM e0
+             |       UNION ALL SELECT id_b, id_a FROM e0),
+             |k1 AS (SELECT src FROM bi GROUP BY 1 HAVING count(*) >= 3),
+             |e1 AS (SELECT src, dst FROM bi WHERE src IN (SELECT src FROM k1)
+             |                                 AND dst IN (SELECT src FROM k1)),
+             |k2 AS (SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+             |e2 AS (SELECT src, dst FROM e1 WHERE src IN (SELECT src FROM k2)
+             |                                 AND dst IN (SELECT src FROM k2)),
+             |k3 AS (SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+             |e3 AS (SELECT src, dst FROM e2 WHERE src IN (SELECT src FROM k3)
+             |                                 AND dst IN (SELECT src FROM k3))
+             |SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+             |FROM e3 GROUP BY 1""".stripMargin)),
+
+    // zone-map pruning audit: per-shard (min,max,rows) manifest from
+    // ONE scan, day-range probes scored against it — "does the ingest
+    // order actually let time filters skip files?" (event_id tracks ts
+    // in this log, so recent-day probes prune nearly everything)
+    QueryDef("q194_zonemap",
+      (s, dir) => graft.operators.Maintenance.zoneMapAudit(
+        Tables.events(s, dir).select(col("event_id"),
+          expr("unix_micros(ts) div 86400000000").as("day")),
+        "event_id", "day", shardWidth = 512L,
+        preds = Seq((19723L, 19725L), (19740L, 19752L), (19760L, 19770L),
+          (0L, 99999L))),
+      Some("""WITH man AS (SELECT event_id // 512 AS shard,
+             |                    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mn,
+             |                    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx,
+             |                    count(*) AS n_rows
+             |             FROM events GROUP BY 1),
+             |p AS (SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
+             |      FROM (VALUES (19723, 19725), (19740, 19752), (19760, 19770),
+             |                   (0, 99999)) AS t(lo, hi))
+             |SELECT lo, hi, CAST(count(*) AS BIGINT) AS n_shards,
+             |       CAST(count(CASE WHEN mx < lo OR mn > hi THEN 1 END) AS BIGINT) AS n_pruned,
+             |       CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 0 ELSE n_rows END) AS BIGINT)
+             |         AS rows_scanned_bound
+             |FROM p CROSS JOIN man GROUP BY 1, 2""".stripMargin)),
+
+    // exact phrase search over positional postings: m term-selective
+    // probes equi-joined on (doc, pos+i) — the adjacency query the
+    // docfreq inverted index (q98) cannot answer
+    QueryDef("q195_phrase_search",
+      (s, dir) => TextAnalysis.phraseSearch(
+        Tables.load(s, dir, "documents"), Seq("hash", "join")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t),
+             |post AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term FROM p)
+             |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+             |FROM post a JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |WHERE a.term = 'hash' AND b.term = 'join'
+             |GROUP BY 1""".stripMargin)),
+
+    // per-flag weighted median price (weights = quantities): smallest
+    // value whose cumulative weight reaches half the total, integral
+    QueryDef("q196_weighted_median",
+      (s, dir) => QualityChecks.weightedMedian(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "l_quantity"),
+      Some("""WITH h AS (SELECT l_returnflag AS g,
+             |                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+             |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             |           FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT g, v,
+             |             sum(w) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             |             sum(w) OVER (PARTITION BY g) AS tw
+             |      FROM h)
+             |SELECT g, CAST(max(tw) AS BIGINT) AS total_w, min(v) AS wmedian
+             |FROM c WHERE cum * 2 >= tw GROUP BY 1""".stripMargin)),
+
+    // item-item cosine over user behavior vectors: dots ride the
+    // entity self-join (per-key group bounded by category count),
+    // integer dot/norms, cosine one fixed double expression
+    QueryDef("q197_category_cosine",
+      (s, dir) => QualityChecks.categoryCosine(
+        Tables.load(s, dir, "events"), "user_id", "event_type"),
+      Some("""WITH vec AS (SELECT user_id AS e, event_type AS cat,
+             |                    CAST(count(*) AS BIGINT) AS cnt
+             |             FROM events GROUP BY 1, 2),
+             |d AS (SELECT a.cat AS cat_a, b.cat AS cat_b,
+             |             CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+             |      FROM vec a JOIN vec b ON a.e = b.e AND a.cat < b.cat
+             |      GROUP BY 1, 2),
+             |nr AS (SELECT cat, CAST(sum(cnt * cnt) AS BIGINT) AS nrm FROM vec GROUP BY 1)
+             |SELECT cat_a, cat_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b,
+             |       CAST(dot AS DOUBLE)
+             |         / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+             |FROM d JOIN nr na ON na.cat = d.cat_a
+             |       JOIN nr nb ON nb.cat = d.cat_b""".stripMargin)),
+
+    // Cramer's V on top of the chi2 cells: per-cell terms scaled to
+    // ppb and FLOORED to BIGINT so the cross-cell sum is order-free
+    QueryDef("q198_cramers_v",
+      (s, dir) => QualityChecks.cramersV(
+        Tables.load(s, dir, "orders"), "o_orderpriority", "o_orderstatus"),
+      Some("""WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+             |                      CAST(count(*) AS BIGINT) AS o
+             |               FROM orders GROUP BY 1, 2),
+             |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+             |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+             |g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+             |t AS (SELECT cells.a, cells.b, r, c, n,
+             |             CAST(CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c
+             |                  AS DECIMAL(38,0)) AS diff
+             |      FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN g),
+             |terms AS (SELECT n, a, b,
+             |                 CAST(floor(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+             |                      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+             |                      * 1e9) AS BIGINT) AS tppb
+             |          FROM t)
+             |SELECT CAST(max(n) AS BIGINT) AS n,
+             |       CAST(count(DISTINCT a) AS BIGINT) AS n_rows_cat,
+             |       CAST(count(DISTINCT b) AS BIGINT) AS n_cols_cat,
+             |       CAST(sum(tppb) AS BIGINT) AS chi2_ppb,
+             |       sqrt(CAST(sum(tppb) AS DOUBLE) / 1e9
+             |            / (CAST(max(n) AS DOUBLE)
+             |               * CAST(least(count(DISTINCT a), count(DISTINCT b)) - 1 AS DOUBLE)))
+             |         AS v
+             |FROM terms""".stripMargin)))
 }

@@ -71,7 +71,12 @@ class QualityGatesSpec extends SparkSpec {
     "q178_benford", "q179_ecdf_normalize",
     // one-row (q1, q3) fence attach; the threshold probe runs on the
     // COLLAPSED cents histogram, the fence test itself is a map
-    "q186_iqr_outliers")
+    "q186_iqr_outliers",
+    // 4-row predicate probe against the catalog-scale shard manifest
+    // (the data itself is scanned once for the manifest aggregate)
+    "q194_zonemap",
+    // one-row grand-total attach inherited from the chi2 cell frame
+    "q198_cramers_v")
 
   test("no cartesian / nested-loop joins outside documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
