@@ -329,6 +329,53 @@ object Multimodal {
     })
   }
 
+  /** One fixed-width analysis window of the decoded PCM stream. */
+  final case class AudioWindow(doc_id: Long, win: Int, energy: Long)
+
+  /** Voice-activity segmentation over the DECODED PCM stream: windowed
+    * L1 energy (Σ|sample| per `winSize` frames, the classic
+    * energy-gate VAD front end), then gaps-and-islands over the active
+    * windows — consecutive active windows merge into segments. The
+    * codec runs in the once-per-partition kernel and emits only the
+    * per-window energies (payloads never shuffle); the island algebra
+    * (win − row_number) is declarative per-doc window work. Output:
+    * (doc_id, n_windows, n_active, n_segments, max_run). */
+  def vadSegments(audio: DataFrame, winSize: Int = 8,
+      threshold: Long = 100000L)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wins = audio.as[AudioRow].mapPartitions(_.flatMap { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(a.payload))
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      def sample(i: Int): Int =
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      (0 until (n + winSize - 1) / winSize).map { w =>
+        var e = 0L
+        var i = w * winSize
+        val end = math.min((w + 1) * winSize, n)
+        while (i < end) { e += math.abs(sample(i)); i += 1 }
+        AudioWindow(a.doc_id, w, e)
+      }
+    }).toDF()
+    val active = wins.filter(col("energy") >= threshold)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("win"))))
+      .withColumn("island", col("win") - col("rn"))
+    val seg = active.groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"))
+    val perDoc = seg.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_segments"), max(col("run")).as("max_run"),
+      sum(col("run")).as("n_active"))
+    wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
   // ---- video (framed PNG container) ----------------------------------------
 
   /** An opaque video payload + typed metadata. */

@@ -1006,6 +1006,52 @@ object QualityChecks {
       .groupBy(col("g")).agg(max(col("tw")).as("total_w"), min(col("v")).as("wmedian"))
   }
 
+  /** Calibration curve for a scored binary decision: fixed-width score
+    * buckets vs the observed positive rate — the reliability readout
+    * run on every learned quality filter before its threshold ships.
+    * The bucket is floor(score·bins) (floor of an IEEE product — exact
+    * cross-engine); counts are integers; the rate is the only
+    * division. Output: (bucket, n, n_pos, pos_rate). */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    df.select(floor(col(scoreCol) * bins).cast("long").as("bucket"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
+  /** Exact ROC AUC via the rank-sum identity AUC = U/(n₁·n₀) — the
+    * threshold-free quality-filter metric, and the probability a random
+    * positive outscores a random negative. Ranks are doubled average
+    * ranks over the COLLAPSED score histogram (scores are bit-identical
+    * doubles on both engines, so grouping on them is exact);
+    * 2U = Σr₂(pos) − n₁(n₁+1) stays integral; the AUC is one double
+    * division. Output: (n_pos, n_neg, u2, auc). */
+  def aucRankSum(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val h = df.select(col(scoreCol).as("v"), col(labelCol).cast("long").as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("cpos"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = h.withColumn("cum", sum(col("c")).over(wCum))
+      .select(col("c"), col("cpos"), (lit(2) * col("cum") - col("c") + 1).as("r2"))
+    val m = r2.agg(
+      sum(col("cpos")).as("n_pos"),
+      sum(col("c") - col("cpos")).as("n_neg"),
+      sum(dec(col("cpos")) * dec(col("r2"))).as("sum_r2_pos"))
+    def d(c: Column) = c.cast("double")
+    m.select(col("n_pos"), col("n_neg"),
+        (col("sum_r2_pos") - dec(col("n_pos")) * (dec(col("n_pos")) + 1)).as("u2"))
+      .withColumn("auc",
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(d(col("u2")) / (lit(2.0) * d(col("n_pos")) * d(col("n_neg")))))
+  }
+
   /** Category-similarity matrix: cosine between category "behavior
     * vectors" over a shared entity axis (event types over users here;
     * items over baskets in the retail reading — the item-item

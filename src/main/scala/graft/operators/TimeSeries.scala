@@ -130,4 +130,43 @@ object TimeSeries {
       .withColumn("shift_score",
         d(col("s_abs_max")) / (d(col("n_days")) * d(col("n_days"))))
   }
+
+  /** Sample autocorrelation of a per-group daily count series at lags
+    * 1..maxLag — "is this source's volume weekly-periodic or
+    * mean-reverting?" next to [[cusumChangePoint]]'s one-shift reading.
+    * The mean never materializes: both sides scale by n, so the
+    * centered term is cₜ = n·xₜ − S (exact), the lag-k numerator is
+    * Σ cₜ·cₜ₊ₖ over the n−k overlapping SEQUENCE positions (lead over
+    * the day-ordered series — gaps collapse, the series is the
+    * observed sequence), the denominator Σ cₜ² — all DECIMAL(38,0) —
+    * and r_k is ONE double division (the common n² factor cancels).
+    * Output: (group, k, n_days, num, den, acf). */
+  def autocorrelation(events: DataFrame, groupCol: String, tsCol: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 16, s"maxLag in 1..16: $maxLag")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = events.select(col(groupCol).as("g"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000").as("day"))
+      .groupBy(col("g"), col("day")).agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val base = daily.join(broadcast(tot), "g")
+      .withColumn("cx", dec(col("n")) * dec(col("x")) - dec(col("s")))
+    val den = base.groupBy(col("g"))
+      .agg(max(col("n")).as("n_days"), sum(col("cx") * col("cx")).as("den"))
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+    val lags = (1 to maxLag).map { k =>
+      base.withColumn("cxl", lead(col("cx"), k).over(w))
+        .filter(col("cxl").isNotNull)
+        .groupBy(col("g")).agg(sum(col("cx") * col("cxl")).as("num"))
+        .withColumn("k", lit(k))
+    }
+    def d(c: Column) = c.cast("double")
+    lags.reduce(_ unionByName _)
+      .join(broadcast(den), "g")
+      .select(col("g"), col("k"), col("n_days"), col("num"), col("den"))
+      .withColumn("acf",
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(d(col("num")) / d(col("den"))))
+  }
 }

@@ -3607,5 +3607,132 @@ object PipelineQueries {
              |            / (CAST(max(n) AS DOUBLE)
              |               * CAST(least(count(DISTINCT a), count(DISTINCT b)) - 1 AS DOUBLE)))
              |         AS v
-             |FROM terms""".stripMargin)))
+             |FROM terms""".stripMargin)),
+
+    // calibration curve for the q105 linear filter against a ground
+    // label: floor(score*bins) buckets vs observed positive rate
+    QueryDef("q199_calibration",
+      (s, dir) => QualityChecks.calibrationCurve(
+        TextAnalysis.linearScore(Tables.load(s, dir, "documents"))
+          .join(Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("text").contains("join").as("y")), "doc_id"),
+        "score", "y", bins = 10),
+      Some(s"""WITH t AS (SELECT doc_id, text, ${TextHash.wordHashesSql("text")} AS whs FROM documents),
+             |sc AS (SELECT doc_id, text,
+             |         list_reduce(list_transform(whs,
+             |             wh -> CAST((wh * 2654435761) % ${TextHash.P} % 2001 - 1000 AS DOUBLE) / 1000.0),
+             |           (x, y) -> x + y) / CAST(len(whs) AS DOUBLE) AS score
+             |       FROM t WHERE len(whs) > 0),
+             |lb AS (SELECT doc_id, CAST(floor(score * 10) AS BIGINT) AS bucket,
+             |              CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END AS y
+             |       FROM sc)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(y) AS BIGINT) AS n_pos,
+             |       CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+             |FROM lb GROUP BY 1""".stripMargin)),
+
+    // exact ROC AUC of the same filter via the rank-sum identity:
+    // doubled average ranks over the collapsed score histogram,
+    // 2U integral, one division
+    QueryDef("q200_auc",
+      (s, dir) => QualityChecks.aucRankSum(
+        TextAnalysis.linearScore(Tables.load(s, dir, "documents"))
+          .join(Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("text").contains("join").as("y")), "doc_id"),
+        "score", "y"),
+      Some(s"""WITH t AS (SELECT doc_id, text, ${TextHash.wordHashesSql("text")} AS whs FROM documents),
+             |sc AS (SELECT doc_id, text,
+             |         list_reduce(list_transform(whs,
+             |             wh -> CAST((wh * 2654435761) % ${TextHash.P} % 2001 - 1000 AS DOUBLE) / 1000.0),
+             |           (x, y) -> x + y) / CAST(len(whs) AS DOUBLE) AS score
+             |       FROM t WHERE len(whs) > 0),
+             |lb AS (SELECT score AS v, CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END AS y
+             |       FROM sc),
+             |h AS (SELECT v, count(*) AS c, sum(y) AS cpos FROM lb GROUP BY 1),
+             |r2 AS (SELECT c, cpos,
+             |              2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+             |       FROM h),
+             |m AS (SELECT CAST(sum(cpos) AS BIGINT) AS n_pos,
+             |             CAST(sum(c - cpos) AS BIGINT) AS n_neg,
+             |             sum(CAST(cpos AS HUGEINT) * r2) AS sum_r2_pos
+             |      FROM r2)
+             |SELECT n_pos, n_neg,
+             |       CAST(sum_r2_pos - CAST(n_pos AS HUGEINT) * (CAST(n_pos AS HUGEINT) + 1)
+             |            AS DECIMAL(38,0)) AS u2,
+             |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             |            ELSE CAST(sum_r2_pos - CAST(n_pos AS HUGEINT) * (CAST(n_pos AS HUGEINT) + 1)
+             |                      AS DOUBLE)
+             |                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             |       END AS auc
+             |FROM m""".stripMargin)),
+
+    // lag-1..3 autocorrelation of per-type daily volumes: centered
+    // terms scaled by n (c = n*x - S, exact), lead() pairs over the
+    // observed sequence, acf one division per lag
+    QueryDef("q201_acf",
+      (s, dir) => TimeSeries.autocorrelation(
+        Tables.events(s, dir), "event_type", "ts", maxLag = 3),
+      Some("""WITH daily AS (SELECT event_type AS g,
+             |                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |                      CAST(count(*) AS BIGINT) AS x
+             |               FROM events GROUP BY 1, 2),
+             |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+             |        FROM daily GROUP BY 1),
+             |base AS (SELECT daily.g, day,
+             |                CAST(n AS HUGEINT) * x - s AS cx, n
+             |         FROM daily JOIN tot USING (g)),
+             |den AS (SELECT g, CAST(max(n) AS BIGINT) AS n_days,
+             |               CAST(sum(cx * cx) AS DECIMAL(38,0)) AS den
+             |        FROM base GROUP BY 1),
+             |led AS (SELECT g, k, cx,
+             |               lead(cx, 1) OVER (PARTITION BY g, k ORDER BY day) AS cx1,
+             |               lead(cx, 2) OVER (PARTITION BY g, k ORDER BY day) AS cx2,
+             |               lead(cx, 3) OVER (PARTITION BY g, k ORDER BY day) AS cx3
+             |        FROM base, (SELECT unnest([1, 2, 3]) AS k)),
+             |num AS (SELECT g, k,
+             |               CAST(sum(cx * CASE k WHEN 1 THEN cx1 WHEN 2 THEN cx2 ELSE cx3 END)
+             |                    AS DECIMAL(38,0)) AS num
+             |        FROM led
+             |        WHERE (CASE k WHEN 1 THEN cx1 WHEN 2 THEN cx2 ELSE cx3 END) IS NOT NULL
+             |        GROUP BY 1, 2)
+             |SELECT num.g, CAST(k AS INTEGER) AS k, n_days, num, den,
+             |       CASE WHEN den = 0 THEN NULL
+             |            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
+             |FROM num JOIN den USING (g)""".stripMargin)),
+
+    // energy-gate VAD over the decoded WAV stream: windowed L1 energy
+    // in the codec kernel, gaps-and-islands segment merge declaratively
+    QueryDef("q202_vad",
+      (s, dir) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Multimodal.vadSegments(
+          Multimodal.audioTable(Tables.load(s, dir, "documents")))
+      },
+      Some("""WITH m AS (SELECT doc_id, md5(text) AS h,
+             |                 CAST(n_chars % 64 + 16 AS BIGINT) AS n
+             |          FROM documents),
+             |b AS (SELECT doc_id, n,
+             |             list_transform(generate_series(1, 16),
+             |               i -> (CAST(16 * (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1)
+             |                          + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS BIGINT)
+             |                     - 128) * 200) AS amps
+             |      FROM m),
+             |s AS (SELECT doc_id, amps, unnest(generate_series(0, n - 1)) AS i FROM b),
+             |wv AS (SELECT doc_id, i // 8 AS win,
+             |              CAST(sum(abs(amps[(i % 16) + 1])) AS BIGINT) AS energy
+             |       FROM s GROUP BY 1, 2),
+             |act AS (SELECT doc_id, win,
+             |               row_number() OVER (PARTITION BY doc_id ORDER BY win) AS rn
+             |        FROM wv WHERE energy >= 100000),
+             |seg AS (SELECT doc_id, win - rn AS island, count(*) AS run FROM act GROUP BY 1, 2),
+             |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             |               CAST(max(run) AS BIGINT) AS max_run,
+             |               CAST(sum(run) AS BIGINT) AS n_active
+             |        FROM seg GROUP BY 1),
+             |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wv GROUP BY 1)
+             |SELECT nw.doc_id, n_windows,
+             |       COALESCE(n_active, 0) AS n_active,
+             |       COALESCE(n_segments, 0) AS n_segments,
+             |       COALESCE(max_run, 0) AS max_run
+             |FROM nw LEFT JOIN per USING (doc_id)""".stripMargin)))
 }

@@ -104,6 +104,57 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("cos")) - 1.0) < 1e-12)
   }
 
+  test("aucRankSum: hand-computed rank-sum AUC on interleaved labels") {
+    // scores 1..4, positives at 1 and 3: U counts (3>2) only -> 1/4
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0)).toDF("score", "y")
+    val r = QualityChecks.aucRankSum(df, "score", "y").collect().head
+    assert(r.getDecimal(r.fieldIndex("u2")).longValueExact() === 2L)
+    assert(r.getDouble(r.fieldIndex("auc")) === 0.25)
+    val sep = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("score", "y")
+    assert(QualityChecks.aucRankSum(sep, "score", "y")
+      .select("auc").as[Double].head() === 1.0)
+  }
+
+  test("calibrationCurve: bucket floors and positive rates") {
+    val df = Seq((0.05, 1), (0.07, 0), (0.15, 1), (-0.12, 0)).toDF("score", "y")
+    val got = QualityChecks.calibrationCurve(df, "score", "y", bins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(0L -> ((2L, 1L)), 1L -> ((1L, 1L)), -2L -> ((1L, 0L))))
+  }
+
+  test("autocorrelation: alternating series has acf(1) = -5/6, acf(2) = 2/3") {
+    // daily counts 1,3,1,3,1,3: centered c = n*x - S alternates -6, +6
+    val rows = for {
+      d <- 1 to 6
+      i <- 1 to (if (d % 2 == 1) 1 else 3)
+    } yield ("a", d.toLong * 86400000000L + i)
+    val df = rows.toDF("event_type", "us")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+    val got = TimeSeries.autocorrelation(df, "event_type", "ts", maxLag = 2)
+      .collect().map(r => r.getInt(r.fieldIndex("k")) ->
+        r.getDouble(r.fieldIndex("acf"))).toMap
+    assert(math.abs(got(1) - (-180.0 / 216.0)) < 1e-15)
+    assert(math.abs(got(2) - (144.0 / 216.0)) < 1e-15)
+  }
+
+  test("vadSegments: window count tracks n_samples, islands are consistent") {
+    val docs = Seq((1L, "alpha beta gamma", 20L), (2L, "delta", 40L))
+      .toDF("doc_id", "text", "n_chars")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = graft.operators.Multimodal.vadSegments(
+        graft.operators.Multimodal.audioTable(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // n_samples = n_chars % 64 + 16 -> 36 and 56 -> ceil/8 = 5 and 7
+    assert(got(1L)._1 === 5L)
+    assert(got(2L)._1 === 7L)
+    got.values.foreach { case (nw, nact, nseg, maxRun) =>
+      assert(nact <= nw && maxRun <= nact,
+        "active windows bounded by windows, longest run by active count")
+      assert((nseg == 0) == (nact == 0), "segments iff active windows")
+    }
+  }
+
   test("cramersV: perfectly associated pair over observed cells") {
     // 2x2 with only the diagonal populated: observed-cell chi2 = 10,
     // V = sqrt(10 / (20 * 1)) = sqrt(0.5)
