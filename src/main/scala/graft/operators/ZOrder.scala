@@ -55,4 +55,46 @@ object ZOrder {
     df.withColumn("_zkey", zValue(x, y, bits))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
+
+  /** Two-dimensional data-skipping audit for a candidate layout: build
+    * the per-shard (min,max) envelope on BOTH scan dimensions from ONE
+    * pass (the file-statistics stand-in), then score rectangle
+    * predicates against the catalog-scale manifest — the measurement
+    * that justifies a re-layout ("under z-order these probes skip 90%
+    * of files; under arrival order, nothing"). A shard is pruned when
+    * its envelope misses the rectangle on EITHER axis. Run once per
+    * layout (shard = arrival bucket, z-bucket, …) and union the tagged
+    * reports. Output per predicate:
+    * (layout, xlo, xhi, ylo, yhi, n_shards, n_pruned,
+    * rows_scanned_bound). */
+  def skippingAudit2D(df: DataFrame, shard: Column, layout: String,
+      xCol: String, yCol: String,
+      preds: Seq[(Long, Long, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "need at least one rectangle predicate")
+    val manifest = df.select(shard.as("shard"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy(col("shard"))
+      .agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+        min(col("y")).as("ymn"), max(col("y")).as("ymx"),
+        count(lit(1)).as("n_rows"))
+    val probes = preds.map { case (xlo, xhi, ylo, yhi) =>
+      struct(lit(xlo).as("xlo"), lit(xhi).as("xhi"),
+        lit(ylo).as("ylo"), lit(yhi).as("yhi"))
+    }
+    val p = df.sparkSession.range(1)
+      .select(explode(array(probes: _*)).as("p"))
+      .select(col("p.xlo").as("xlo"), col("p.xhi").as("xhi"),
+        col("p.ylo").as("ylo"), col("p.yhi").as("yhi"))
+    p.crossJoin(broadcast(manifest))
+      .withColumn("pruned",
+        col("xmx") < col("xlo") || col("xmn") > col("xhi") ||
+          col("ymx") < col("ylo") || col("ymn") > col("yhi"))
+      .groupBy(col("xlo"), col("xhi"), col("ylo"), col("yhi"))
+      .agg(count(lit(1)).as("n_shards"),
+        count(when(col("pruned"), 1)).as("n_pruned"),
+        sum(when(!col("pruned"), col("n_rows")).otherwise(lit(0L)))
+          .as("rows_scanned_bound"))
+      .select(lit(layout).as("layout"), col("xlo"), col("xhi"), col("ylo"),
+        col("yhi"), col("n_shards"), col("n_pruned"), col("rows_scanned_bound"))
+  }
 }

@@ -3734,5 +3734,58 @@ object PipelineQueries {
              |       COALESCE(n_active, 0) AS n_active,
              |       COALESCE(n_segments, 0) AS n_segments,
              |       COALESCE(max_run, 0) AS max_run
-             |FROM nw LEFT JOIN per USING (doc_id)""".stripMargin)))
+             |FROM nw LEFT JOIN per USING (doc_id)""".stripMargin)),
+
+    // layout bake-off: the same rectangle probes scored against the
+    // arrival-order manifest AND the z-order manifest — the measurement
+    // that justifies OPTIMIZE ZORDER (2-D boxes prune z-shards, arrival
+    // shards carry the full user range and never prune)
+    QueryDef("q203_zorder_skipping",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("yv"))
+        val preds = Seq((0L, 63L, 0L, 63L), (0L, 1499L, 100L, 120L),
+          (40L, 50L, 0L, 600L), (0L, 2047L, 0L, 2047L))
+        val zed = ev.withColumn("zkey",
+          graft.operators.ZOrder.zValue(col("user_id"), col("yv"), 11))
+        graft.operators.ZOrder.skippingAudit2D(ev,
+            expr("event_id div 512"), "linear", "user_id", "yv", preds)
+          .unionByName(graft.operators.ZOrder.skippingAudit2D(zed,
+            expr("zkey div 4096"), "zorder", "user_id", "yv", preds))
+      },
+      Some {
+        val z = graft.operators.ZOrder.zValueSql(
+          "user_id", "CAST(floor(value) AS BIGINT)", 11)
+        """WITH ev AS (SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS yv,
+          |                   ZEXPR AS zkey
+          |            FROM events),
+          |p AS (SELECT CAST(xlo AS BIGINT) AS xlo, CAST(xhi AS BIGINT) AS xhi,
+          |             CAST(ylo AS BIGINT) AS ylo, CAST(yhi AS BIGINT) AS yhi
+          |      FROM (VALUES (0, 63, 0, 63), (0, 1499, 100, 120),
+          |                   (40, 50, 0, 600), (0, 2047, 0, 2047)) AS t(xlo, xhi, ylo, yhi)),
+          |ml AS (SELECT event_id // 512 AS shard, min(user_id) AS xmn, max(user_id) AS xmx,
+          |              min(yv) AS ymn, max(yv) AS ymx, count(*) AS n_rows
+          |       FROM ev GROUP BY 1),
+          |mz AS (SELECT zkey // 4096 AS shard, min(user_id) AS xmn, max(user_id) AS xmx,
+          |              min(yv) AS ymn, max(yv) AS ymx, count(*) AS n_rows
+          |       FROM ev GROUP BY 1),
+          |rl AS (SELECT 'linear' AS layout, xlo, xhi, ylo, yhi,
+          |              CAST(count(*) AS BIGINT) AS n_shards,
+          |              CAST(count(CASE WHEN xmx < xlo OR xmn > xhi
+          |                               OR ymx < ylo OR ymn > yhi THEN 1 END) AS BIGINT) AS n_pruned,
+          |              CAST(sum(CASE WHEN xmx < xlo OR xmn > xhi
+          |                             OR ymx < ylo OR ymn > yhi THEN 0 ELSE n_rows END) AS BIGINT)
+          |                AS rows_scanned_bound
+          |       FROM p CROSS JOIN ml GROUP BY 2, 3, 4, 5),
+          |rz AS (SELECT 'zorder' AS layout, xlo, xhi, ylo, yhi,
+          |              CAST(count(*) AS BIGINT) AS n_shards,
+          |              CAST(count(CASE WHEN xmx < xlo OR xmn > xhi
+          |                               OR ymx < ylo OR ymn > yhi THEN 1 END) AS BIGINT) AS n_pruned,
+          |              CAST(sum(CASE WHEN xmx < xlo OR xmn > xhi
+          |                             OR ymx < ylo OR ymn > yhi THEN 0 ELSE n_rows END) AS BIGINT)
+          |                AS rows_scanned_bound
+          |       FROM p CROSS JOIN mz GROUP BY 2, 3, 4, 5)
+          |SELECT * FROM rl UNION ALL SELECT * FROM rz""".stripMargin
+          .replace("ZEXPR", z)
+      }))
 }

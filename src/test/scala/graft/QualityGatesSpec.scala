@@ -74,7 +74,7 @@ class QualityGatesSpec extends SparkSpec {
     "q186_iqr_outliers",
     // 4-row predicate probe against the catalog-scale shard manifest
     // (the data itself is scanned once for the manifest aggregate)
-    "q194_zonemap",
+    "q194_zonemap", "q203_zorder_skipping",
     // one-row grand-total attach inherited from the chi2 cell frame
     "q198_cramers_v")
 

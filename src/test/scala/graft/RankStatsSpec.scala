@@ -84,6 +84,28 @@ class RankStatsSpec extends SparkSpec {
     assert(got((100L, 200L)) === ((2L, 2L, 0L)), "both shards pruned")
   }
 
+  test("skippingAudit2D: z-bucketed layout prunes the 2-D box, row-id layout cannot") {
+    // 16x16 grid, one row per cell; arrival id is a bijective scramble
+    // (5k+3 mod 256) so arrival shards span both dims; z shards are
+    // 4x4 tiles
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L)
+      yield ((5 * (y * 16 + x) + 3) % 256, x, y)
+    val df = grid.toDF("rid", "x", "y")
+    val zd = df.withColumn("zkey",
+      graft.operators.ZOrder.zValue(col("x"), col("y"), 4))
+    val preds = Seq((0L, 3L, 0L, 3L))
+    def audit(d: org.apache.spark.sql.DataFrame, shard: String, tag: String) =
+      graft.operators.ZOrder.skippingAudit2D(d, expr(shard), tag, "x", "y", preds)
+        .collect().head
+    val lin = audit(df, "rid div 16", "linear")
+    val zed = audit(zd, "zkey div 16", "zorder")
+    assert(lin.getLong(lin.fieldIndex("n_pruned")) === 0L,
+      "every arrival shard spans all of x")
+    assert(zed.getLong(zed.fieldIndex("n_pruned")) === 15L,
+      "the box is exactly one 4x4 z-tile")
+    assert(zed.getLong(zed.fieldIndex("rows_scanned_bound")) === 16L)
+  }
+
   test("phraseSearch counts overlapping occurrences") {
     val docs = Seq((1L, "a a a b"), (2L, "a b a"), (3L, "b b"))
       .toDF("doc_id", "text")
