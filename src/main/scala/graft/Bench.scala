@@ -250,24 +250,31 @@ object Bench {
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_.median).sum
     val minTotal = results.map(_.min).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_total":$minTotal,""" +
-      s""""chunks":${chunks.size},"chunk_size":$chunkSize,""" +
-      s""""queries":${jmap(_.median.toString)},""" +
-      s""""runs":${jmap(_.runs.mkString("[", ",", "]"))},""" +
+    // Two artifacts. bench_result.json carries the full diagnostics (per-rep
+    // runs, code-cache peaks, GC time) — ~30 KB at 230+ queries, which is
+    // MORE than the driver's log-tail capture holds, so the full object must
+    // never be the stdout line (round 4 shipped "parsed": null exactly that
+    // way). Stdout/stderr get a COMPACT line — totals + the per-query median
+    // map (~6 KB) — printed LAST so the tail capture parses it.
+    val detail = s""""runs":${jmap(_.runs.mkString("[", ",", "]"))},""" +
       s""""codecache_mb":${jmap(r => f"${r.ccMb}%.1f")},""" +
-      s""""gc_sec":${jmap(r => f"${r.gcSec}%.2f")},""" +
-      s""""sf":"$sfDir"}"""
+      s""""gc_sec":${jmap(r => f"${r.gcSec}%.2f")},"""
+    def line(extra: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_total":$minTotal,""" +
+        s""""chunks":${chunks.size},"chunk_size":$chunkSize,"n_queries":${results.size},""" +
+        s""""queries":${jmap(_.median.toString)},""" + extra + s""""sf":"$sfDir"}"""
     // durability against log-tail truncation (round 2 lost q00-q03 from the
-    // captured artifact): persist the line to a file first, stop Spark so
-    // its shutdown chatter precedes the payload, then print the JSON as the
-    // very last line of both stdout and stderr
+    // captured artifact): persist the full line to a file first, stop Spark
+    // so its shutdown chatter precedes the payload, then print the compact
+    // JSON as the very last line of both stdout and stderr
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      (line(detail) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     try { SparkSession.getActiveSession.foreach(_.stop()) } catch { case _: Throwable => () }
-    println(json)
+    val compact = line("")
+    println(compact)
     System.out.flush()
-    System.err.println(json)
+    System.err.println(compact)
   }
 }

@@ -767,8 +767,11 @@ object QualityChecks {
     * "did the label distribution shift by source?" audit). Exactness
     * contract: the observed count o, row total r, column total c, and
     * grand total n are BIGINTs; the cell discrepancy n·o − r·c is
-    * computed in DECIMAL(38,0) (n·o alone overflows BIGINT past ~3·10⁹
-    * rows), so every reported integer is exact on both engines. The
+    * computed INTERNALLY in DECIMAL(38,0) (n·o alone overflows BIGINT
+    * past ~3·10⁹ rows) and REPORTED as a double — one deterministic
+    * round-to-nearest from the exact integer, identical cross-engine
+    * (wide decimals must never reach a final schema: engines render
+    * them differently, so downstream equality checks diverge). The
     * per-cell χ² term (n·o−r·c)²/(n·r·c) is then ONE fixed order of
     * double operations from those exact integers — bit-identical cross-
     * engine, and cells are few (|A|·|B|), so no ordered-sum trap exists:
@@ -789,7 +792,7 @@ object QualityChecks {
       .withColumn("diff", dec(col("n")) * dec(col("o")) - dec(col("r")) * dec(col("c")))
     def d(c: Column) = c.cast("double")
     j.select(col("a"), col("b"), col("o"), col("r"), col("c"), col("n"),
-      col("diff"),
+      d(col("diff")).as("diff"),
       (d(col("diff")) * d(col("diff")) / (d(col("n")) * d(col("r")) * d(col("c"))))
         .as("term"))
   }
@@ -834,9 +837,11 @@ object QualityChecks {
     * integer moments (n, Σx, Σy, Σxy, Σx²) — the volume-trend /
     * drift-direction readout next to [[correlationMatrix]]'s strength.
     * Every moment is an exact BIGINT ridden by one groupBy; slope =
-    * (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) with numerator/denominator emitted
-    * as exact DECIMAL(38,0) and the slope/intercept each ONE fixed-
-    * order double division — bit-identical cross-engine. Degenerate
+    * (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) with numerator/denominator exact in
+    * DECIMAL(38,0) internally, REPORTED as doubles (wide decimals never
+    * reach a final schema — engines render them differently), and the
+    * slope/intercept each ONE fixed-order double division from the
+    * exact decimals — bit-identical cross-engine. Degenerate
     * groups (a single distinct x) emit null slope/intercept. Output:
     * (group, n, slope_num, slope_den, slope, intercept). */
   def groupTrend(df: DataFrame, groupCol: String, xCol: String,
@@ -851,10 +856,9 @@ object QualityChecks {
     val den = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
     def d(c: Column) = c.cast("double")
     m.select(col(groupCol), col("n"), col("sx"), col("sy"),
-        num.as("slope_num"), den.as("slope_den"))
-      .withColumn("slope",
-        when(col("slope_den") === 0, lit(null).cast("double"))
-          .otherwise(d(col("slope_num")) / d(col("slope_den"))))
+        d(num).as("slope_num"), d(den).as("slope_den"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(d(num) / d(den)).as("slope"))
       .withColumn("intercept",
         when(col("slope_den") === 0, lit(null).cast("double"))
           .otherwise((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n"))))
@@ -887,11 +891,13 @@ object QualityChecks {
     * r2 = 2·cum − c + 1 is an integer and ρ is scale-invariant under
     * the ×2. Each axis ranks over its COLLAPSED cents histogram
     * (bounded by distinct values, never rows) and the rank maps
-    * broadcast back; five DECIMAL(38,0) moments ride one aggregate; ρ
-    * is ONE fixed order of double ops (num / (√denx · √deny)) from the
-    * exact integers — sqrt is IEEE-correctly-rounded, so bit-identical
-    * cross-engine. Output one row:
-    * (n, num, den_x, den_y, rho). */
+    * broadcast back; five DECIMAL(38,0) moments ride one aggregate
+    * INTERNALLY, with num/den_x/den_y REPORTED as doubles (wide
+    * decimals never reach a final schema — engines render them
+    * differently); ρ is ONE fixed order of double ops
+    * (num / (√denx · √deny)) from the exact decimals — sqrt is
+    * IEEE-correctly-rounded, so bit-identical cross-engine. Output one
+    * row: (n, num, den_x, den_y, rho). */
   def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = df.select(expr(centsSql(xCol)).as("x"), expr(centsSql(yCol)).as("y"))
@@ -912,13 +918,13 @@ object QualityChecks {
       sum(dec(col("r_x")) * dec(col("r_x"))).as("sxx"),
       sum(dec(col("r_y")) * dec(col("r_y"))).as("syy"))
     def d(c: Column) = c.cast("double")
+    val num = dec(col("n")) * col("sxy") - col("sx") * col("sy")
+    val denX = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+    val denY = dec(col("n")) * col("syy") - col("sy") * col("sy")
     m.select(col("n"),
-        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("num"),
-        (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("den_x"),
-        (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("den_y"))
-      .withColumn("rho",
-        when(col("den_x") === 0 || col("den_y") === 0, lit(null).cast("double"))
-          .otherwise(d(col("num")) / (sqrt(d(col("den_x"))) * sqrt(d(col("den_y"))))))
+        d(num).as("num"), d(denX).as("den_x"), d(denY).as("den_y"),
+        when(denX === 0 || denY === 0, lit(null).cast("double"))
+          .otherwise(d(num) / (sqrt(d(denX)) * sqrt(d(denY)))).as("rho"))
   }
 
   /** Per-group Gini concentration of a 2-decimal measure — the
@@ -929,8 +935,10 @@ object QualityChecks {
     * COLLAPSED per-group histogram: a value `v` with count `c` after
     * `b = cum − c` smaller rows occupies ranks b+1..b+c, contributing
     * v·(c·b + c·(c+1)/2) — doubled to 2Σix = Σ v·(2·c·b + c² + c) so
-    * everything stays integral in DECIMAL(38,0). The only double is the
-    * final division. Output per group:
+    * everything stays integral in DECIMAL(38,0) INTERNALLY; sum_v and
+    * g_num are REPORTED as doubles (wide decimals never reach a final
+    * schema) and the gini is one division from the exact decimals.
+    * Output per group:
     * (group, n, sum_v, g_num = 2Σi·xᵢ − (n+1)·Σx, gini). */
   def giniConcentration(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
@@ -950,11 +958,11 @@ object QualityChecks {
       sum(dec(col("v")) * dec(col("c"))).as("sum_v"),
       sum(col("two_six")).as("two_sum_ix"))
     def d(c: Column) = c.cast("double")
-    m.select(col("g"), col("n"), col("sum_v"),
-        (col("two_sum_ix") - (dec(col("n")) + 1) * col("sum_v")).as("g_num"))
-      .withColumn("gini",
+    val gNum = col("two_sum_ix") - (dec(col("n")) + 1) * col("sum_v")
+    m.select(col("g"), col("n"), d(col("sum_v")).as("sum_v"),
+        d(gNum).as("g_num"),
         when(col("sum_v") === 0, lit(null).cast("double"))
-          .otherwise(d(col("g_num")) / (d(col("n")) * d(col("sum_v")))))
+          .otherwise(d(gNum) / (d(col("n")) * d(col("sum_v")))).as("gini"))
   }
 
   /** Cramér's V effect size on top of [[chi2Cells]] — "are these two
@@ -1028,8 +1036,9 @@ object QualityChecks {
     * positive outscores a random negative. Ranks are doubled average
     * ranks over the COLLAPSED score histogram (scores are bit-identical
     * doubles on both engines, so grouping on them is exact);
-    * 2U = Σr₂(pos) − n₁(n₁+1) stays integral; the AUC is one double
-    * division. Output: (n_pos, n_neg, u2, auc). */
+    * 2U = Σr₂(pos) − n₁(n₁+1) stays integral internally and u2 is
+    * REPORTED as a double (wide decimals never reach a final schema);
+    * the AUC is one double division. Output: (n_pos, n_neg, u2, auc). */
   def aucRankSum(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -1045,11 +1054,10 @@ object QualityChecks {
       sum(col("c") - col("cpos")).as("n_neg"),
       sum(dec(col("cpos")) * dec(col("r2"))).as("sum_r2_pos"))
     def d(c: Column) = c.cast("double")
-    m.select(col("n_pos"), col("n_neg"),
-        (col("sum_r2_pos") - dec(col("n_pos")) * (dec(col("n_pos")) + 1)).as("u2"))
-      .withColumn("auc",
+    val u2 = col("sum_r2_pos") - dec(col("n_pos")) * (dec(col("n_pos")) + 1)
+    m.select(col("n_pos"), col("n_neg"), d(u2).as("u2"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
-          .otherwise(d(col("u2")) / (lit(2.0) * d(col("n_pos")) * d(col("n_neg")))))
+          .otherwise(d(u2) / (lit(2.0) * d(col("n_pos")) * d(col("n_neg")))).as("auc"))
   }
 
   /** Category-similarity matrix: cosine between category "behavior

@@ -98,8 +98,10 @@ object TimeSeries {
     * shift statistic S_i = Σ_{t≤i}(x_t − x̄) is kept EXACT by scaling
     * ×n: s_i = n·prefix_i − i·total is an integer (no mean, no
     * division), |s| is maximized with the earliest day as the
-    * deterministic tie-break, and the reported magnitude
-    * s_abs_max/(n·n) is the only double. The series is the collapsed
+    * deterministic tie-break; s_abs_max is REPORTED as a double (wide
+    * decimals never reach a final schema — engines render them
+    * differently) and shift_score = s_abs_max/(n·n) is one more double
+    * op from the exact decimal. The series is the collapsed
     * (group, day) count frame — windows are bounded by distinct days
     * per group, never rows. Output per group:
     * (group, n_days, total, day_star, s_abs_max, shift_score). */
@@ -126,9 +128,11 @@ object TimeSeries {
       .filter(col("s_abs") === col("s_abs_max"))
       .groupBy(col("g")).agg(
         max(col("n")).as("n_days"), max(col("total")).as("total"),
-        min(col("day")).as("day_star"), max(col("s_abs")).as("s_abs_max"))
-      .withColumn("shift_score",
-        d(col("s_abs_max")) / (d(col("n_days")) * d(col("n_days"))))
+        min(col("day")).as("day_star"), max(col("s_abs")).as("s_abs_max_dec"))
+      .select(col("g"), col("n_days"), col("total"), col("day_star"),
+        d(col("s_abs_max_dec")).as("s_abs_max"),
+        (d(col("s_abs_max_dec")) / (d(col("n_days")) * d(col("n_days"))))
+          .as("shift_score"))
   }
 
   /** Sample autocorrelation of a per-group daily count series at lags
@@ -138,8 +142,10 @@ object TimeSeries {
     * centered term is cₜ = n·xₜ − S (exact), the lag-k numerator is
     * Σ cₜ·cₜ₊ₖ over the n−k overlapping SEQUENCE positions (lead over
     * the day-ordered series — gaps collapse, the series is the
-    * observed sequence), the denominator Σ cₜ² — all DECIMAL(38,0) —
-    * and r_k is ONE double division (the common n² factor cancels).
+    * observed sequence), the denominator Σ cₜ² — all DECIMAL(38,0)
+    * INTERNALLY, with num/den REPORTED as doubles (wide decimals never
+    * reach a final schema — engines render them differently) — and r_k
+    * is ONE double division (the common n² factor cancels).
     * Output: (group, k, n_days, num, den, acf). */
   def autocorrelation(events: DataFrame, groupCol: String, tsCol: String,
       maxLag: Int = 3): DataFrame = {
@@ -164,9 +170,9 @@ object TimeSeries {
     def d(c: Column) = c.cast("double")
     lags.reduce(_ unionByName _)
       .join(broadcast(den), "g")
-      .select(col("g"), col("k"), col("n_days"), col("num"), col("den"))
-      .withColumn("acf",
+      .select(col("g"), col("k"), col("n_days"),
+        d(col("num")).as("num"), d(col("den")).as("den"),
         when(col("den") === 0, lit(null).cast("double"))
-          .otherwise(d(col("num")) / d(col("den"))))
+          .otherwise(d(col("num")) / d(col("den"))).as("acf"))
   }
 }

@@ -2578,7 +2578,7 @@ object PipelineQueries {
              |        FROM thr JOIN cum ON cum.event_type = thr.event_type AND cum.cum >= thr.thr
              |        GROUP BY 1, 2, 3)
              |SELECT sel.event_type, CAST(sel.pct AS INTEGER) AS pct, sel.bin,
-             |       sel.bin * 500 AS lo_cents, cum.cum, sel.total
+             |       sel.bin * 500 AS lo_cents, CAST(cum.cum AS BIGINT) AS cum, sel.total
              |FROM sel JOIN cum ON cum.event_type = sel.event_type AND cum.bin = sel.bin""".stripMargin)),
 
     // empirical Markov transition matrix over each user's (ts, id)-total
@@ -2839,8 +2839,8 @@ object PipelineQueries {
              |  AND (t.best_cheaper IS NULL OR t.max_y > t.best_cheaper)""".stripMargin)),
 
     // chi-squared contingency cells (event_type x epoch-day-of-week):
-    // n*o - r*c exact in DECIMAL(38,0) (HUGEINT on the oracle side), the
-    // per-cell term one fixed order of doubles from exact integers
+    // n*o - r*c exact in DECIMAL(38,0) internally (HUGEINT oracle-side),
+    // reported as DOUBLE; per-cell term one fixed order of doubles
     QueryDef("q169_chi2_cells",
       (s, dir) => QualityChecks.chi2Cells(
         Tables.events(s, dir).select(col("event_type"),
@@ -2855,7 +2855,7 @@ object PipelineQueries {
              |g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
              |SELECT cells.a, cells.b, cells.o, rt.r, ct.c, g.n,
              |       CAST(CAST(g.n AS HUGEINT) * cells.o
-             |            - CAST(rt.r AS HUGEINT) * ct.c AS DECIMAL(38,0)) AS diff,
+             |            - CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE) AS diff,
              |       CAST(CAST(g.n AS HUGEINT) * cells.o
              |            - CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE)
              |         * CAST(CAST(g.n AS HUGEINT) * cells.o
@@ -3207,7 +3207,7 @@ object PipelineQueries {
              |                                       ROWS BETWEEN UNBOUNDED PRECEDING
              |                                       AND 1 PRECEDING), 0) AS before
              |      FROM f)
-             |SELECT before // 10000 AS bin, CAST(count(*) AS BIGINT) AS n_files,
+             |SELECT CAST(before // 10000 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_files,
              |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
              |       min(fid) AS min_file_id, max(fid) AS max_file_id
              |FROM w GROUP BY 1""".stripMargin)),
@@ -3345,7 +3345,7 @@ object PipelineQueries {
 
     // per-type OLS volume trend: slope of daily event counts over the
     // epoch-day index from five exact BIGINT moments; slope_num/_den
-    // exact DECIMAL(38,0) (HUGEINT oracle-side), slope one division
+    // exact internally (HUGEINT oracle-side), reported as DOUBLE
     QueryDef("q180_trend",
       (s, dir) => QualityChecks.groupTrend(
         Tables.events(s, dir).groupBy(col("event_type"),
@@ -3373,7 +3373,8 @@ object PipelineQueries {
              |                   ELSE CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
              |              END AS slope
              |       FROM s)
-             |SELECT event_type, n, slope_num, slope_den, slope,
+             |SELECT event_type, n, CAST(slope_num AS DOUBLE) AS slope_num,
+             |       CAST(slope_den AS DOUBLE) AS slope_den, slope,
              |       CASE WHEN slope_den = 0 THEN NULL
              |            ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
              |                 / CAST(n AS DOUBLE) END AS intercept
@@ -3408,7 +3409,8 @@ object PipelineQueries {
              |             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS den_x,
              |             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DECIMAL(38,0)) AS den_y
              |      FROM m)
-             |SELECT n, num, den_x, den_y,
+             |SELECT n, CAST(num AS DOUBLE) AS num, CAST(den_x AS DOUBLE) AS den_x,
+             |       CAST(den_y AS DOUBLE) AS den_y,
              |       CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
              |            ELSE CAST(num AS DOUBLE)
              |                 / (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS DOUBLE)))
@@ -3432,8 +3434,8 @@ object PipelineQueries {
              |             sum(CAST(v AS HUGEINT) *
              |                 (2 * CAST(c AS HUGEINT) * b + CAST(c AS HUGEINT) * c + c)) AS two_sum
              |      FROM w GROUP BY 1)
-             |SELECT g, n, CAST(sum_v_h AS DECIMAL(38,0)) AS sum_v,
-             |       CAST(two_sum - (CAST(n AS HUGEINT) + 1) * sum_v_h AS DECIMAL(38,0)) AS g_num,
+             |SELECT g, n, CAST(sum_v_h AS DOUBLE) AS sum_v,
+             |       CAST(two_sum - (CAST(n AS HUGEINT) + 1) * sum_v_h AS DOUBLE) AS g_num,
              |       CASE WHEN sum_v_h = 0 THEN NULL
              |            ELSE CAST(two_sum - (CAST(n AS HUGEINT) + 1) * sum_v_h AS DOUBLE)
              |                 / (CAST(n AS DOUBLE) * CAST(sum_v_h AS DOUBLE)) END AS gini
@@ -3462,7 +3464,7 @@ object PipelineQueries {
              |SELECT s.g, CAST(max(s.n) AS BIGINT) AS n_days,
              |       CAST(max(s.total) AS BIGINT) AS total,
              |       min(s.day) AS day_star,
-             |       CAST(max(s.s_abs) AS DECIMAL(38,0)) AS s_abs_max,
+             |       CAST(max(s.s_abs) AS DOUBLE) AS s_abs_max,
              |       CAST(max(s.s_abs) AS DOUBLE)
              |         / (CAST(max(s.n) AS DOUBLE) * CAST(max(s.n) AS DOUBLE)) AS shift_score
              |FROM s JOIN b ON b.g = s.g AND s.s_abs = b.s_abs_max
@@ -3658,7 +3660,7 @@ object PipelineQueries {
              |      FROM r2)
              |SELECT n_pos, n_neg,
              |       CAST(sum_r2_pos - CAST(n_pos AS HUGEINT) * (CAST(n_pos AS HUGEINT) + 1)
-             |            AS DECIMAL(38,0)) AS u2,
+             |            AS DOUBLE) AS u2,
              |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
              |            ELSE CAST(sum_r2_pos - CAST(n_pos AS HUGEINT) * (CAST(n_pos AS HUGEINT) + 1)
              |                      AS DOUBLE)
@@ -3695,7 +3697,8 @@ object PipelineQueries {
              |        FROM led
              |        WHERE (CASE k WHEN 1 THEN cx1 WHEN 2 THEN cx2 ELSE cx3 END) IS NOT NULL
              |        GROUP BY 1, 2)
-             |SELECT num.g, CAST(k AS INTEGER) AS k, n_days, num, den,
+             |SELECT num.g, CAST(k AS INTEGER) AS k, n_days,
+             |       CAST(num AS DOUBLE) AS num, CAST(den AS DOUBLE) AS den,
              |       CASE WHEN den = 0 THEN NULL
              |            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
              |FROM num JOIN den USING (g)""".stripMargin)),

@@ -177,4 +177,39 @@ class QualityGatesSpec extends SparkSpec {
     assert(checked.size >= 10,
       s"gate degenerated — only ${checked.size} queries carry literal source predicates: $checked")
   }
+
+  test("registry-wide: no wide exact decimals in any FINAL output schema") {
+    // Round-4 lesson: the driver's hash pipeline materializes integral
+    // wide decimals (DuckDB HUGEINT / DECIMAL(38,0)) differently per
+    // engine — exact int128 rendering vs float64 — which flipped nine
+    // VALUE-IDENTICAL rows red. The structural contract: every FINAL
+    // output column must be a type both engines render identically —
+    // ≤64-bit integrals, floating point, string, boolean, binary,
+    // date/timestamp, or a FRACTIONAL decimal (scale ≥ 1, the
+    // money-sum class both engines print as "123.45"); wide SCALE-0
+    // decimals stay internal and are cast to BIGINT (if they fit by
+    // construction) or DOUBLE before the final select. Arrays/structs/
+    // maps recurse.
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: StringType | _: BooleanType |
+           _: BinaryType | _: DateType | _: TimestampType |
+           _: TimestampNTZType | _: NullType => true
+      case d: DecimalType => d.scale >= 1
+      case a: ArrayType => ok(a.elementType)
+      case m: MapType => ok(m.keyType) && ok(m.valueType)
+      case s: StructType => s.fields.forall(f => ok(f.dataType))
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema = fn(spark, dir).schema
+        val bad = schema.fields.filterNot(f => ok(f.dataType))
+        if (bad.isEmpty) None
+        else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"wide/unrenderable output types (cast to BIGINT/DOUBLE before the final select): ${offenders.mkString("; ")}")
+  }
 }

@@ -130,7 +130,7 @@ class RankStatsSpec extends SparkSpec {
     // scores 1..4, positives at 1 and 3: U counts (3>2) only -> 1/4
     val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0)).toDF("score", "y")
     val r = QualityChecks.aucRankSum(df, "score", "y").collect().head
-    assert(r.getDecimal(r.fieldIndex("u2")).longValueExact() === 2L)
+    assert(r.getDouble(r.fieldIndex("u2")) === 2.0)
     assert(r.getDouble(r.fieldIndex("auc")) === 0.25)
     val sep = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("score", "y")
     assert(QualityChecks.aucRankSum(sep, "score", "y")

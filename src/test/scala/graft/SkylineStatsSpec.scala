@@ -50,12 +50,12 @@ class SkylineStatsSpec extends SparkSpec {
       Seq.fill(5)(("y", 0L)) ++ Seq.fill(15)(("y", 1L))
     val out = QualityChecks.chi2Cells(rows.toDF("a", "b"), "a", "b")
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getDecimal(6).longValueExact(), r.getDouble(7))).toMap
+        (r.getDouble(6), r.getDouble(7))).toMap
     // n=40, every r=c=20, E=10: diff = 40*15 - 400 = 200 (or -200),
     // term = 200^2 / (40*20*20) = 2.5 on every cell
-    assert(out(("x", 0L)) === (200L, 2.5))
-    assert(out(("x", 1L)) === (-200L, 2.5))
-    assert(out(("y", 1L)) === (200L, 2.5))
+    assert(out(("x", 0L)) === (200.0, 2.5))
+    assert(out(("x", 1L)) === (-200.0, 2.5))
+    assert(out(("y", 1L)) === (200.0, 2.5))
   }
 
   test("winsorize clamps to the exact p5/p95 group order statistics") {

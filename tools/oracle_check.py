@@ -4,13 +4,34 @@ dumps, run each oracle SQL in DuckDB over the same sf tables, compare
 (sorted columns, sorted rows, exact values). Usage:
     python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, re, sys
 from pathlib import Path
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Wide integral decimals (DuckDB HUGEINT / DECIMAL(>18,0)) are rendered
+# differently by the driver's hash pipeline per engine (exact int128 vs
+# float64), so value-identical frames still hash-mismatch — exactly how
+# nine round-4 rows shipped red while this mirror said PASS (fetchdf()
+# converts HUGEINT to float64, masking the divergence). Gate the TYPES of
+# both result frames, not just the fetched values.
+_DEC = re.compile(r"DECIMAL\((\d+),(\d+)\)")
+
+
+def wide_cols(cols_types):
+    bad = []
+    for c, t in cols_types:
+        s = str(t)
+        if s in ("HUGEINT", "UHUGEINT"):
+            bad.append(f"{c}:{s}")
+        else:
+            m = _DEC.fullmatch(s)
+            if m and int(m.group(2)) == 0 and int(m.group(1)) > 18:
+                bad.append(f"{c}:{s}")
+    return bad
 
 
 def normalize(df):
@@ -62,9 +83,21 @@ def main():
         try:
             spark_df = con.execute(
                 f"SELECT * FROM '{spark_path}/*.parquet'").fetchdf()
-            duck_df = con.execute(oracle[name]).fetchdf()
+            spark_desc = con.execute(
+                f"DESCRIBE SELECT * FROM '{spark_path}/*.parquet'").fetchall()
+            duck_rel = con.sql(oracle[name])
+            duck_types = list(zip(duck_rel.columns, duck_rel.types))
+            duck_df = duck_rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}");  n_fail += 1;  continue
+        wide = wide_cols([(r[0], r[1]) for r in spark_desc]) \
+            + wide_cols(duck_types)
+        if wide:
+            print(f"FAIL {name}: WIDE-TYPE {wide} — driver hash renders "
+                  "HUGEINT/DECIMAL(>18,0) differently per engine; cast to "
+                  "BIGINT/DOUBLE in the final select of BOTH engines")
+            n_fail += 1
+            continue
         err = compare(name, spark_df, duck_df)
         if err:
             print(f"FAIL {name}: {err}");  n_fail += 1
