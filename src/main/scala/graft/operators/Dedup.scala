@@ -231,7 +231,12 @@ object Dedup {
     * min over shingles s of ((2i+3)·s + 7i+1) mod P. Docs with no
     * shingles are dropped (they can't near-dup by this measure). */
   def minhashSignatures(corpus: DataFrame, numHashes: Int = 16): DataFrame =
-    shingled(corpus).filter(size(col("shs")) > 0)
+    minhashSignaturesFrom(shingled(corpus), numHashes)
+
+  /** [[minhashSignatures]] over an already-shingled (doc_id, shs) frame —
+    * lets [[ensembleDedupApply]] feed every family from ONE corpus scan. */
+  private def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.filter(size(col("shs")) > 0)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(numHashes - 1)), i =>
           struct(i.cast("int").as("i"),
@@ -302,9 +307,13 @@ object Dedup {
     * against the corpus shingle sets. Every pair family funnels through
     * this — candidates only propose, the exact measure decides. */
   private def jaccardVerify(corpus: DataFrame, cand: DataFrame,
+      minJaccard: Double): DataFrame =
+    jaccardVerifyFromSets(shingled(corpus).select(col("doc_id"),
+      array_distinct(col("shs")).as("set")), cand, minJaccard)
+
+  /** The verify gate over a precomputed (doc_id, set) frame. */
+  private def jaccardVerifyFromSets(sets: DataFrame, cand: DataFrame,
       minJaccard: Double): DataFrame = {
-    val sets = shingled(corpus).select(col("doc_id"),
-      array_distinct(col("shs")).as("set"))
     val inter = size(array_intersect(col("set_a"), col("set_b")))
     val uni = size(col("set_a")) + size(col("set_b")) - inter
     cand
@@ -359,9 +368,13 @@ object Dedup {
     * pairs under the df cap) — exposed so [[ensembleDedupApply]] can
     * union candidate sets BEFORE the one shared verify pass. */
   private def winnowCandidates(corpus: DataFrame, w: Int,
-      maxFpDf: Int): DataFrame = {
-    val fps = corpus.select(col("doc_id"),
-      explode(array_distinct(TextHash.winnowHashes(col("text"), w))).as("fp"))
+      maxFpDf: Int): DataFrame =
+    winnowCandidatesFrom(corpus.select(col("doc_id"),
+      explode(array_distinct(TextHash.winnowHashes(col("text"), w))).as("fp")),
+      maxFpDf)
+
+  /** The winnow candidate join over pre-exploded (doc_id, fp) rows. */
+  private def winnowCandidatesFrom(fps: DataFrame, maxFpDf: Int): DataFrame = {
     // document frequency per fingerprint — vocabulary-sized aggregate with
     // map-side partials, same pattern as jaccardPairs' canonical order
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("fdf"))
@@ -828,15 +841,30 @@ object Dedup {
     * family is its own bucketed generator with its own hot-key defense;
     * the CC pass is shared. Output: (doc_id, source) of survivors. */
   def ensembleDedupApply(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    // union the CANDIDATE sets first, verify ONCE: the shingle sets and
-    // the verify join are shared across families instead of each family
-    // re-shingling the corpus (measured 2x on the full ensemble)
+    // ONE corpus scan derives every per-doc structure the ensemble needs
+    // — shingle hashes (minhash + the verify sets), word hashes
+    // (simhash), winnow fingerprints — materialized once with a lazy
+    // localCheckpoint (the dedupFamilyEval truth-pass pattern) so the
+    // three families and the shared verify read the pinned frame instead
+    // of re-reading and re-tokenizing the corpus four times. Candidates
+    // union FIRST, verify ONCE.
+    val prep = corpus.select(col("doc_id"), col("source"),
+        TextHash.shingleHashes(col("text")).as("shs"),
+        TextHash.wordHashes(col("text")).as("whs"),
+        array_distinct(TextHash.winnowHashes(col("text"), 4)).as("wfps"))
+      .localCheckpoint(false)
     val candidates =
-      lshCandidates(lshBands(minhashSignatures(corpus, 16), 4))
-        .union(simhashPairs(corpus).select(col("id_a"), col("id_b")))
-        .union(winnowCandidates(corpus, 4, DefaultMaxFpDf))
+      lshCandidates(lshBands(minhashSignaturesFrom(prep, 16), 4))
+        .union(bandedHammingPairs(
+            simhashFrom(prep, 24).join(prep.select(col("doc_id"), col("source")), "doc_id"),
+            "simhash", 24, 6, blockCols = Seq("source"))
+          .select(col("id_a"), col("id_b")))
+        .union(winnowCandidatesFrom(
+          prep.select(col("doc_id"), explode(col("wfps")).as("fp")), DefaultMaxFpDf))
         .distinct()
-    val edges = jaccardVerify(corpus, candidates, minJaccard)
+    val edges = jaccardVerifyFromSets(
+        prep.select(col("doc_id"), array_distinct(col("shs")).as("set")),
+        candidates, minJaccard)
       .select(col("id_a"), col("id_b"))
     val removed = canonicalAssignments(edges)
       .filter(col("doc_id") =!= col("canonical_id"))
@@ -964,9 +992,13 @@ object Dedup {
     * iff Σ_tokens (±1 by bit b of the token hash) > 0. Computed
     * relationally (explode + groupBy with 24 conditional sums) so the
     * partial aggregation is map-side — one shuffle at any scale. */
-  def simhash(corpus: DataFrame, bits: Int = 24): DataFrame = {
-    val exploded = corpus.select(col("doc_id"),
-      explode(TextHash.wordHashes(col("text"))).as("wh"))
+  def simhash(corpus: DataFrame, bits: Int = 24): DataFrame =
+    simhashFrom(corpus.select(col("doc_id"),
+      TextHash.wordHashes(col("text")).as("whs")), bits)
+
+  /** [[simhash]] over a precomputed (doc_id, whs: array<bigint>) frame. */
+  private def simhashFrom(whs: DataFrame, bits: Int): DataFrame = {
+    val exploded = whs.select(col("doc_id"), explode(col("whs")).as("wh"))
     val sums = (0 until bits).map(b =>
       sum(when(shiftright(col("wh"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b"))
     val packed = (0 until bits).map(b =>
