@@ -291,6 +291,68 @@ object Cli {
       val n = spark.read.parquet(s"$outDir/merges").count()
       println(s"[graft] bpe: learned $n merges -> $outDir/merges")
 
+    // ---- table maintenance (SURVEY-adjacent lakehouse ops): the
+    // operators exist in Maintenance.scala; these surface them the way
+    // a table-maintenance service would call them ----------------------
+    case "maintain" :: "compact-plan" :: manifestPath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val files = spark.read.parquet(manifestPath)
+      val idCol = o.getOrElse("id-col", files.columns.head)
+      val bytesCol = o.getOrElse("bytes-col", files.columns(1))
+      val target = o.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024)
+      graft.operators.Maintenance.compactionPlan(files, idCol, bytesCol, target)
+        .write.mode("overwrite").parquet(s"$outDir/compaction_plan")
+      val bins = spark.read.parquet(s"$outDir/compaction_plan").orderBy("bin").collect()
+      println(s"[graft] maintain compact-plan: ${files.count()} files -> ${bins.length} bins (target=$target bytes) -> $outDir/compaction_plan")
+      bins.foreach(r => println(s"[graft]   bin=${r.getLong(r.fieldIndex("bin"))} files=${r.getLong(r.fieldIndex("n_files"))} bytes=${r.getLong(r.fieldIndex("total_bytes"))}"))
+
+    case "maintain" :: "diff" :: oldPath :: newPath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val oldDf = spark.read.parquet(oldPath)
+      val newDf = spark.read.parquet(newPath)
+      val keys = o.get("keys").map(_.split(",").toSeq)
+        .getOrElse(Seq(oldDf.columns.head))
+      val cols = o.get("cols").map(_.split(",").toSeq)
+        .getOrElse(oldDf.columns.toSeq.filterNot(keys.contains))
+      graft.operators.Maintenance.snapshotDiff(oldDf, newDf, keys, cols)
+        .write.mode("overwrite").parquet(s"$outDir/diff")
+      val byClass = spark.read.parquet(s"$outDir/diff")
+        .groupBy("diff_class").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[graft] maintain diff: keys=${keys.mkString(",")} cols=${cols.mkString(",")} -> $outDir/diff")
+      Seq("added", "removed", "changed", "unchanged").foreach(c =>
+        println(s"[graft]   $c=${byClass.getOrElse(c, 0L)}"))
+
+    case "maintain" :: "checksum" :: tablePath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val df = spark.read.parquet(tablePath)
+      val keyCol = o.getOrElse("key-col", df.columns.head)
+      val width = o.get("range-width").map(_.toLong).getOrElse(1000L)
+      val cols = o.get("cols").map(_.split(",").toSeq)
+        .getOrElse(df.columns.toSeq.filterNot(_ == keyCol))
+      graft.operators.Maintenance.rangeChecksums(df, keyCol, width, cols)
+        .write.mode("overwrite").parquet(s"$outDir/checksums")
+      val n = spark.read.parquet(s"$outDir/checksums").count()
+      println(s"[graft] maintain checksum: key=$keyCol width=$width -> $n ranges -> $outDir/checksums")
+
+    case "maintain" :: "checksum-diff" :: aPath :: bPath :: outDir :: Nil =>
+      // tamper/drift detection: ranges whose checksums disagree are
+      // exactly the spans a repair job must re-ship — the transfer is
+      // bounded by the damage, not the table
+      val a = spark.read.parquet(aPath).select(col("bucket"),
+        col("n_rows").as("n_rows_a"), col("checksum").as("checksum_a"))
+      val b = spark.read.parquet(bPath).select(col("bucket"),
+        col("n_rows").as("n_rows_b"), col("checksum").as("checksum_b"))
+      a.join(b, Seq("bucket"), "full_outer")
+        .filter(col("checksum_a").isNull || col("checksum_b").isNull ||
+          col("checksum_a") =!= col("checksum_b") ||
+          col("n_rows_a") =!= col("n_rows_b"))
+        .write.mode("overwrite").parquet(s"$outDir/checksum_diff")
+      val bad = spark.read.parquet(s"$outDir/checksum_diff")
+        .orderBy("bucket").collect()
+      println(s"[graft] maintain checksum-diff: ${bad.length} mismatched ranges -> $outDir/checksum_diff")
+      bad.foreach(r => println(s"[graft]   bucket=${r.getLong(0)}"))
+
     case "dedup-eval" :: corpusPath :: outDir :: opts =>
       val o = parseOpts(opts)
       val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
@@ -321,7 +383,11 @@ object Cli {
           |  card         <corpusParquet> <outDir>
           |  release      <corpusParquet> <outDir> [--bench P] [--jaccard T] [--seq-len N]
           |  bpe          <corpusParquet> <outDir> [--merges N]
-          |  dedup-eval   <corpusParquet> <outDir> [--jaccard T]""".stripMargin)
+          |  dedup-eval   <corpusParquet> <outDir> [--jaccard T]
+          |  maintain compact-plan  <manifestParquet> <outDir> [--id-col c] [--bytes-col c] [--target BYTES]
+          |  maintain diff          <oldParquet> <newParquet> <outDir> [--keys k1,k2] [--cols c1,c2]
+          |  maintain checksum      <tableParquet> <outDir> [--key-col c] [--range-width N] [--cols c1,c2]
+          |  maintain checksum-diff <aChecksums> <bChecksums> <outDir>""".stripMargin)
       sys.exit(2)
   }
 

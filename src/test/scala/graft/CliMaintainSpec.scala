@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end `Cli maintain`: the table-maintenance tier driven the way
+  * a maintenance service would — a compaction plan from a file
+  * manifest, a snapshot diff exercising all four change classes, and a
+  * checksum/checksum-diff round trip that localizes a tampered row to
+  * its key range. */
+class CliMaintainSpec extends SparkSpec {
+
+  test("maintain compact-plan bins a file manifest to the target size") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("climaintain").toString
+    // 6 files, 100 bytes each, target 250: prefix sums 0,100,...,500
+    // div 250 -> bins 0,0,0,1,1,2
+    (1L to 6L).map(i => (i, 100L)).toDF("file_id", "bytes")
+      .write.parquet(s"$dir/manifest")
+    Cli.run(spark, List("maintain", "compact-plan", s"$dir/manifest",
+      s"$dir/out", "--target", "250"))
+    val bins = spark.read.parquet(s"$dir/out/compaction_plan")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(r.fieldIndex("bin")),
+        r.getLong(r.fieldIndex("n_files")),
+        r.getLong(r.fieldIndex("total_bytes"))))
+    assert(bins.toSeq === Seq((0L, 3L, 300L), (1L, 2L, 200L), (2L, 1L, 100L)))
+  }
+
+  test("maintain diff classifies added / removed / changed / unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("climaintain").toString
+    Seq((1L, "same", 10L), (2L, "old-text", 20L), (3L, "gone", 30L))
+      .toDF("id", "payload", "tag").write.parquet(s"$dir/old")
+    Seq((1L, "same", 10L), (2L, "new-text", 20L), (4L, "fresh", 40L))
+      .toDF("id", "payload", "tag").write.parquet(s"$dir/new")
+    Cli.run(spark, List("maintain", "diff", s"$dir/old", s"$dir/new",
+      s"$dir/out", "--keys", "id", "--cols", "payload,tag"))
+    val classes = spark.read.parquet(s"$dir/out/diff")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(classes === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("maintain checksum + checksum-diff localize a tampered row to its range") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("climaintain").toString
+    val base = (1L to 400L).map(i => (i, s"row $i", i % 7))
+      .toDF("id", "payload", "tag")
+    base.write.parquet(s"$dir/base")
+    base.withColumn("payload",
+        when(col("id") === 250L, lit("tampered")).otherwise(col("payload")))
+      .write.parquet(s"$dir/tampered")
+    Cli.run(spark, List("maintain", "checksum", s"$dir/base", s"$dir/a",
+      "--key-col", "id", "--range-width", "100", "--cols", "payload,tag"))
+    Cli.run(spark, List("maintain", "checksum", s"$dir/tampered", s"$dir/b",
+      "--key-col", "id", "--range-width", "100", "--cols", "payload,tag"))
+    Cli.run(spark, List("maintain", "checksum-diff", s"$dir/a/checksums",
+      s"$dir/b/checksums", s"$dir/out"))
+    val bad = spark.read.parquet(s"$dir/out/checksum_diff")
+      .collect().map(_.getLong(0)).toSeq
+    // id 250 lives in bucket 250 div 100 = 2 — the ONLY flagged range
+    assert(bad === Seq(2L))
+  }
+}
