@@ -22,7 +22,15 @@ object Tables {
     * carry TIMESTAMP_NTZ micros (wall-clock == epoch under UTC sessions). */
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampNTZType =>
+      // the NTZ→TZ cast reinterprets the wall-clock in the SESSION zone, so
+      // it is epoch-preserving only under UTC. Every entry point (Bench,
+      // Cli, Verify, SparkSpec) pins spark.sql.session.timeZone=UTC; assert
+      // it here rather than let a future non-UTC caller silently shift
+      // every timestamp by the local offset.
+      require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        "normalizeTs requires spark.sql.session.timeZone=UTC (NTZ cast is zone-dependent)")
+      df.withColumn("ts", col("ts").cast(TimestampType))
     case _                => df
   }
 

@@ -155,6 +155,7 @@ object QualityChecks {
     import spark.implicits._
     val bins = df.select(expr(s"(${centsSql(valueCol)}) div $binWidthCents").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -302,6 +303,7 @@ object QualityChecks {
       .groupBy(col("v")).agg(
         count(when(col("g") === groupA, 1)).as("ca"),
         count(when(col("g") === groupB, 1)).as("cb"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val wCum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("v"))
@@ -318,6 +320,20 @@ object QualityChecks {
       (d(col("d_num")) / (d(col("n_a")) * d(col("n_b")))).as("d"))
   }
 
+  /** COLLAPSED-HISTOGRAM GLOBAL WINDOWS — the scale justification for
+    * every unpartitioned `Window.orderBy` in this file (q93/q145/q179/
+    * q186/q190-family sites; WindowExec warns "moving all data to a
+    * single partition" on each). The window NEVER runs over data rows:
+    * the data is first collapsed to its distinct-cents histogram
+    * (`centsSql` buckets to 2-decimal cents, so cardinality is bounded
+    * by the distinct MONEY VALUES — ≤ 10⁶ for a [0, $10k] 2-decimal
+    * domain, independent of row count), and only that vocabulary-sized
+    * frame passes through the single-partition sort. At 100 TB the
+    * data-side cost is the one groupBy(v) with map-side partials; the
+    * window stays a driver-scale epilogue. A rewrite to range
+    * partitioning would only matter if the VALUE DOMAIN itself became
+    * unbounded (raw doubles, micro-precision prices) — re-bucket
+    * upstream instead. */
   private def centsSql(c: String): String =
     s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
 
@@ -361,6 +377,7 @@ object QualityChecks {
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
     val dvals = rows.select(col("v")).distinct().withColumn("c", lit(0L))
     val merged = rhist.unionByName(dvals).groupBy(col("v")).agg(sum(col("c")).as("c"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val wCum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = merged.withColumn("n_le", sum(col("c")).over(wCum))
@@ -388,6 +405,7 @@ object QualityChecks {
       .groupBy(col("v"))
       .agg(condCounts.head, condCounts.tail: _*)
     import org.apache.spark.sql.expressions.Window
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val wCum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("v"))
@@ -422,6 +440,7 @@ object QualityChecks {
     import org.apache.spark.sql.expressions.Window
     val rows = df.select(idCols.map(col) :+ expr(centsSql(valueCol)).as("v"): _*)
     val hist = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val wCum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -620,6 +639,7 @@ object QualityChecks {
       .groupBy(col("v")).agg(
         count(when(col("g") === groupA, 1)).as("ca"),
         count(when(col("g") === groupB, 1)).as("cb"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -653,6 +673,7 @@ object QualityChecks {
     val cents = df.select((idCols.map(col) :+ col(valueCol)
       :+ expr(centsSql(valueCol)).as("__v")): _*)
     val h = cents.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -664,6 +685,7 @@ object QualityChecks {
     val h2 = h.crossJoin(broadcast(med))
       .groupBy(abs(col("__v") - col("__med")).as("__d"))
       .agg(sum(col("__c")).as("__c2"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val wcum2 = org.apache.spark.sql.expressions.Window.orderBy(col("__d"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -753,6 +775,7 @@ object QualityChecks {
     val xc = expr(centsSql(xCol)).as("xc")
     val rows = df.select(idCols.map(col) :+ xc :+ col(yCol).cast("long").as("yv"): _*)
     val hist = rows.groupBy(col("xc")).agg(max(col("yv")).as("max_y"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val wPrev = Window.orderBy(col("xc"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val thr = hist.withColumn("best_cheaper", max(col("max_y")).over(wPrev))
@@ -902,6 +925,7 @@ object QualityChecks {
     import org.apache.spark.sql.expressions.Window
     val rows = df.select(expr(centsSql(xCol)).as("x"), expr(centsSql(yCol)).as("y"))
     def rankMap(c: String) = {
+      // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
       val wCum = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       rows.select(col(c).as("v")).groupBy(col("v")).agg(count(lit(1)).as("c"))
@@ -988,8 +1012,14 @@ object QualityChecks {
     m.select(col("n"), col("ra").as("n_rows_cat"), col("cb").as("n_cols_cat"),
         col("chi2_ppb"))
       .withColumn("v",
-        sqrt(d(col("chi2_ppb")) / 1e9 /
-          (d(col("n")) * d(least(col("n_rows_cat"), col("n_cols_cat")) - 1))))
+        // single-category axis ⇒ min(r,c)−1 = 0: V is undefined (the
+        // division would be Inf/NaN, and engines disagree on rendering
+        // double division-by-zero) — null like every sibling metric's
+        // degenerate denominator
+        when(least(col("n_rows_cat"), col("n_cols_cat")) <= 1,
+          lit(null).cast("double"))
+          .otherwise(sqrt(d(col("chi2_ppb")) / 1e9 /
+            (d(col("n")) * d(least(col("n_rows_cat"), col("n_cols_cat")) - 1)))))
   }
 
   /** Per-group weighted median: the smallest value whose cumulative
@@ -997,12 +1027,16 @@ object QualityChecks {
     * the robust center for weighted populations (docs weighted by token
     * count, lineitems by quantity). Folds over the collapsed
     * (group, value) histogram with per-group windows bounded by
-    * distinct values. Output: (group, total_w, wmedian). */
+    * distinct values. The weight is FLOORED to a long explicitly —
+    * Spark's plain cast truncates toward zero while DuckDB's CAST
+    * rounds half away from zero, so an implicit cast would silently
+    * diverge cross-engine on fractional weights (the q196 oracle
+    * mirrors the floor). Output: (group, total_w, wmedian). */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df.select(col(groupCol).as("g"), expr(centsSql(valueCol)).as("v"),
-        col(weightCol).cast("long").as("w"))
+        floor(col(weightCol)).cast("long").as("w"))
       .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
     val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1019,7 +1053,12 @@ object QualityChecks {
     * run on every learned quality filter before its threshold ships.
     * The bucket is floor(score·bins) (floor of an IEEE product — exact
     * cross-engine); counts are integers; the rate is the only
-    * division. Output: (bucket, n, n_pos, pos_rate). */
+    * division. Buckets are OPEN-ENDED floor buckets, not a [0,1]
+    * partition: score == 1.0 lands in bucket `bins` (an off-the-end
+    * 11th row for bins = 10) and negative scores produce negative
+    * buckets — identical on both engines, and kept so the curve never
+    * silently folds out-of-range scores into the boundary buckets.
+    * Output: (bucket, n, n_pos, pos_rate). */
   def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
@@ -1045,6 +1084,7 @@ object QualityChecks {
     val h = df.select(col(scoreCol).as("v"), col(labelCol).cast("long").as("y"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("cpos"))
+    // collapsed-histogram global window — cardinality bounded by distinct values, never rows (see centsSql note)
     val wCum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val r2 = h.withColumn("cum", sum(col("c")).over(wCum))

@@ -3552,7 +3552,7 @@ object PipelineQueries {
         "l_quantity"),
       Some("""WITH h AS (SELECT l_returnflag AS g,
              |                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
-             |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             |                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
              |           FROM lineitem GROUP BY 1, 2),
              |c AS (SELECT g, v,
              |             sum(w) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
@@ -3605,10 +3605,11 @@ object PipelineQueries {
              |       CAST(count(DISTINCT a) AS BIGINT) AS n_rows_cat,
              |       CAST(count(DISTINCT b) AS BIGINT) AS n_cols_cat,
              |       CAST(sum(tppb) AS BIGINT) AS chi2_ppb,
-             |       sqrt(CAST(sum(tppb) AS DOUBLE) / 1e9
-             |            / (CAST(max(n) AS DOUBLE)
-             |               * CAST(least(count(DISTINCT a), count(DISTINCT b)) - 1 AS DOUBLE)))
-             |         AS v
+             |       CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) <= 1 THEN NULL
+             |            ELSE sqrt(CAST(sum(tppb) AS DOUBLE) / 1e9
+             |                 / (CAST(max(n) AS DOUBLE)
+             |                    * CAST(least(count(DISTINCT a), count(DISTINCT b)) - 1 AS DOUBLE)))
+             |       END AS v
              |FROM terms""".stripMargin)),
 
     // calibration curve for the q105 linear filter against a ground
