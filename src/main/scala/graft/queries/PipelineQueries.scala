@@ -1662,6 +1662,34 @@ object PipelineQueries {
              |SELECT a_id, b_id, least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_us
              |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin)),
 
+    // q78's NAIVE twin: the user writes the raw theta-join and the
+    // RangeJoinRewrite optimizer rule buckets it automatically — the
+    // registry-wide no-nested-loop plan gate is the structural proof
+    // the rule fired (without it this plan is a BroadcastNestedLoopJoin
+    // and the gate goes red); the oracle proves the rewrite is
+    // output-identical to q78's hand-bucketed operator
+    QueryDef("q204_overlap_join_rule",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val a = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_lo"),
+            (unix_micros(col("ts")) + 300000000L).as("a_hi"))
+        val b = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_lo"),
+            (unix_micros(col("ts")) + 180000000L).as("b_hi"))
+        a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+          .select(col("a_id"), col("b_id"),
+            (least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+              .as("overlap_us"))
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |a AS (SELECT event_id AS a_id, epoch_us(ts) AS a_lo, epoch_us(ts) + 300000000 AS a_hi
+             |      FROM e WHERE event_type = 'purchase'),
+             |b AS (SELECT event_id AS b_id, epoch_us(ts) AS b_lo, epoch_us(ts) + 180000000 AS b_hi
+             |      FROM e WHERE event_type = 'signup')
+             |SELECT a_id, b_id, least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_us
+             |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin)),
+
     // two-step funnel: per user, first click and first purchase at or
     // after it, converted iff within 1 h — aggregate + equi-join +
     // aggregate, never a window over the raw log

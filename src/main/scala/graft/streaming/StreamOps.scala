@@ -522,4 +522,38 @@ object StreamOps {
       }
       .start()
   }
+
+  /** Continuous incremental connected components: near-dup edge batches
+    * (id_a, id_b) arriving on a stream fold into the canonical
+    * assignment via `foreachBatch` + the SAME
+    * [[graft.operators.Dedup.incrementalCanonical]] the batch path uses
+    * — the assignment-side streaming twin of [[streamingIngestDedup]],
+    * closing the arrival-path dedup loop end-to-end: the index probe
+    * proposes edges on arrival, this fold canonicalizes them
+    * continuously. Each fold's CC input is the existing assignment's
+    * star edges ∪ the batch edges — bounded by |assigned docs| +
+    * |batch|, never corpus pairs — and sequential folds equal ONE batch
+    * fold of the concatenated edge feed because a star list preserves
+    * the old components' connectivity exactly (min-label contract
+    * included); pinned stream == batch in StreamingSpec. A cross-key
+    * union-find cannot live in per-key mapGroupsWithState state, so
+    * foreachBatch + the iterative batch CC is the structurally honest
+    * streaming form (same reasoning as [[streamingCdcApply]]). */
+  def streamingCanonicalFold(edges: DataFrame, existing: DataFrame)(
+      onAssignment: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var assignment = existing.localCheckpoint(eager = true)
+    edges.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // guard: CC over star ∪ ∅ would be a no-op recompute, and an
+        // empty edge set must not clear the assignment
+        if (!batch.isEmpty) {
+          assignment = graft.operators.Dedup
+            .incrementalCanonical(assignment, batch.toDF())
+            .localCheckpoint(eager = true)
+        }
+        onAssignment(assignment)
+      }
+      .start()
+  }
 }

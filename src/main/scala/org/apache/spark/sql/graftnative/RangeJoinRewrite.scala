@@ -51,6 +51,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // any `x <= y` conjunct, written either way around
+  private def asLeq(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThanOrEqual(a, b) => Some((a, b))
+    case GreaterThanOrEqual(b, a) => Some((a, b))
+    case _ => None
+  }
+
   // ts <= hi, written either way around
   private def asUpper(e: Expression): Option[(Expression, Expression)] = e match {
     case LessThanOrEqual(t, hi) => Some((t, hi))
@@ -99,8 +106,49 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             Some((right, left, t1, lo, hi, true))
           else None
       } yield pi).headOption
+      // the interval-OVERLAP shape (`aLo <= bHi AND bLo <= aHi`, the
+      // second no-equi-key join users write naively): two cross-side
+      // `<=` conjuncts whose operands split lo-left/hi-right and
+      // lo-right/hi-left. Matched only when the point shape didn't fire
+      // (a degenerate side with lo == hi IS a point-in-interval join and
+      // takes the cheaper one-sided explode above).
+      lazy val overlap = if (hasCrossEqui || matched.isDefined) None else (for {
+        (aLo, bHi) <- conjuncts.flatMap(asLeq)
+        (bLo, aHi) <- conjuncts.flatMap(asLeq)
+        if !(aLo.semanticEquals(bLo) && bHi.semanticEquals(aHi)) // distinct conjuncts
+        if Seq(aLo, aHi, bLo, bHi).forall(supported)
+        if aLo.references.subsetOf(left.outputSet) &&
+          aHi.references.subsetOf(left.outputSet) &&
+          bLo.references.subsetOf(right.outputSet) &&
+          bHi.references.subsetOf(right.outputSet)
+      } yield (aLo, aHi, bLo, bHi)).headOption
       matched match {
-        case None => j
+        case None => overlap match {
+          case None => j
+          case Some((aLo, aHi, bLo, bHi)) =>
+            // both sides explode to every bucket they cover
+            // (degenerate lo > hi rows yield descending sequences whose
+            // spurious buckets the residual predicates eliminate); the
+            // emit-once conjunct keeps only the bucket holding the
+            // intersection's left edge — covered by BOTH sides, so each
+            // overlapping pair appears exactly once and the output
+            // equals the naive θ-join (RangeJoin.intervalOverlap's
+            // contract, applied automatically)
+            val tz = Some(conf.sessionLocalTimeZone)
+            val aBkt = AttributeReference("_graft_a_bkt", LongType, nullable = false)()
+            val bBkt = AttributeReference("_graft_b_bkt", LongType, nullable = false)()
+            val aGen = Generate(Explode(Sequence(bucketOf(aLo), bucketOf(aHi), None, tz)),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(aBkt), child = left)
+            val bGen = Generate(Explode(Sequence(bucketOf(bLo), bucketOf(bHi), None, tz)),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(bBkt), child = right)
+            val emitOnce = EqualTo(aBkt,
+              Floor(Divide(Cast(Greatest(Seq(norm(aLo).get, norm(bLo).get)), DoubleType),
+                Literal(BucketWidthUs.toDouble, DoubleType))))
+            val newCond = (EqualTo(aBkt, bBkt) +: emitOnce +: conjuncts).reduce(And)
+            Project(j.output, Join(aGen, bGen, Inner, Some(newCond), hint))
+        }
         case Some((points, intervals, ts, lo, hi, pointsOnRight)) =>
           val pBkt = Alias(bucketOf(ts), "_graft_bkt")()
           val pointsP = Project(points.output :+ pBkt, points)

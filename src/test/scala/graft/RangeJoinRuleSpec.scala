@@ -97,4 +97,66 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(!plan.contains("_graft_bkt"), s"rule fired on an equi join:\n$plan")
     assert(withKey.count() >= 0)
   }
+
+  // ---- interval × interval OVERLAP shape ----------------------------------
+
+  private def aIv = Seq((10L, 0L * mi, 50L * mi), (11L, 70L * mi, 130L * mi),
+    (12L, 200L * mi, 220L * mi), (13L, 350L * mi, 500L * mi))
+    .toDF("a_id", "a_lo", "a_hi")
+  private def bIv = Seq((1L, 40L * mi, 80L * mi), (2L, 100L * mi, 110L * mi),
+    (3L, 180L * mi, 210L * mi), (4L, 600L * mi, 580L * mi)) // 4 degenerate (lo > hi)
+    .toDF("iv_id", "lo_us", "hi_us")
+
+  private def overlapPairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("a_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("rule rewrites the interval OVERLAP join: no nested loop, same result") {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(_ == RangeJoinRewrite)
+    val naive = aIv.join(bIv,
+      col("a_lo") <= col("hi_us") && col("lo_us") <= col("a_hi"))
+    val expected = try {
+      assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "precondition: without the rule the overlap join should be a nested loop")
+      overlapPairs(naive)
+    } finally spark.experimental.extraOptimizations = saved
+    val rewritten = aIv.join(bIv,
+      col("a_lo") <= col("hi_us") && col("lo_us") <= col("a_hi"))
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rule did not remove the nested loop:\n$plan")
+    assert(plan.contains("Generate explode"), s"no interval explode in:\n$plan")
+    assert(overlapPairs(rewritten) === expected)
+    // a10 ∩ b1 (40-50), a11 ∩ b1 (70-80), a11 ∩ b2 (100-110),
+    // a12 ∩ b3 (200-210); b4 degenerate matches nothing
+    assert(expected === Set((10L, 1L), (11L, 1L), (11L, 2L), (12L, 3L)))
+    // and it agrees with the hand-bucketed operator
+    val manual = overlapPairs(RangeJoin.intervalOverlap(
+      aIv, bIv, "a_lo", "a_hi", "lo_us", "hi_us"))
+    assert(manual === expected)
+  }
+
+  test("overlap rewrite emits each long-span pair exactly once") {
+    // spans covering many shared hour buckets must still emit one row
+    val longA = Seq((20L, 0L * mi, 600L * mi)).toDF("a_id", "a_lo", "a_hi")
+    val longB = Seq((5L, 30L * mi, 590L * mi)).toDF("iv_id", "lo_us", "hi_us")
+    val joined = longA.join(longB,
+      col("a_lo") <= col("hi_us") && col("lo_us") <= col("a_hi"))
+    assert(!joined.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(joined.count() === 1L, "pair sharing 10 buckets must emit once")
+  }
+
+  test("degenerate point-sized side still takes the one-sided point rewrite") {
+    // a_lo == a_hi: the overlap condition degenerates to point-in-interval,
+    // which the cheaper one-sided-explode branch handles (only the
+    // intervals side explodes — the plan carries _graft_bkt, not _graft_a_bkt)
+    val pts = Seq((30L, 45L * mi)).toDF("a_id", "a_pt")
+    val joined = pts.join(bIv,
+      col("a_pt") <= col("hi_us") && col("lo_us") <= col("a_pt"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_graft_bkt") && !plan.contains("_graft_a_bkt"),
+      s"expected the point branch, got:\n$plan")
+    assert(overlapPairs(joined.withColumnRenamed("a_pt", "unused")
+      .select(col("a_id"), col("iv_id"))) === Set((30L, 1L)))
+  }
 }

@@ -582,4 +582,34 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((1L, "a", 10.0), (2L, "B", 21.0), (4L, "D2", 41.0)))
     } finally query.stop()
   }
+
+  test("streaming canonical fold: sequential edge batches == one incremental fold, bridging included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // existing components: {1,2,3} -> 1 and {8,9} -> 8
+    val existing = graft.operators.Dedup.canonicalAssignments(
+      Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b"))
+    // batch 1 attaches 4 to component 1; batch 2 BRIDGES components 1
+    // and 8 through (3,8) — the old canonical 8 must relabel to 1 —
+    // and opens a fresh component {20,21}
+    val feed1 = Seq((4L, 2L))
+    val feed2 = Seq((3L, 8L), (20L, 21L))
+    val stream = MemoryStream[(Long, Long)]
+    @volatile var last: Option[org.apache.spark.sql.DataFrame] = None
+    val query = StreamOps.streamingCanonicalFold(
+      stream.toDF().toDF("id_a", "id_b"), existing)(a => last = Some(a))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      stream.addData(feed1); query.processAllAvailable()
+      stream.addData(feed2); query.processAllAvailable()
+      val got = pairs(last.get)
+      val want = pairs(graft.operators.Dedup.incrementalCanonical(
+        existing, (feed1 ++ feed2).toDF("id_a", "id_b")))
+      assert(got === want, "stream fold must equal the one-shot batch fold")
+      assert(Set(2L, 3L, 4L, 8L, 9L).forall(got(_) == 1L),
+        s"bridged components must share canonical 1: $got")
+      assert(got(21L) === 20L, s"fresh component must canonicalize to 20: $got")
+    } finally query.stop()
+  }
 }
