@@ -14,8 +14,9 @@ import graft.functions.VectorExprs
   * ([[org.apache.spark.sql.graftnative.AsOfJoinExec]] — the (c) tier of
   * the custom-operator ladder: logical node + strategy + physical
   * sort-merge operator), and the optimizer rule that rewrites naive
-  * point-in-interval joins into the bucketed equi-join shape
-  * ([[org.apache.spark.sql.graftnative.RangeJoinRewrite]]).
+  * point-in-interval AND interval-overlap joins into the bucketed
+  * equi-join shape ([[org.apache.spark.sql.graftnative.RangeJoinRewrite]];
+  * bucket width tunable via `spark.graft.rangeJoin.bucketUs`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -39,6 +39,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   /** One-hour buckets over epoch-micros — matches RangeJoin's default. */
   val BucketWidthUs = 3600000000L
 
+  /** Session override for the bucket width: the explode blowup per
+    * interval is ⌈span/width⌉ + 1, so a workload of week-long intervals
+    * should widen the bucket (`SET spark.graft.rangeJoin.bucketUs =
+    * 86400000000`) rather than pay a 169-way explode per row; the
+    * rewrite is output-identical at ANY width (the emit-once /
+    * residual predicates don't depend on it). */
+  val BucketWidthConfKey = "spark.graft.rangeJoin.bucketUs"
+
+  private def bucketWidthUs: Long =
+    scala.util.Try(conf.getConfString(BucketWidthConfKey).toLong)
+      .toOption.filter(_ > 0).getOrElse(BucketWidthUs)
+
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjunctsOf(a) ++ conjunctsOf(b)
     case other => Seq(other)
@@ -82,7 +94,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     e.deterministic && e.references.nonEmpty && norm(e).isDefined
 
   private def bucketOf(e: Expression): Expression =
-    Floor(Divide(Cast(norm(e).get, DoubleType), Literal(BucketWidthUs.toDouble, DoubleType)))
+    Floor(Divide(Cast(norm(e).get, DoubleType), Literal(bucketWidthUs.toDouble, DoubleType)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -145,7 +157,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               generatorOutput = Seq(bBkt), child = right)
             val emitOnce = EqualTo(aBkt,
               Floor(Divide(Cast(Greatest(Seq(norm(aLo).get, norm(bLo).get)), DoubleType),
-                Literal(BucketWidthUs.toDouble, DoubleType))))
+                Literal(bucketWidthUs.toDouble, DoubleType))))
             val newCond = (EqualTo(aBkt, bBkt) +: emitOnce +: conjuncts).reduce(And)
             Project(j.output, Join(aGen, bGen, Inner, Some(newCond), hint))
         }

@@ -146,6 +146,21 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(joined.count() === 1L, "pair sharing 10 buckets must emit once")
   }
 
+  test("bucket width is session-configurable; result identical at any width") {
+    // a 10-hour span pair: at the default 1 h width it shares 10+
+    // buckets, at a 1-day width it shares one — output must not change
+    val longA = Seq((20L, 0L * mi, 600L * mi)).toDF("a_id", "a_lo", "a_hi")
+    val longB = Seq((5L, 30L * mi, 590L * mi)).toDF("iv_id", "lo_us", "hi_us")
+    def joined = longA.join(longB,
+      col("a_lo") <= col("hi_us") && col("lo_us") <= col("a_hi"))
+    spark.conf.set(RangeJoinRewrite.BucketWidthConfKey, 86400000000L.toString)
+    try {
+      assert(!joined.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(joined.count() === 1L)
+    } finally spark.conf.unset(RangeJoinRewrite.BucketWidthConfKey)
+    assert(joined.count() === 1L)
+  }
+
   test("degenerate point-sized side still takes the one-sided point rewrite") {
     // a_lo == a_hi: the overlap condition degenerates to point-in-interval,
     // which the cheaper one-sided-explode branch handles (only the
