@@ -146,6 +146,19 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(joined.count() === 1L, "pair sharing 10 buckets must emit once")
   }
 
+  test("overlap rewrite fires on TIMESTAMP bounds (normalized to epoch micros)") {
+    val aTs = aIv.select(col("a_id"),
+      timestamp_micros(col("a_lo")).as("a_lo_ts"), timestamp_micros(col("a_hi")).as("a_hi_ts"))
+    val bTs = bIv.select(col("iv_id"),
+      timestamp_micros(col("lo_us")).as("b_lo_ts"), timestamp_micros(col("hi_us")).as("b_hi_ts"))
+    val joined = aTs.join(bTs,
+      col("a_lo_ts") <= col("b_hi_ts") && col("b_lo_ts") <= col("a_hi_ts"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rule did not fire on timestamp overlap bounds:\n$plan")
+    assert(overlapPairs(joined) === Set((10L, 1L), (11L, 1L), (11L, 2L), (12L, 3L)))
+  }
+
   test("bucket width is session-configurable; result identical at any width") {
     // a 10-hour span pair: at the default 1 h width it shares 10+
     // buckets, at a 1-day width it shares one — output must not change
