@@ -246,35 +246,75 @@ object Bench {
         .getOrElse(runQueries(inlineSpark, sfDir, chunk, reps))
     }
 
-    def jmap(f: QueryResult => String): String =
-      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
-    val total = results.map(_.median).sum
-    val minTotal = results.map(_.min).sum
-    // Two artifacts. bench_result.json carries the full diagnostics (per-rep
-    // runs, code-cache peaks, GC time) — ~30 KB at 230+ queries, which is
-    // MORE than the driver's log-tail capture holds, so the full object must
-    // never be the stdout line (round 4 shipped "parsed": null exactly that
-    // way). Stdout/stderr get a COMPACT line — totals + the per-query median
-    // map (~6 KB) — printed LAST so the tail capture parses it.
-    val detail = s""""runs":${jmap(_.runs.mkString("[", ",", "]"))},""" +
-      s""""codecache_mb":${jmap(r => f"${r.ccMb}%.1f")},""" +
-      s""""gc_sec":${jmap(r => f"${r.gcSec}%.2f")},"""
-    def line(extra: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"min_total":$minTotal,""" +
-        s""""chunks":${chunks.size},"chunk_size":$chunkSize,"n_queries":${results.size},""" +
-        s""""queries":${jmap(_.median.toString)},""" + extra + s""""sf":"$sfDir"}"""
     // durability against log-tail truncation (round 2 lost q00-q03 from the
-    // captured artifact): persist the full line to a file first, stop Spark
+    // captured artifact): persist the FULL object to a file first, stop Spark
     // so its shutdown chatter precedes the payload, then print the compact
     // JSON as the very last line of both stdout and stderr
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line(detail) + "\n").getBytes("UTF-8"))
+      (fullLine(results, reps, chunks.size, chunkSize, sfDir) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     try { SparkSession.getActiveSession.foreach(_.stop()) } catch { case _: Throwable => () }
-    val compact = line("")
+    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir)
     println(compact)
     System.out.flush()
     System.err.println(compact)
+  }
+
+  private def num(d: Double): String = f"$d%.3f"
+
+  /** Rows whose median blew out past 5× their own minimum across reps —
+    * the signature of machine contention (round-5 driver run inflated
+    * trivial rows up to 40× vs a clean run at the same commit), never of
+    * a code regression (a slow plan is slow in EVERY rep). The 0.05 s
+    * floor keeps sub-centisecond jitter on micro-rows from flagging. */
+  def contendedRows(results: Seq[QueryResult]): Seq[String] =
+    results.filter(r => r.min > 0.05 && r.median > 5 * r.min).map(_.name)
+
+  /** The ONE stdout/stderr line, and nothing but it. The driver captures
+    * exactly the LAST 2000 characters of the run's output (every
+    * BENCH_r0*.json tail across rounds 1–5 is 2000 chars), and sbt's
+    * "[success] Total time…" line prints AFTER this payload — so the line
+    * must stay well under ~1.5 KB or its HEAD is truncated away and it
+    * never parses (rounds 1–5 all shipped "parsed": null by embedding the
+    * full per-query median map here, ~7 KB at 233 rows). This line carries
+    * totals, the flagship row, the worst-3 rows, and a contention
+    * self-label; the full per-query map lives ONLY in bench_result.json
+    * (`fullLine`). BenchLineSpec gates the rendered length at < 1400
+    * bytes so growth cannot silently re-break the artifact.
+    * `min_total` (Σ per-query minima) is the robust cross-machine number:
+    * when `contended` is true, read min_total, not value. */
+  def compactLine(results: Seq[QueryResult], reps: Int, nChunks: Int,
+                  chunkSize: Int, sfDir: String): String = {
+    val flagship = results.filter(_.name == "q00_flagship_kmedoids")
+    val shown = (flagship ++ results.sortBy(-_.median).take(3)).distinct
+    val contended = contendedRows(results)
+    s"""{"metric":"total","value":${num(results.map(_.median).sum)},"unit":"sec",""" +
+      s""""min_total":${num(results.map(_.min).sum)},"reps":$reps,""" +
+      s""""chunks":$nChunks,"chunk_size":$chunkSize,"n_queries":${results.size},""" +
+      s""""contended":${contended.nonEmpty},"n_contended":${contended.size},""" +
+      s""""queries":${shown.map(r => "\"" + r.name + "\":" + num(r.median)).mkString("{", ",", "}")},""" +
+      s""""detail":"bench_result.json","sf":"$sfDir"}"""
+  }
+
+  /** The full diagnostics object written to bench_result.json: every
+    * per-query median, per-rep runs, code-cache peaks, GC deltas, and the
+    * contended-row list. ~30 KB at 230+ queries — more than the driver's
+    * log-tail capture holds, so this object must NEVER be the stdout line. */
+  def fullLine(results: Seq[QueryResult], reps: Int, nChunks: Int,
+               chunkSize: Int, sfDir: String): String = {
+    def jmap(f: QueryResult => String): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val contended = contendedRows(results)
+    s"""{"metric":"total","value":${results.map(_.median).sum},"unit":"sec",""" +
+      s""""min_total":${results.map(_.min).sum},"reps":$reps,""" +
+      s""""chunks":$nChunks,"chunk_size":$chunkSize,"n_queries":${results.size},""" +
+      s""""contended":${contended.nonEmpty},""" +
+      s""""contended_rows":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""queries":${jmap(_.median.toString)},""" +
+      s""""runs":${jmap(_.runs.mkString("[", ",", "]"))},""" +
+      s""""codecache_mb":${jmap(r => f"${r.ccMb}%.1f")},""" +
+      s""""gc_sec":${jmap(r => f"${r.gcSec}%.2f")},""" +
+      s""""sf":"$sfDir"}"""
   }
 }

@@ -297,8 +297,22 @@ object Cli {
     case "maintain" :: "compact-plan" :: manifestPath :: outDir :: opts =>
       val o = parseOpts(opts)
       val files = spark.read.parquet(manifestPath)
-      val idCol = o.getOrElse("id-col", files.columns.head)
-      val bytesCol = o.getOrElse("bytes-col", files.columns(1))
+      // positional guessing here (columns.head / columns(1)) threw on a
+      // 1-column manifest and silently mis-picked when the manifest's
+      // column order differed from (id, bytes) — require names to either
+      // be conventional or explicit
+      def pickCol(opt: String, conventional: Seq[String]): String =
+        o.get(opt).orElse(conventional.find(files.columns.contains)).getOrElse(
+          sys.error(s"maintain compact-plan: manifest at $manifestPath has columns " +
+            s"[${files.columns.mkString(", ")}] — none matches ${conventional.mkString("/")}; " +
+            s"name the column explicitly with --$opt=<name>"))
+      val idCol = pickCol("id-col", Seq("file_id", "id", "path", "file"))
+      val bytesCol = pickCol("bytes-col", Seq("bytes", "size_bytes", "size", "length"))
+      Seq("id-col" -> idCol, "bytes-col" -> bytesCol).foreach { case (opt, c) =>
+        if (!files.columns.contains(c))
+          sys.error(s"maintain compact-plan: --$opt=$c not in manifest columns " +
+            s"[${files.columns.mkString(", ")}]")
+      }
       val target = o.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024)
       graft.operators.Maintenance.compactionPlan(files, idCol, bytesCol, target)
         .write.mode("overwrite").parquet(s"$outDir/compaction_plan")

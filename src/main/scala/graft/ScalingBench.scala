@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling-slope harness: replicates the sf0.1 corpus 4× and
+  * 16× and times the headline bucketed operators at each scale, turning
+  * the plan-shape argument ("every pair generator is banded, never
+  * all-pairs, so 100 TB survives") into measured wall-time and
+  * output-cardinality slopes (SCALING.md is authored from this run).
+  *
+  * Replication must PRESERVE near-dup structure, not square it: naive
+  * row copies make every replica a near-dup of every other replica of
+  * the same doc, so candidate pairs grow R² per original doc and the
+  * measurement shows the generator drowning in self-inflicted cliques
+  * rather than scaling. Each replica is therefore mapped through a
+  * structure-preserving bijection that kills CROSS-replica similarity:
+  *
+  *   - documents: a per-replica substitution cipher over [a-zA-Z0-9]
+  *     (`translate`). Shingle/winnow/SimHash sets map bijectively, so
+  *     within-replica Jaccard/hamming relations are EXACTLY the base
+  *     corpus's; cross-replica shingles agree only on fixed points of a
+  *     random letter permutation (negligible). A token-prefix scheme was
+  *     rejected: interior character n-grams of long words would survive
+  *     it verbatim, putting cross-replica Jaccard near 0.5 — back to
+  *     quadratic cliques.
+  *   - embeddings: a per-replica permutation of the 64 dimensions.
+  *     Within-replica cosines are exactly preserved (rotation by a
+  *     permutation matrix); cross-replica cosines fall to the
+  *     random-pair baseline.
+  *   - lineitem (co-purchase graph rows): key-shift l_orderkey /
+  *     l_partkey — R disjoint copies of the graph, components and
+  *     triangles scale exactly linearly by construction.
+  *
+  * Replica ids shift by k·140 000 000: larger than every injected-copy
+  * offset the corpus helpers use (+1M/+2M/+4M, Dedup.scala:31-57) so id
+  * spaces cannot collide, and divisible by lcm(7,10,4)=140 so the
+  * helpers' `doc_id % m` injection classes select the SAME rows in every
+  * replica — each replica carries an identical injected near-dup
+  * pattern, which is what makes "candidates should grow ×R" exact
+  * rather than statistical. */
+object ScalingBench {
+
+  /** The queries whose scale story carries the 100-TB claim: one per
+    * bucketed pair-generator family plus the two iterative graph ops. */
+  val headline: Seq[String] = Seq(
+    "q41_ngram_jaccard",    // blocked exact-Jaccard
+    "q45_simhash_pairs",    // SimHash hamming banding
+    "q48_dedup_apply",      // MinHash-LSH end-to-end + CC + anti-join
+    "q53_embed_neardup",    // hyperplane-LSH cosine pairs
+    "q66_winnow_pairs",     // winnowing fingerprint pairs
+    "q67_semantic_dedup",   // SemDeDup end-to-end
+    "q113_ensemble_dedup",  // 3 families + shared verify, one corpus scan
+    "q124_triangles",       // degree-oriented triangle census
+    "q131_graph_components" // iterative min-label CC
+  )
+
+  private val IdOffset = 140000000L
+
+  private def cipherFor(k: Int): (String, String) = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val rnd = new scala.util.Random(7919L * k + 13)
+    val lowerTo = rnd.shuffle(lower.toList).mkString
+    val digitsTo = rnd.shuffle(digits.toList).mkString
+    (lower + lower.toUpperCase + digits,
+      lowerTo + lowerTo.toUpperCase + digitsTo)
+  }
+
+  private def permFor(k: Int, d: Int): Seq[Int] =
+    new scala.util.Random(104729L * k + 7).shuffle((0 until d).toList)
+
+  /** One replica of each table; k = 0 is the identity (the base corpus). */
+  private def replicaDocs(base: DataFrame, k: Int): DataFrame = {
+    val (from, to) = cipherFor(k)
+    val text = if (k == 0) col("text") else translate(col("text"), from, to)
+    base.select((col("doc_id") + lit(k * IdOffset)).as("doc_id"),
+      text.as("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  private def replicaEmb(base: DataFrame, k: Int, d: Int): DataFrame = {
+    val vec =
+      if (k == 0) col("embedding")
+      else array(permFor(k, d).map(i => col("embedding").getItem(i)): _*)
+    base.select((col("vec_id") + lit(k * IdOffset)).as("vec_id"),
+      vec.as("embedding"), col("label"))
+  }
+
+  private def replicaLineitem(base: DataFrame, k: Int): DataFrame =
+    base.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdOffset))
+      .withColumn("l_partkey", col("l_partkey") + lit(k * IdOffset))
+
+  /** Builds the ×r corpus under `outDir` (documents, embeddings,
+    * lineitem — the only tables the headline rows read). Idempotent. */
+  def buildScale(spark: SparkSession, baseDir: String, outDir: String, r: Int): Unit = {
+    val done = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK")
+    if (java.nio.file.Files.exists(done)) return
+    val docs = Tables.load(spark, baseDir, "documents")
+    val emb = Tables.load(spark, baseDir, "embeddings")
+    val li = Tables.load(spark, baseDir, "lineitem")
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until r).map(replicaDocs(docs, _)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    (0 until r).map(replicaEmb(emb, _, d)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    (0 until r).map(replicaLineitem(li, _)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    java.nio.file.Files.write(done, s"r=$r\n".getBytes("UTF-8"))
+  }
+
+  final case class Point(query: String, scale: Int, sec: Double, rows: Long)
+
+  /** Times one query at one scale (noop-sink materialization, same
+    * honesty contract as Bench) and counts its output rows — the
+    * "candidate count" for the pair generators. */
+  def measure(spark: SparkSession, name: String, dir: String, scale: Int,
+              reps: Int): Point = {
+    val fn = Bench.registry.toMap.apply(name)
+    val secs = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      // same untimed between-rep cleanup as Bench: iterative rows leave
+      // dead lazy-checkpoint blocks that would evict each other
+      val leaked = spark.sparkContext.getPersistentRDDs
+      if (leaked.nonEmpty) { leaked.values.foreach(_.unpersist(true)); System.gc() }
+      t
+    }
+    val rows = fn(spark, dir).count()
+    val leaked = spark.sparkContext.getPersistentRDDs
+    if (leaked.nonEmpty) { leaked.values.foreach(_.unpersist(true)); System.gc() }
+    Point(name, scale, secs.min, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaling")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+      .split(',').map(_.trim.toInt).toSeq
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val names = headline.filter(n => only.forall(_.exists(n.startsWith)))
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftRuntime.enable(spark)
+
+    val dirs: Map[Int, String] = scales.map { r =>
+      if (r == 1) r -> baseDir
+      else {
+        val dir = s"$workDir/x$r"
+        System.err.println(s"[scaling] building x$r corpus at $dir")
+        buildScale(spark, baseDir, dir, r)
+        r -> dir
+      }
+    }.toMap
+
+    // warmup (JIT + parquet footers) before any timed row
+    try Tables.load(spark, baseDir, "documents").groupBy("lang").count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val points = for (name <- names; r <- scales.sorted) yield {
+      val p = measure(spark, name, dirs(r), r, reps)
+      System.err.println(f"[scaling] ${p.query}%-24s x${p.scale}%-3d ${p.sec}%8.2f s  ${p.rows}%10d rows")
+      p
+    }
+
+    val json = points.map(p =>
+        s"""{"query":"${p.query}","scale":${p.scale},"sec":${f"${p.sec}%.3f"},"rows":${p.rows}}""")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get("scaling_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -509,6 +509,10 @@ object Dedup {
       throw new IllegalStateException(
         s"canonicalAssignments did not converge in $maxRounds rounds " +
           "(component-minimum contract would be violated)")
+    // EAGER checkpoint is part of the contract: callers that fold
+    // repeatedly (StreamOps.streamingCanonicalFold) rely on the result
+    // being already materialized so they can release the previous
+    // assignment's blocks without re-checkpointing a second copy
     val result = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
       .localCheckpoint(true)
     edges.unpersist()

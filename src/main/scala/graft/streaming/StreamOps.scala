@@ -515,9 +515,14 @@ object StreamOps {
     changes.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val prev = snapshot
         snapshot = graft.operators.Maintenance
           .cdcUpsert(snapshot, batch.toDF(), keyCol, seqCol, opCol)
           .localCheckpoint(eager = true)
+        // the new eager checkpoint has fully materialized, so the prior
+        // snapshot's cached blocks are dead weight — without this a
+        // long-running stream pins one full-snapshot copy per batch
+        releaseCheckpoint(prev)
         onSnapshot(snapshot)
       }
       .start()
@@ -548,12 +553,33 @@ object StreamOps {
         // guard: CC over star ∪ ∅ would be a no-op recompute, and an
         // empty edge set must not clear the assignment
         if (!batch.isEmpty) {
+          val prev = assignment
+          // incrementalCanonical's result is already an EAGER localCheckpoint
+          // (canonicalAssignments materializes it before unpersisting its
+          // edge cache) — re-checkpointing here would pin a second full copy
           assignment = graft.operators.Dedup
             .incrementalCanonical(assignment, batch.toDF())
-            .localCheckpoint(eager = true)
+          // release the superseded assignment's pinned blocks (the new
+          // checkpoint no longer references them) — one retained
+          // full-assignment copy per non-empty batch otherwise
+          releaseCheckpoint(prev)
         }
         onAssignment(assignment)
       }
       .start()
   }
+
+  /** Unpersists the cached blocks behind a localCheckpointed frame. The
+    * checkpoint pins its data as persisted-RDD blocks referenced from the
+    * plan's `LogicalRDD` leaf — `Dataset.unpersist` cannot reach them (it
+    * only consults the cache manager), so the fold loops above would
+    * otherwise accumulate one full-copy per batch for the life of the
+    * stream. Safe on the CURRENT snapshot only after its successor has
+    * eagerly materialized; no-op on plans that are not checkpoints. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 }

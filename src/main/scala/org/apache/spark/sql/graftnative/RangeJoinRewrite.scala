@@ -48,8 +48,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   val BucketWidthConfKey = "spark.graft.rangeJoin.bucketUs"
 
   private def bucketWidthUs: Long =
-    scala.util.Try(conf.getConfString(BucketWidthConfKey).toLong)
-      .toOption.filter(_ > 0).getOrElse(BucketWidthUs)
+    conf.getConfString(BucketWidthConfKey, "") match {
+      case "" => BucketWidthUs
+      case s => scala.util.Try(s.toLong).toOption.filter(_ > 0).getOrElse {
+        // a typo'd tuning value silently falling back would make the
+        // setting appear to have no effect with no signal — warn loudly
+        logWarning(s"$BucketWidthConfKey='$s' is not a positive long; " +
+          s"falling back to the default $BucketWidthUs us")
+        BucketWidthUs
+      }
+    }
 
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjunctsOf(a) ++ conjunctsOf(b)

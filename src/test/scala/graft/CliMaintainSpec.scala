@@ -28,6 +28,35 @@ class CliMaintainSpec extends SparkSpec {
     assert(bins.toSeq === Seq((0L, 3L, 300L), (1L, 2L, 200L), (2L, 1L, 100L)))
   }
 
+  test("maintain compact-plan resolves columns by name, not position, and fails loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("climaintain2").toString
+    // column order swapped vs (id, bytes) — positional guessing would have
+    // silently binned on file_id as the byte count
+    (1L to 4L).map(i => (100L, i)).toDF("bytes", "file_id")
+      .write.parquet(s"$dir/swapped")
+    Cli.run(spark, List("maintain", "compact-plan", s"$dir/swapped",
+      s"$dir/out1", "--target", "250"))
+    val total = spark.read.parquet(s"$dir/out1/compaction_plan")
+      .agg(org.apache.spark.sql.functions.sum("total_bytes")).collect().head.getLong(0)
+    assert(total === 400L, "must sum the `bytes` column, not the positional second column")
+
+    // single-column manifest: must fail with a usage message naming the
+    // flag, not an IndexOutOfBoundsException
+    Seq(1L, 2L).toDF("file_id").write.parquet(s"$dir/onecol")
+    val e = intercept[RuntimeException] {
+      Cli.run(spark, List("maintain", "compact-plan", s"$dir/onecol", s"$dir/out2"))
+    }
+    assert(e.getMessage.contains("--bytes-col"), s"unhelpful error: ${e.getMessage}")
+
+    // explicit flag pointing at a missing column: same loud failure
+    val e2 = intercept[RuntimeException] {
+      Cli.run(spark, List("maintain", "compact-plan", s"$dir/swapped",
+        s"$dir/out3", "--bytes-col", "nope"))
+    }
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("maintain diff classifies added / removed / changed / unchanged") {
     import spark.implicits._
     val dir = Files.createTempDirectory("climaintain").toString

@@ -612,4 +612,50 @@ class StreamingSpec extends SparkSpec {
       assert(got(21L) === 20L, s"fresh component must canonicalize to 20: $got")
     } finally query.stop()
   }
+
+  test("fold loops release superseded checkpoints: persistent-RDD count stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Regression gate for the round-5 leak: each non-empty batch pinned a
+    // NEW eager localCheckpoint of the full assignment/snapshot and never
+    // unpersisted the previous one, so a long-running stream accumulated
+    // one full copy per batch. After the fix only the CURRENT frame (plus
+    // transient iteration blocks awaiting the context cleaner) may remain.
+    def settleCount(): Int = {
+      System.gc(); Thread.sleep(300) // let the ContextCleaner reap unreferenced blocks
+      spark.sparkContext.getPersistentRDDs.size
+    }
+    val existing = graft.operators.Dedup.canonicalAssignments(
+      Seq((1L, 2L), (8L, 9L)).toDF("id_a", "id_b"))
+    val stream = MemoryStream[(Long, Long)]
+    val query = StreamOps.streamingCanonicalFold(
+      stream.toDF().toDF("id_a", "id_b"), existing)(_ => ())
+    try {
+      stream.addData(Seq((3L, 2L))); query.processAllAvailable()
+      val after1 = settleCount()
+      (0 until 6).foreach { i =>
+        stream.addData(Seq((100L + i, 200L + i))); query.processAllAvailable()
+      }
+      val after7 = settleCount()
+      assert(after7 <= after1 + 2,
+        s"persistent RDDs grew from $after1 to $after7 across 6 extra batches — " +
+          "the fold is re-pinning checkpoints without releasing the old ones")
+    } finally query.stop()
+
+    val cdcStream = MemoryStream[(Long, String, Double, String, Long)]
+    val cdcQuery = StreamOps.streamingCdcApply(
+      cdcStream.toDF().toDF("k", "s", "v", "op", "seq"),
+      Seq((1L, "a", 1.0)).toDF("k", "s", "v"), "k", "seq", "op")(_ => ())
+    try {
+      cdcStream.addData(Seq((2L, "b", 2.0, "I", 1L))); cdcQuery.processAllAvailable()
+      val after1 = settleCount()
+      (0 until 6).foreach { i =>
+        cdcStream.addData(Seq((10L + i, "x", i.toDouble, "I", 10L + i)))
+        cdcQuery.processAllAvailable()
+      }
+      val after7 = settleCount()
+      assert(after7 <= after1 + 2,
+        s"CDC snapshots grew persistent RDDs from $after1 to $after7 — leak is back")
+    } finally cdcQuery.stop()
+  }
 }
