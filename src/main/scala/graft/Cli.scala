@@ -105,9 +105,21 @@ object Cli {
       // of LSH alone — higher recall on reordered/locally-edited dups
       val ensemble = o.get("ensemble").contains("true")
       val corpus = spark.read.parquet(corpusPath)
+      // --autotune true: run the (numHashes, rowsPerBand) sweep against
+      // the exact-Jaccard truth first and dedup with the chosen point —
+      // the automated form of the q162/q205 parameter-picking loop
+      val tuned = o.get("autotune").contains("true")
+      val (nh, rpb) =
+        if (tuned) {
+          val p = graft.operators.Dedup.chooseLshParameters(corpus, minJaccard = tau,
+            budgetX = o.get("budget-x").map(_.toDouble).getOrElse(3.0))
+          println(s"[graft] dedup autotune: chose numHashes=${p._1} rowsPerBand=${p._2}")
+          p
+        } else (16, 4)
       val kept =
         if (ensemble) graft.operators.Dedup.ensembleDedupApply(corpus, minJaccard = tau)
-        else graft.operators.Dedup.dedupApply(corpus, minJaccard = tau)
+        else graft.operators.Dedup.dedupApply(corpus, minJaccard = tau,
+          numHashes = nh, rowsPerBand = rpb)
       val out = corpus.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
       out.write.mode("overwrite").parquet(s"$outDir/deduped")
       println(s"[graft] dedup${if (ensemble) " (ensemble)" else ""}: " +

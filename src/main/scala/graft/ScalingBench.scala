@@ -45,7 +45,9 @@ object ScalingBench {
     * bucketed pair-generator family plus the two iterative graph ops. */
   val headline: Seq[String] = Seq(
     "q41_ngram_jaccard",    // blocked exact-Jaccard
-    "q45_simhash_pairs",    // SimHash hamming banding
+    "q45_simhash_pairs",    // SimHash hamming banding (24-bit — quadratic background, see SCALING.md)
+    "q45b_simhash_wide",    // SimHash hamming banding (48-bit fingerprint)
+    "q45c_simhash_assign",  // SimHash ASSIGNMENTS (linear output — the 100-TB form)
     "q48_dedup_apply",      // MinHash-LSH end-to-end + CC + anti-join
     "q53_embed_neardup",    // hyperplane-LSH cosine pairs
     "q66_winnow_pairs",     // winnowing fingerprint pairs

@@ -30,33 +30,120 @@ object Bucketing {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  // ---- versioned external locations ---------------------------------------
+  //
+  // The rewrite cycle (compaction, tombstone delete) must not leave a
+  // window where a concurrent reader sees a PARTIAL index. A
+  // delete-live-then-rename swap under the stable path has exactly that
+  // window: a reader that listed files before the delete hits
+  // FileNotFound mid-scan, and one that lists between delete and rename
+  // sees an empty table that looks legitimately empty. The commit is
+  // therefore VERSIONED, the one-table essence of a Delta/Iceberg commit:
+  //
+  //   - version 0 lives at `location/sub` (what a fresh writeBandIndex /
+  //     writeEmbIndex lays down); version N ≥ 1 at `location/sub__vN`;
+  //   - a rewrite writes the full new table to `sub__v{N+1}.tmp`, then
+  //     COMMITS with the atomic rename to `sub__v{N+1}`; `.tmp` dirs are
+  //     invisible to resolution, so no reader can bind to a partial dir;
+  //   - readers resolve [[currentDir]] = the highest committed version —
+  //     mid-rewrite they see the old COMPLETE version, after commit the
+  //     new COMPLETE version, never parts of either;
+  //   - the PREVIOUS version is retained for one full rewrite cycle
+  //     (cleanup keeps the top two, deletes older), so a reader that
+  //     resolved just before a commit can finish its whole scan against
+  //     dirs that still exist. The contract is stale-but-consistent: a
+  //     reader (or another session's re-attached DDL) binds one version
+  //     and keeps it until it re-resolves; breaking it requires TWO full
+  //     rewrite cycles to complete inside one scan.
+  //
+  // Crash safety: a crash before the rename leaves only a `.tmp` dir
+  // (deleted by the next rewrite's preamble and never resolvable); a
+  // crash after the rename but before cleanup leaves an extra old
+  // version, removed by the next cleanup's keep-top-2 sweep.
+
+  private def fsFor(spark: SparkSession, location: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def versionOf(sub: String, dirName: String): Option[Long] =
+    if (dirName == sub) Some(0L)
+    else if (dirName.startsWith(sub + "__v") && !dirName.endsWith(".tmp"))
+      scala.util.Try(dirName.stripPrefix(sub + "__v").toLong).toOption
+    else None
+
+  private def versions(fs: org.apache.hadoop.fs.FileSystem, location: String,
+      sub: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(location)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => versionOf(sub, st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(_._1)
+  }
+
+  /** The directory a reader should bind for `sub` under `location`: the
+    * highest COMMITTED version (in-flight `.tmp` writes are invisible).
+    * Falls back to the plain v0 path when nothing exists yet (a
+    * CREATE-before-write registration). */
+  def currentDir(spark: SparkSession, location: String, sub: String): String =
+    versions(fsFor(spark, location), location, sub).lastOption
+      .map(_._2.toString).getOrElse(s"$location/$sub")
+
+  /** [[writeBucketed]] to an EXTERNAL versioned location: a first build
+    * lands at the plain `location/sub` (v0); a REBUILD over existing
+    * versions commits a fresh version atomically and re-points the
+    * catalog table, so concurrent readers of the old build are never
+    * disturbed (keep-top-2 cleanup applies). */
+  def writeBucketedExternal(df: DataFrame, table: String, key: String,
+      n: Int, sortKey: Option[String], location: String, sub: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, location)
+    versions(fs, location, sub).lastOption match {
+      case None =>
+        writeBucketed(df, table, key, n, sortKey, Some(s"$location/$sub"))
+      case Some((cur, _)) =>
+        val tmp = new org.apache.hadoop.fs.Path(s"$location/${sub}__v${cur + 1}.tmp")
+        val next = new org.apache.hadoop.fs.Path(s"$location/${sub}__v${cur + 1}")
+        fs.delete(tmp, true) // crashed-attempt leftover
+        writeBucketed(df, table, key, n, sortKey, Some(tmp.toString))
+        require(fs.rename(tmp, next),
+          s"writeBucketedExternal: commit rename $tmp -> $next failed")
+        spark.sql(s"ALTER TABLE $table SET LOCATION '$next'")
+        versions(fs, location, sub).dropRight(2).foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
+
   /** Compaction/rewrite cycle for ONE table of an EXTERNAL bucketed
     * index: read the live FILES, apply `transform`, force the bucket
-    * shuffle, write to a side directory, swap it under the stable
-    * location. The read is `spark.read.parquet`, never the catalog
-    * table — a catalog read carries the bucket metadata, so the planner
-    * elides the repartition as already satisfied while the standalone
-    * scan's tasks are file-split, not bucket-aligned, and the rewrite
-    * would land task-split files again. A plain parquet read forces the
-    * shuffle, whose target partition (pmod(murmur3(key), n)) IS the
-    * writer's bucket id. Dropping EXTERNAL tables removes metadata
-    * only, never files; the caller re-registers its DDL afterwards. */
+    * shuffle, write to the next version's `.tmp` directory, commit it
+    * with an atomic rename (see the versioned-location contract above).
+    * The read is `spark.read.parquet`, never the catalog table — a
+    * catalog read carries the bucket metadata, so the planner elides the
+    * repartition as already satisfied while the standalone scan's tasks
+    * are file-split, not bucket-aligned, and the rewrite would land
+    * task-split files again. A plain parquet read forces the shuffle,
+    * whose target partition (pmod(murmur3(key), n)) IS the writer's
+    * bucket id. Dropping EXTERNAL tables removes metadata only, never
+    * files; the caller re-registers its DDL afterwards (the re-register
+    * resolves [[currentDir]], binding the new version). */
   def rewriteExternal(spark: SparkSession, table: String, key: String,
       location: String, sub: String, buckets: Int,
       transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.col
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$location/$sub")
-    val next = new org.apache.hadoop.fs.Path(s"$location/${sub}__compact")
-    fs.delete(next, true) // stale leftover from a crashed compaction
+    val fs = fsFor(spark, location)
+    val vs = versions(fs, location, sub)
+    require(vs.nonEmpty, s"rewriteExternal: no committed version of $sub under $location")
+    val (cur, curDir) = vs.last
+    val tmp = new org.apache.hadoop.fs.Path(s"$location/${sub}__v${cur + 1}.tmp")
+    val next = new org.apache.hadoop.fs.Path(s"$location/${sub}__v${cur + 1}")
+    fs.delete(tmp, true) // stale leftover from a crashed rewrite
     writeBucketed(
-      transform(spark.read.parquet(live.toString)).repartition(buckets, col(key)),
+      transform(spark.read.parquet(curDir.toString)).repartition(buckets, col(key)),
       s"${table}__compact", key, buckets, sortKey = Some(key),
-      path = Some(next.toString))
+      path = Some(tmp.toString))
     spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    fs.delete(live, true)
-    require(fs.rename(next, live), s"rewriteExternal: rename $next -> $live failed")
+    require(fs.rename(tmp, next), s"rewriteExternal: commit rename $tmp -> $next failed")
+    // grace: keep the version readers may still be scanning; drop older
+    versions(fs, location, sub).dropRight(2).foreach { case (_, p) => fs.delete(p, true) }
   }
 }

@@ -126,10 +126,17 @@ object Dedup {
     * [[dedupFamilyEval]]'s unblocked ground truth — the prefix/length/
     * positional filters don't depend on it). */
   def jaccardPairs(corpus: DataFrame, minJaccard: Double,
+      sameSourceOnly: Boolean = true): DataFrame =
+    jaccardPairsFrom(shingled(corpus), minJaccard, sameSourceOnly)
+
+  /** [[jaccardPairs]] over an already-shingled (doc_id, source, shs)
+    * frame — lets [[lshParameterSweep]] share one corpus scan between
+    * the truth pass and every grid point's signatures. */
+  private[graft] def jaccardPairsFrom(sh: DataFrame, minJaccard: Double,
       sameSourceOnly: Boolean = true): DataFrame = {
     val tau = minJaccard
     val eps = 1e-9
-    val docShingles = shingled(corpus).select(col("doc_id"), col("source"),
+    val docShingles = sh.select(col("doc_id"), col("source"),
       explode(array_distinct(col("shs"))).as("s"))
     // global document frequency — the canonical-order key (one extra
     // aggregate over the exploded shingles; vocabulary-sized output)
@@ -420,6 +427,71 @@ object Dedup {
         (col("tp").cast("double") / col("n_truth").cast("double")).as("recall"))
   }
 
+  /** The default (numHashes, rowsPerBand) grid [[lshParameterSweep]]
+    * explores: every point keeps numHashes/rowsPerBand ≤ 64 bands (the
+    * bkey packing bound) and spans the recall/precision trade both ways
+    * — more bands per signature (higher recall, more candidates) and
+    * longer bands (sharper precision, fewer candidates). */
+  val DefaultSweepGrid: Seq[(Int, Int)] =
+    Seq((16, 2), (16, 4), (16, 8), (32, 4), (32, 8), (64, 8))
+
+  /** Automated LSH parameter choice — the 100-TB sizing loop run as a
+    * query. For each (numHashes, rowsPerBand) point the CANDIDATE stage's
+    * precision/recall is measured against the exact ground truth (the
+    * same one-pass harness as [[dedupFamilyEval]]), then ONE operating
+    * point is chosen: the highest-recall config whose candidate count
+    * fits the budget, ties broken toward fewer candidates then the
+    * smaller signature. The budget is RELATIVE (`budgetX` × |truth|) so
+    * the same policy transfers across corpus scales — an absolute count
+    * would pick different regimes at sf0.01 and 100 TB. The corpus is
+    * shingled ONCE (lazy localCheckpoint) and every signature length
+    * reuses it; the expensive exact-Jaccard truth pass also runs once.
+    *
+    * Output: one row per grid point (num_hashes, rows_per_band, bands,
+    * n_candidates, n_truth, tp, prec, recall, fits_budget, chosen) with
+    * exactly one chosen=true row — the parameters [[minhashLshPairs]] /
+    * [[writeBandIndex]] should then be called with (`Cli dedup
+    * --autotune` does exactly that). */
+  def lshParameterSweep(corpus: DataFrame, minJaccard: Double = 0.5,
+      budgetX: Double = 3.0,
+      grid: Seq[(Int, Int)] = DefaultSweepGrid): DataFrame = {
+    grid.foreach { case (nh, rpb) => requireBandCount(nh, rpb) }
+    val sh = shingled(corpus).localCheckpoint(false)
+    val truth = jaccardPairsFrom(sh, minJaccard, sameSourceOnly = false)
+      .select(col("id_a"), col("id_b")).localCheckpoint(false)
+    def point(nh: Int, rpb: Int): DataFrame =
+      lshCandidates(lshBands(minhashSignaturesFrom(sh, nh), rpb))
+        .join(truth.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("hit")), lit(0L)).as("tp"))
+        .select(lit(nh).as("num_hashes"), lit(rpb).as("rows_per_band"),
+          lit(nh / rpb).as("bands"), col("n_candidates"), col("tp"))
+    val report = grid.map { case (nh, rpb) => point(nh, rpb) }.reduce(_ unionByName _)
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("num_hashes"), col("rows_per_band"), col("bands"),
+        col("n_candidates"), col("n_truth"), col("tp"),
+        (col("tp").cast("double") / col("n_candidates").cast("double")).as("prec"),
+        (col("tp").cast("double") / col("n_truth").cast("double")).as("recall"),
+        (col("n_candidates").cast("double") <= lit(budgetX) * col("n_truth").cast("double"))
+          .as("fits_budget"))
+    // the frame is |grid| rows — the single-partition window is collapsed
+    // by construction, not a scale hazard
+    val rank = org.apache.spark.sql.expressions.Window.orderBy(
+      col("fits_budget").desc, col("recall").desc, col("n_candidates").asc,
+      col("num_hashes").asc, col("rows_per_band").asc)
+    report.withColumn("chosen", row_number().over(rank) === 1)
+  }
+
+  /** The sweep's winning (numHashes, rowsPerBand) — driver-side helper
+    * for callers that feed the choice straight into the pipeline. */
+  def chooseLshParameters(corpus: DataFrame, minJaccard: Double = 0.5,
+      budgetX: Double = 3.0,
+      grid: Seq[(Int, Int)] = DefaultSweepGrid): (Int, Int) = {
+    val r = lshParameterSweep(corpus, minJaccard, budgetX, grid)
+      .filter(col("chosen")).select("num_hashes", "rows_per_band").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
   // ---- canonicalization (connected components over near-dup pairs) --------
 
   /** Collapse a near-dup PAIR list into per-document canonical ids: each
@@ -630,14 +702,20 @@ object Dedup {
       location: Option[String] = None): Unit = {
     requireBandCount(numHashes, rowsPerBand)
     requireLongDocId(corpus, "writeBandIndex")
-    Bucketing.writeBucketed(
-      withBandKey(lshBands(minhashSignatures(corpus, numHashes), rowsPerBand)),
-      s"${name}_bands", "bkey", buckets, sortKey = Some("bkey"),
-      path = location.map(l => s"$l/bands"))
-    Bucketing.writeBucketed(
-      shingled(corpus).select(col("doc_id"), array_distinct(col("shs")).as("set")),
-      s"${name}_sets", "doc_id", buckets, sortKey = Some("doc_id"),
-      path = location.map(l => s"$l/sets"))
+    val bands = withBandKey(lshBands(minhashSignatures(corpus, numHashes), rowsPerBand))
+    val sets = shingled(corpus).select(col("doc_id"), array_distinct(col("shs")).as("set"))
+    location match {
+      case Some(l) =>
+        Bucketing.writeBucketedExternal(bands, s"${name}_bands", "bkey", buckets,
+          sortKey = Some("bkey"), location = l, sub = "bands")
+        Bucketing.writeBucketedExternal(sets, s"${name}_sets", "doc_id", buckets,
+          sortKey = Some("doc_id"), location = l, sub = "sets")
+      case None =>
+        Bucketing.writeBucketed(bands, s"${name}_bands", "bkey", buckets,
+          sortKey = Some("bkey"))
+        Bucketing.writeBucketed(sets, s"${name}_sets", "doc_id", buckets,
+          sortKey = Some("doc_id"))
+    }
   }
 
   /** Re-attach an external band index written by [[writeBandIndex]] in a
@@ -646,14 +724,16 @@ object Dedup {
     * layout in their names). */
   def registerBandIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, location: String, buckets: Int = 8): Unit = {
+    // bind the highest COMMITTED version dir (stale-but-consistent across
+    // concurrent rewrites — see Bucketing's versioned-location contract)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_bands
       |(doc_id BIGINT, band INT, s BIGINT, mn BIGINT, mx BIGINT, bkey BIGINT)
       |USING parquet CLUSTERED BY (bkey) SORTED BY (bkey) INTO $buckets BUCKETS
-      |LOCATION '$location/bands'""".stripMargin)
+      |LOCATION '${Bucketing.currentDir(spark, location, "bands")}'""".stripMargin)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_sets
       |(doc_id BIGINT, set ARRAY<BIGINT>)
       |USING parquet CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS
-      |LOCATION '$location/sets'""".stripMargin)
+      |LOCATION '${Bucketing.currentDir(spark, location, "sets")}'""".stripMargin)
   }
 
   /** [[incrementalNearDupPairs]] against a persisted [[writeBandIndex]]:
@@ -779,12 +859,14 @@ object Dedup {
     * [[canonicalAssignments]]; both removal stages are semi/anti
     * equi-joins, so the whole pipeline stays bucketed at 100 TB.
     * Output: (doc_id, source) of surviving docs. */
-  def dedupApply(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def dedupApply(corpus: DataFrame, minJaccard: Double = 0.5,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val keepIds = corpus.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val kept = corpus.join(keepIds, Seq("doc_id"), "left_semi")
-    val canon = canonicalAssignments(minhashLshPairs(kept, minJaccard = minJaccard))
+    val canon = canonicalAssignments(minhashLshPairs(kept, numHashes, rowsPerBand,
+      minJaccard = minJaccard))
     val removed = canon.filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
     kept.join(removed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"))
@@ -1030,6 +1112,40 @@ object Dedup {
       simhash(corpus, bits)
         .join(corpus.select(col("doc_id"), col("source")), "doc_id"),
       "simhash", bits, maxHamming, blockCols = Seq("source"))
+
+  /** Cluster-ASSIGNMENT form of [[simhashPairs]] — the shape that
+    * survives cluster-heavy corpora. Pair ENUMERATION is output-bound:
+    * a component of k near-identical docs emits k(k−1)/2 rows, so on a
+    * corpus whose text collapses into large fingerprint clusters (the
+    * scaling harness measured ~5 500 docs → ~2 700 distinct fingerprints
+    * with identical-hash groups of 75, and ~500 000 pairs — SCALING.md)
+    * the pair list grows quadratically in cluster size NO MATTER how the
+    * candidates are generated. This form never materializes them: one
+    * representative doc (group min) stands in for each DISTINCT
+    * (block, fingerprint), hamming edges connect representatives only
+    * (the banding join was already distinct-hash internally — this makes
+    * the OUTPUT distinct-level too), components close at representative
+    * level, and every doc joins its representative's canonical — one
+    * output row per doc, linear at any cluster density. The component
+    * minimum over representatives equals the component minimum over
+    * docs (each rep is its group's min), so survivors match what
+    * [[simhashPairs]] + [[canonicalAssignments]] would have chosen. */
+  def simhashAssignments(corpus: DataFrame, maxHamming: Int = 6,
+      bits: Int = 48): DataFrame = {
+    val sh = simhash(corpus, bits)
+      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    val reps = sh.groupBy(col("source"), col("simhash"))
+      .agg(min(col("doc_id")).as("rep"))
+    val edges = bandedHammingPairs(
+      reps.select(col("rep").as("doc_id"), col("simhash"), col("source")),
+      "simhash", bits, maxHamming, blockCols = Seq("source"))
+      .select(col("id_a"), col("id_b"))
+    val canon = canonicalAssignments(edges)
+    sh.join(reps, Seq("source", "simhash"))
+      .join(canon.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("rep")).as("canonical_id"))
+  }
 
   /** The pigeonhole-banding hamming join in generic form, shared by
     * [[simhashPairs]] (text, 24-bit, source-blocked) and the image

@@ -422,29 +422,37 @@ object Similarity {
       location: Option[String] = None): Unit = {
     requireEmbIndexArgs(numBands, bitsPerBand)
     val e = withNorm(corpus)
-    Bucketing.writeBucketed(
-      withEmbKey(signBandRows(e, numBands, bitsPerBand, dim))
-        .select(col("vec_id"), col("b"), col("v"), col("bkey")),
-      s"${name}_embbands", "bkey", buckets, sortKey = Some("bkey"),
-      path = location.map(l => s"$l/embbands"))
-    Bucketing.writeBucketed(
-      e.select(col("vec_id"), col("embedding"), col("norm")),
-      s"${name}_embvecs", "vec_id", buckets, sortKey = Some("vec_id"),
-      path = location.map(l => s"$l/embvecs"))
+    val bands = withEmbKey(signBandRows(e, numBands, bitsPerBand, dim))
+      .select(col("vec_id"), col("b"), col("v"), col("bkey"))
+    val vecs = e.select(col("vec_id"), col("embedding"), col("norm"))
+    location match {
+      case Some(l) =>
+        Bucketing.writeBucketedExternal(bands, s"${name}_embbands", "bkey", buckets,
+          sortKey = Some("bkey"), location = l, sub = "embbands")
+        Bucketing.writeBucketedExternal(vecs, s"${name}_embvecs", "vec_id", buckets,
+          sortKey = Some("vec_id"), location = l, sub = "embvecs")
+      case None =>
+        Bucketing.writeBucketed(bands, s"${name}_embbands", "bkey", buckets,
+          sortKey = Some("bkey"))
+        Bucketing.writeBucketed(vecs, s"${name}_embvecs", "vec_id", buckets,
+          sortKey = Some("vec_id"))
+    }
   }
 
   /** Re-attach an external embedding index after catalog loss (DDL over
     * the existing bucket files, like [[Dedup.registerBandIndex]]). */
   def registerEmbIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, location: String, buckets: Int = 8): Unit = {
+    // bind the highest COMMITTED version dir (stale-but-consistent across
+    // concurrent rewrites — see Bucketing's versioned-location contract)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_embbands
       |(vec_id BIGINT, b INT, v BIGINT, bkey BIGINT)
       |USING parquet CLUSTERED BY (bkey) SORTED BY (bkey) INTO $buckets BUCKETS
-      |LOCATION '$location/embbands'""".stripMargin)
+      |LOCATION '${Bucketing.currentDir(spark, location, "embbands")}'""".stripMargin)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_embvecs
       |(vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE)
       |USING parquet CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $buckets BUCKETS
-      |LOCATION '$location/embvecs'""".stripMargin)
+      |LOCATION '${Bucketing.currentDir(spark, location, "embvecs")}'""".stripMargin)
   }
 
   /** Fold an accepted batch INTO the persisted embedding index

@@ -402,6 +402,88 @@ object PipelineQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
       }),
 
+    // WIDE-fingerprint SimHash — the 100-TB form of q45. The 24-bit
+    // fingerprint's random-collision background (P[hamming ≤ 6] ≈ 1.1%
+    // per same-source pair) grows QUADRATICALLY with corpus size — the
+    // scaling harness measured 34x candidates at 16x data (SCALING.md) —
+    // while at 48 bits the same probability is ~5e-8 and the background
+    // vanishes for any realistic block. Same pigeonhole banding, same
+    // hamming contract; only the fingerprint width changes. 48 bits (not
+    // 64) keeps the packed value clear of BIGINT sign-bit shifts in both
+    // engines.
+    QueryDef("q45b_simhash_wide",
+      (s, dir) => Dedup.simhashPairs(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents")), bits = 48),
+      Some {
+        val bits = 48
+        val sums = (0 until bits).map(b =>
+          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        s"""WITH $nearDupCorpus,
+           |ex AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM corpus),
+           |sums AS (SELECT doc_id, $sums FROM ex GROUP BY 1),
+           |sh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+           |       FROM sums s JOIN corpus c ON c.doc_id = s.doc_id)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
+      }),
+
+    // KLL-style mergeable quantile sketch over the fact table's price
+    // column — per-partition sketches tree-reduce, raw values never
+    // shuffle (the 100-TB quantile path next to the exact cents-histogram
+    // tier). Rows-only like q29: sketch estimates are arrival-order-
+    // dependent by nature; the rank-error BOUND and mergeability are
+    // spec-pinned (QuantileSketchSpec, StreamingSpec fold twin).
+    QueryDef("q206_kll_quantiles",
+      (s, dir) => graft.operators.Quantiles.quantileReport(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95)),
+      None),
+
+    // SimHash cluster ASSIGNMENTS — the linear-output form. The scaling
+    // harness showed pair enumeration is OUTPUT-bound on this corpus
+    // (template text collapses into large fingerprint clusters; a k-doc
+    // component emits k(k-1)/2 pair rows at any fingerprint width). The
+    // assignment form computes hamming edges between one representative
+    // per distinct (source, fingerprint), closes components there, and
+    // emits one row per doc. Oracle: exact rep-level all-pairs + the
+    // q131-style recursive reachability.
+    QueryDef("q45c_simhash_assign",
+      (s, dir) => Dedup.simhashAssignments(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some {
+        val bits = 48
+        val sums = (0 until bits).map(b =>
+          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        s"""WITH RECURSIVE $nearDupCorpus,
+           |ex AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM corpus),
+           |sums AS (SELECT doc_id, $sums FROM ex GROUP BY 1),
+           |shh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+           |        FROM sums s JOIN corpus c ON c.doc_id = s.doc_id),
+           |reps AS (SELECT source, simhash, min(doc_id) AS rep FROM shh GROUP BY 1, 2),
+           |e0 AS (SELECT a.rep AS id_a, b.rep AS id_b
+           |       FROM reps a JOIN reps b
+           |         ON a.source = b.source AND a.rep < b.rep
+           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |bi AS (SELECT id_a AS src, id_b AS dst FROM e0
+           |       UNION ALL SELECT id_b, id_a FROM e0),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM bi
+           |  UNION
+           |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+           |canon AS (SELECT src AS rep, least(src, min(dst)) AS canonical_id
+           |          FROM reach GROUP BY src)
+           |SELECT d.doc_id, COALESCE(c.canonical_id, r.rep) AS canonical_id
+           |FROM shh d
+           |JOIN reps r ON r.source = d.source AND r.simhash = d.simhash
+           |LEFT JOIN canon c ON c.rep = r.rep""".stripMargin
+      }),
+
     // Incremental ingest: the injected near-dup copies play the "new
     // batch", the raw documents the accumulated corpus; batch bands join
     // corpus bands, exact-Jaccard verify.
@@ -711,6 +793,62 @@ object PipelineQueries {
            |       CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS prec,
            |       CAST(tp AS DOUBLE) / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
            |FROM m""".stripMargin
+      }),
+
+    // AUTOMATED LSH parameter choice: q162's harness turned into the
+    // 100-TB sizing loop — sweep the (numHashes, rowsPerBand) grid,
+    // measure every point's candidate precision/recall against the one
+    // exact-Jaccard truth pass, and pick the highest-recall point whose
+    // candidate count fits a RELATIVE budget (3x truth; an absolute
+    // count wouldn't transfer across corpus scales). The oracle replays
+    // the whole sweep off ONE 64-hash signature table (each shorter
+    // signature is its `i < numHashes` prefix — same permutations) and
+    // the same deterministic tie-break window.
+    QueryDef("q205_lsh_autotune",
+      (s, dir) => Dedup.lshParameterSweep(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
+      Some {
+        val points = Dedup.DefaultSweepGrid.map { case (nh, rpb) =>
+          s"""SELECT $nh AS num_hashes, $rpb AS rows_per_band, ${nh / rpb} AS bands,
+             |       (SELECT count(*) FROM cand_${nh}_$rpb) AS n_candidates,
+             |       (SELECT count(*) FROM cand_${nh}_$rpb JOIN truth USING (id_a, id_b)) AS tp""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val bandCtes = Dedup.DefaultSweepGrid.map { case (nh, rpb) =>
+          s"""bands_${nh}_$rpb AS (
+             |  SELECT doc_id, CAST(i // $rpb AS INTEGER) AS band,
+             |         sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |  FROM sig64 WHERE i < $nh GROUP BY 1, 2),
+             |cand_${nh}_$rpb AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands_${nh}_$rpb a JOIN bands_${nh}_$rpb b
+             |    ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |       AND a.doc_id < b.doc_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $nearDupCorpus,
+           |$shingleCtes,
+           |${jaccardCtes(blocked = false)},
+           |truth AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.5),
+           |g64 AS (SELECT unnest(generate_series(0, 63)) AS i),
+           |sig64 AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+           |                 list_min(list_transform(shs, s -> ${TextHash.permuteSql("i", "s")})) AS mh
+           |          FROM sh, g64 WHERE len(shs) > 0),
+           |$bandCtes,
+           |m AS ($points),
+           |r AS (SELECT CAST(num_hashes AS INTEGER) AS num_hashes,
+           |             CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           |             CAST(bands AS INTEGER) AS bands,
+           |             CAST(n_candidates AS BIGINT) AS n_candidates,
+           |             CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           |             CAST(tp AS BIGINT) AS tp,
+           |             CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS prec,
+           |             CAST(tp AS DOUBLE) / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall,
+           |             CAST(n_candidates AS DOUBLE)
+           |               <= 3.0 * CAST((SELECT count(*) FROM truth) AS DOUBLE) AS fits_budget
+           |      FROM m)
+           |SELECT *, row_number() OVER (ORDER BY fits_budget DESC, recall DESC,
+           |                             n_candidates ASC, num_hashes ASC,
+           |                             rows_per_band ASC) = 1 AS chosen
+           |FROM r""".stripMargin
       }),
 
     // ENSEMBLE dedup: union of all three pair families (MinHash/LSH +

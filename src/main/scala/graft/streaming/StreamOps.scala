@@ -569,6 +569,29 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous quantile sketching: numeric batches fold into ONE
+    * running [[graft.operators.KllSketch]] via `foreachBatch` + the SAME
+    * per-partition sketch-and-merge the batch path uses
+    * ([[graft.operators.Quantiles.sketchColumn]]) — mergeability is
+    * exactly what makes the sketch streaming-ready, and stream-fold vs
+    * one-shot batch agree within the sketch's error bound (pinned in
+    * StreamingSpec). Driver-held state is fine here: the sketch is
+    * O(k·log n) doubles, not data-sized. */
+  def streamingQuantileFold(values: DataFrame, valueCol: String,
+      k: Int = 200)(
+      onSketch: graft.operators.KllSketch => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var acc = graft.operators.KllSketch.empty(k)
+    values.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          acc = acc.merge(
+            graft.operators.Quantiles.sketchColumn(batch.toDF(), valueCol, k))
+        onSketch(acc)
+      }
+      .start()
+  }
+
   /** Unpersists the cached blocks behind a localCheckpointed frame. The
     * checkpoint pins its data as persisted-RDD blocks referenced from the
     * plan's `LogicalRDD` leaf — `Dataset.unpersist` cannot reach them (it

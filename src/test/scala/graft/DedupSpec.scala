@@ -232,6 +232,61 @@ class DedupSpec extends SparkSpec {
     assert(rows("winnow")._5 >= 0.9, s"winnow recall ${rows("winnow")._5}")
   }
 
+  test("simhashAssignments equals pairs+CC on shared components; isolated docs self-canonical") {
+    val docs = Dedup.withNearDuplicates(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val assign = Dedup.simhashAssignments(docs, 6, 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.size === docs.count(), "one row per doc")
+    // ground truth from the enumerated form: pairs -> CC
+    val canon = Dedup.canonicalAssignments(
+        Dedup.simhashPairs(docs, 6, 48).select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    canon.foreach { case (doc, c) =>
+      assert(assign(doc) === c, s"doc $doc: assignment ${assign(doc)} vs pairs+CC $c")
+    }
+    // docs in no pair keep themselves
+    assign.filterNot { case (d, _) => canon.contains(d) }.foreach { case (d, c) =>
+      assert(c === d, s"isolated doc $d must be its own canonical, got $c")
+    }
+    assert(assign.exists { case (d, c) => d != c }, "fixture must contain real clusters")
+  }
+
+  test("lshParameterSweep: one chosen point, budget honored, band-count drives recall") {
+    val corpus = Dedup.withNearDuplicates(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val rows = Dedup.lshParameterSweep(corpus).collect().map { r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8), r.getBoolean(9))
+    }
+    assert(rows.length === Dedup.DefaultSweepGrid.size)
+    val chosen = rows.filter(_._10)
+    assert(chosen.length === 1, s"exactly one chosen point: ${chosen.toSeq}")
+    // the chosen point must fit the budget when ANY point does
+    if (rows.exists(_._9)) assert(chosen.head._9, s"chosen point busts the budget: ${chosen.head}")
+    // no config that fits the budget may out-recall the chosen one
+    rows.filter(_._9).foreach { r =>
+      assert(r._8 <= chosen.head._8 + 1e-12,
+        s"config $r fits the budget with higher recall than chosen ${chosen.head}")
+    }
+    rows.foreach { case (nh, rpb, bands, nc, nt, tp, prec, recall, _, _) =>
+      assert(bands === nh / rpb)
+      assert(tp <= nc && tp <= nt)
+      assert(math.abs(prec - tp.toDouble / nc) < 1e-12)
+      assert(math.abs(recall - tp.toDouble / nt) < 1e-12)
+    }
+    // LSH theory sanity at fixed signature length: more bands (shorter
+    // rows) can only add candidate pairs — recall is monotone in bands
+    val at16 = rows.filter(_._1 == 16).sortBy(_._3)
+    at16.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._8 <= hi._8 + 1e-12,
+        s"recall must be monotone in band count at numHashes=16: $lo vs $hi")
+      assert(lo._4 <= hi._4, s"candidates monotone in band count: $lo vs $hi")
+    }
+    // and the driver-side helper agrees with the chosen row
+    assert(Dedup.chooseLshParameters(corpus) === ((chosen.head._1, chosen.head._2)))
+  }
+
   test("chunk dup_rate: exact-copy docs share every chunk; unrelated docs share none") {
     import graft.functions.TextHash
     val rnd = new scala.util.Random(23L)

@@ -125,9 +125,13 @@ class IncrementalIndexSpec extends SparkSpec {
     cleanup()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     val loc = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // resolve the CURRENT committed version dir (rewrites commit new
+    // versioned dirs and retain the previous one for concurrent readers)
     def bandFiles(): Seq[java.nio.file.Path] = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(loc, "bands")).iterator().asScala
+      val cur = graft.operators.Bucketing.currentDir(spark, loc, "bands")
+        .stripPrefix("file:")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(cur)).iterator().asScala
         .filter(_.toString.endsWith(".parquet")).toSeq
     }
     try {
@@ -171,7 +175,9 @@ class IncrementalIndexSpec extends SparkSpec {
     val loc = java.nio.file.Files.createTempDirectory("graft-delete").toString
     def bandFiles(): Int = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(loc, "bands")).iterator().asScala
+      val cur = graft.operators.Bucketing.currentDir(spark, loc, "bands")
+        .stripPrefix("file:")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(cur)).iterator().asScala
         .count(_.toString.endsWith(".parquet"))
     }
     try {
@@ -266,7 +272,9 @@ class IncrementalIndexSpec extends SparkSpec {
     val loc = java.nio.file.Files.createTempDirectory("graft-embcompact").toString
     def bandFiles(): Int = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(loc, "embbands")).iterator().asScala
+      val cur = graft.operators.Bucketing.currentDir(spark, loc, "embbands")
+        .stripPrefix("file:")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(cur)).iterator().asScala
         .count(_.toString.endsWith(".parquet"))
     }
     try {
@@ -316,6 +324,53 @@ class IncrementalIndexSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       cleanupEmb()
     }
+  }
+
+  test("versioned rewrite commit: a reader bound mid-rewrite keeps a complete old version") {
+    cleanup()
+    val loc = java.nio.file.Files.createTempDirectory("graft-vercommit").toString
+    def lsVersions(sub: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(loc)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(sub)).toSeq.sorted
+    }
+    try {
+      Dedup.writeBandIndex(corpus, "xidx", buckets = 4, location = Some(loc))
+      // a CONCURRENT READER (another session, in spirit): binds the
+      // pre-rewrite version dir directly, the way a re-attached DDL or a
+      // mid-scan task holds concrete file paths
+      val readerDir = graft.operators.Bucketing.currentDir(spark, loc, "bands")
+      val rowsBefore = spark.read.parquet(readerDir).count()
+      assert(rowsBefore > 0)
+
+      // rewrite #1 commits bands__v1; the reader's v0 dir MUST survive
+      Dedup.compactBandIndex(spark, "xidx", loc, buckets = 4)
+      assert(lsVersions("bands").contains("bands__v1"), lsVersions("bands").toString)
+      assert(spark.read.parquet(readerDir).count() === rowsBefore,
+        "reader bound before the rewrite must still see its complete old version")
+      val readerDirV1 = graft.operators.Bucketing.currentDir(spark, loc, "bands")
+      assert(readerDirV1.endsWith("bands__v1"), readerDirV1)
+
+      // rewrite #2 commits bands__v2 and reaps v0 (keep-top-2 grace):
+      // breaking a bound reader requires TWO full cycles inside one scan
+      Dedup.compactBandIndex(spark, "xidx", loc, buckets = 4)
+      val vs = lsVersions("bands")
+      assert(vs.contains("bands__v2") && vs.contains("bands__v1") && !vs.contains("bands"),
+        s"expected keep-top-2 cleanup, got $vs")
+      assert(spark.read.parquet(readerDirV1).count() === rowsBefore,
+        "previous version must be retained one full cycle")
+
+      // an in-flight (uncommitted) write is invisible to resolution
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(loc, "bands__v3.tmp"))
+      assert(graft.operators.Bucketing.currentDir(spark, loc, "bands")
+        .endsWith("bands__v2"), "a .tmp dir must never be resolvable")
+
+      // and the probe still returns the same pairs as before any rewrite
+      val pairs = Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.nonEmpty && pairs.map(_._2).subsetOf(Set(10L, 20L, 30L)))
+    } finally cleanup()
   }
 
   test("external index re-attaches via DDL after catalog loss") {

@@ -53,6 +53,8 @@ class QualityGatesSpec extends SparkSpec {
     "q127_ann_eval",
     // one-row n_truth attach onto the 3-row family report
     "q162_dedup_family_eval",
+    // same one-row n_truth attach onto the |grid|-row sweep report
+    "q205_lsh_autotune",
     // one-row n_min attach onto the vocabulary-sized source-rate table
     "q163_temperature_sample",
     // one-row (ta, tb) totals attach for the scaled probabilities

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{KllSketch, Quantiles}
+import org.apache.spark.sql.functions._
+
+/** KLL sketch: rank-error bounds vs exact sorts, mergeability (the
+  * 100-TB property: per-partition sketches tree-reduce without
+  * shuffling raw values), and the streaming fold twin. Like the
+  * countMin/HLL specs, these pin BOUNDS, not exact estimates — the
+  * estimate is order-dependent, the bound is not. */
+class QuantileSketchSpec extends SparkSpec {
+
+  private val K = 200
+  // constant-capacity KLL with k=200: observed max rank error on 1e5
+  // items is well under 1%; 3% is a safe deterministic ceiling
+  private def bound(n: Long): Long = math.max(2L, (0.03 * n).toLong)
+
+  private def seededData(n: Int): Array[Double] = {
+    val rnd = new scala.util.Random(42L)
+    // heavy right tail + duplicates: the shapes that break naive samplers
+    Array.fill(n)(math.floor(math.exp(rnd.nextGaussian() * 2) * 100) / 100)
+  }
+
+  test("rank and quantile error within bound on skewed data") {
+    val xs = seededData(100000)
+    val s = KllSketch.fromValues(xs, K)
+    assert(s.n === xs.length)
+    val sorted = xs.sorted
+    for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = s.quantile(p)
+      val exactRank = sorted.count(_ <= est)
+      val target = math.ceil(p * xs.length).toLong
+      assert(math.abs(exactRank - target) <= bound(xs.length),
+        s"p=$p: estimate $est has exact rank $exactRank, target $target")
+    }
+    // space: O(k log(n/k)) retained, not O(n)
+    assert(s.retained < 12 * K, s"retained ${s.retained} items for n=${s.n}")
+  }
+
+  test("merge of split sketches obeys the same bound as one-shot") {
+    val xs = seededData(60000)
+    val (a, b) = xs.splitAt(17000)
+    val merged = KllSketch.fromValues(a, K).merge(KllSketch.fromValues(b, K))
+    assert(merged.n === xs.length)
+    val sorted = xs.sorted
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val exactRank = sorted.count(_ <= merged.quantile(p))
+      val target = math.ceil(p * xs.length).toLong
+      assert(math.abs(exactRank - target) <= bound(xs.length),
+        s"merged p=$p: rank $exactRank vs target $target")
+    }
+    // merge must not mutate its inputs
+    val a2 = KllSketch.fromValues(a, K)
+    val before = a2.n
+    a2.merge(KllSketch.fromValues(b, K))
+    assert(a2.n === before)
+  }
+
+  test("sketchColumn distributes: per-partition sketches match the exact sort's ranks") {
+    import spark.implicits._
+    val xs = seededData(50000)
+    val df = spark.sparkContext.parallelize(xs.toSeq, 8).toDF("v")
+    val s = Quantiles.sketchColumn(df, "v", K)
+    assert(s.n === xs.length)
+    val sorted = xs.sorted
+    for (p <- Seq(0.25, 0.5, 0.95)) {
+      val exactRank = sorted.count(_ <= s.quantile(p))
+      assert(math.abs(exactRank - math.ceil(p * xs.length).toLong) <= bound(xs.length))
+    }
+    val report = Quantiles.quantileReport(df, "v", Seq(0.5, 0.9))
+    assert(report.columns.toSeq === Seq("p", "value_est", "n", "retained"))
+    assert(report.count() === 2)
+    // nulls are ignored, not counted
+    val withNulls = df.select(when(col("v") > 1e12, col("v")).as("v"))
+    assert(Quantiles.sketchColumn(withNulls.limit(100), "v", K).n === 0)
+  }
+}

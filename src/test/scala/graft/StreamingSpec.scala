@@ -613,6 +613,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quantile fold: stream fold matches exact ranks within the sketch bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7L)
+    val xs = Array.fill(30000)(math.floor(rnd.nextGaussian() * 10000) / 100)
+    val stream = MemoryStream[Double]
+    @volatile var last: Option[graft.operators.KllSketch] = None
+    val query = StreamOps.streamingQuantileFold(
+      stream.toDF().toDF("v"), "v")(s => last = Some(s))
+    try {
+      xs.grouped(10000).foreach { c => stream.addData(c.toSeq); query.processAllAvailable() }
+      val s = last.get
+      assert(s.n === xs.length, "every batch's values must fold in exactly once")
+      val sorted = xs.sorted
+      for (p <- Seq(0.1, 0.5, 0.9)) {
+        val exactRank = sorted.count(_ <= s.quantile(p))
+        val target = math.ceil(p * xs.length).toLong
+        assert(math.abs(exactRank - target) <= math.max(2L, (0.03 * xs.length).toLong),
+          s"p=$p: stream-folded sketch rank $exactRank vs target $target")
+      }
+    } finally query.stop()
+  }
+
   test("fold loops release superseded checkpoints: persistent-RDD count stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
