@@ -223,4 +223,22 @@ object Maintenance {
         sum(when(!col("pruned"), col("rows")).otherwise(lit(0L)))
           .as("rows_scanned_bound"))
   }
+
+  /** Collect table AND column statistics so Catalyst's cost-based
+    * optimizer can pick join orders from DATA rather than SQL syntax —
+    * the statistics half of table maintenance (the ANALYZE a warehouse
+    * runs after large loads/compactions). With
+    * `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled` set,
+    * a star join written fact-first reorders to join the filtered
+    * dimension first and the fact table LAST (CboSpec pins the plan and
+    * the unchanged result). Column stats are what make filter
+    * selectivity estimable — size-only stats can't see that
+    * `c_mktsegment = '…'` keeps a fifth of the rows. At 100 TB the
+    * reorder is the difference between shuffling the fact table against
+    * an unfiltered dimension and against a fifth of it. */
+  def analyzeForCbo(spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
 }
