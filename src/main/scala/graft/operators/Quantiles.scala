@@ -144,6 +144,29 @@ final class KllSketch private (val k: Int) extends Serializable {
 
   /** Retained items across all levels (diagnostics / space assertions). */
   def retained: Int = levels.map(_.length).sum + buffer.size
+
+  /** Compact binary state — the wire format of the native Catalyst
+    * aggregate's partial buffers ([[org.apache.spark.sql.graftnative.KllQuantileAgg]]):
+    * k, count, the unflushed buffer, then per level (parity, items).
+    * Explicit layout, not Java serialization: partial aggregation
+    * buffers ship on every map-side combine, so the format is sized
+    * exactly (≤ O(k·log(n/k)) doubles) and versioned by construction. */
+  def toBytes: Array[Byte] = {
+    val nDoubles = buffer.size + levels.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + 4 + levels.length * 5 + nDoubles * 8)
+    bb.putInt(k).putLong(count)
+    bb.putInt(buffer.size)
+    buffer.foreach(bb.putDouble)
+    bb.putInt(levels.length)
+    var i = 0
+    while (i < levels.length) {
+      bb.put(if (parities(i)) 1.toByte else 0.toByte)
+      bb.putInt(levels(i).length)
+      levels(i).foreach(bb.putDouble)
+      i += 1
+    }
+    bb.array()
+  }
 }
 
 object KllSketch {
@@ -152,6 +175,30 @@ object KllSketch {
   def fromValues(xs: IterableOnce[Double], k: Int = 200): KllSketch = {
     val s = new KllSketch(k)
     xs.iterator.foreach(s.update)
+    s
+  }
+
+  /** Inverse of [[KllSketch.toBytes]]. */
+  def fromBytes(bytes: Array[Byte]): KllSketch = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = new KllSketch(bb.getInt)
+    s.count = bb.getLong
+    val bufN = bb.getInt
+    var i = 0
+    while (i < bufN) { s.buffer += bb.getDouble; i += 1 }
+    val nLevels = bb.getInt
+    s.levels = new Array[Array[Double]](nLevels)
+    s.parities = new Array[Boolean](nLevels)
+    i = 0
+    while (i < nLevels) {
+      s.parities(i) = bb.get() == 1.toByte
+      val n = bb.getInt
+      val lv = new Array[Double](n)
+      var j = 0
+      while (j < n) { lv(j) = bb.getDouble; j += 1 }
+      s.levels(i) = lv
+      i += 1
+    }
     s
   }
 }
@@ -184,5 +231,25 @@ object Quantiles {
     import spark.implicits._
     ps.map(p => (p, s.quantile(p), s.n, s.retained))
       .toDF("p", "value_est", "n", "retained")
+  }
+
+  /** PER-GROUP sketch quantiles via the native Catalyst aggregate
+    * ([[org.apache.spark.sql.graftnative.KllQuantileAgg]]): one row per
+    * (group, p) with the estimate and the group's exact count. Unlike
+    * the exact grouped form (window sort: every row of every group
+    * shuffles AND sorts), the only thing that crosses the wire here is
+    * O(k·log(n/k)) sketch state per (map partition, group) — the shape
+    * that still works when one key holds 10^10 rows. */
+  def groupedQuantileReport(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.graftnative.SketchAggregates
+    val agg = df.groupBy(col(groupCol))
+      .agg(
+        SketchAggregates.kllQuantiles(col(valueCol).cast("double"), ps, k).as("est"),
+        count(col(valueCol)).as("n"))
+    val pArr = array(ps.map(lit): _*)
+    agg.select(col(groupCol), col("n"), posexplode(col("est")))
+      .select(col(groupCol), element_at(pArr, col("pos") + 1).as("p"),
+        col("col").as("value_est"), col("n"))
   }
 }

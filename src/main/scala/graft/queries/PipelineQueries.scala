@@ -443,6 +443,18 @@ object PipelineQueries {
         Seq(0.25, 0.5, 0.75, 0.95)),
       None),
 
+    // PER-GROUP KLL quantiles via the native TypedImperativeAggregate
+    // (q206's grouped form): per-event-type p50/p95/p99 of value with
+    // O(k·log n) state per group — what replaces q145's exact window
+    // sort when one key holds 10^10 rows. Rows-only for the same reason
+    // as q206 (merge-tree-dependent estimates); the per-group rank-error
+    // bound is pinned by QuantileSketchSpec against exact ranks.
+    QueryDef("q207_kll_grouped",
+      (s, dir) => graft.operators.Quantiles.groupedQuantileReport(
+        Tables.load(s, dir, "events"), "event_type", "value",
+        Seq(0.5, 0.95, 0.99)),
+      None),
+
     // SimHash cluster ASSIGNMENTS — the linear-output form. The scaling
     // harness showed pair enumeration is OUTPUT-bound on this corpus
     // (template text collapses into large fingerprint clusters; a k-doc

@@ -212,6 +212,69 @@ object TopKAgg {
   }
 }
 
+/** KLL quantile sketch ([[graft.operators.KllSketch]]) as a custom
+  * Catalyst aggregate — the piece the RDD `treeReduce` form
+  * (`Quantiles.sketchColumn`) cannot give: PER-GROUP sketch quantiles in
+  * one shuffle of O(k·log(n/k))-byte partial buffers. The exact grouped
+  * form (`q145_grouped_quantiles`, window sort per group) shuffles and
+  * sorts EVERY ROW of every group; this aggregate builds map-side
+  * sketches per (partition, group), merges them pairwise, and ships only
+  * sketch state — the right physical shape when groups are billions of
+  * rows and callers need p50/p95/p99 per key at 100 TB.
+  *
+  * Output: array of quantile estimates, one per requested p (null iff
+  * the group had no non-null input). DETERMINISM CONTRACT: estimates
+  * depend on the merge tree, which Spark does not fix across runs — the
+  * uniform rank-error bound holds for EVERY merge order (what
+  * QuantileSketchSpec pins per group against exact ranks), but the
+  * estimate itself is not bit-stable, so registry row q207 gets the
+  * rows-only gate (same contract as q29's engine-private HLL++, and the
+  * documented reason `Quantiles.sketchColumn` stays the bit-replayable
+  * path for the global case). */
+case class KllQuantileAgg(child: Expression, k: Int, ps: Seq[Double],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[graft.operators.KllSketch]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+    s"quantile ps must be non-empty and within [0,1], got $ps")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kll_quantiles"
+
+  override def createAggregationBuffer(): graft.operators.KllSketch =
+    graft.operators.KllSketch.empty(k)
+
+  override def update(buf: graft.operators.KllSketch,
+      input: InternalRow): graft.operators.KllSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: graft.operators.KllSketch,
+      other: graft.operators.KllSketch): graft.operators.KllSketch =
+    buf.merge(other)
+
+  override def eval(buf: graft.operators.KllSketch): Any =
+    if (buf.n == 0L) null
+    else new GenericArrayData(ps.map(buf.quantile).toArray)
+
+  override def serialize(buf: graft.operators.KllSketch): Array[Byte] =
+    buf.toBytes
+  override def deserialize(bytes: Array[Byte]): graft.operators.KllSketch =
+    graft.operators.KllSketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantileAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllQuantileAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): KllQuantileAgg =
+    copy(child = c)
+}
+
 object SketchAggregates {
   /** Misra–Gries candidate heavy hitters of a LongType column: an
     * array of ≤ k-1 items guaranteed to contain every item with
@@ -226,4 +289,11 @@ object SketchAggregates {
     ExpressionUtils.column(
       TopKAgg(ExpressionUtils.expression(value), ExpressionUtils.expression(id), k)
         .toAggregateExpression())
+
+  /** KLL sketch quantile estimates of a DoubleType column: array of one
+    * estimate per requested p, O(k·log(n/k)) aggregation state per
+    * group — the grouped-quantile shape for 100 TB. */
+  def kllQuantiles(c: Column, ps: Seq[Double], k: Int = 200): Column =
+    ExpressionUtils.column(
+      KllQuantileAgg(ExpressionUtils.expression(c), k, ps).toAggregateExpression())
 }

@@ -74,4 +74,53 @@ class QuantileSketchSpec extends SparkSpec {
     val withNulls = df.select(when(col("v") > 1e12, col("v")).as("v"))
     assert(Quantiles.sketchColumn(withNulls.limit(100), "v", K).n === 0)
   }
+
+  test("native grouped aggregate: per-group estimates within bound for every merge order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    // three groups with different scales and sizes, scattered over 16
+    // partitions so each group's sketch is genuinely merged map-side
+    val rows = (0 until 30000).map { i =>
+      val g = i % 3
+      val v = math.floor(math.exp(rnd.nextGaussian() + g) * 100) / 100
+      (s"g$g", v)
+    }
+    val df = spark.sparkContext.parallelize(rnd.shuffle(rows), 16).toDF("g", "v")
+    val ps = Seq(0.1, 0.5, 0.95)
+    val out = Quantiles.groupedQuantileReport(df, "g", "v", ps, K)
+    assert(out.columns.toSeq === Seq("g", "p", "value_est", "n"))
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size === 3 * ps.size)
+    val byGroup = rows.groupBy(_._1)
+    for (g <- byGroup.keys; p <- ps) {
+      val xs = byGroup(g).map(_._2).sorted
+      val (est, n) = got((g, p))
+      assert(n === xs.length)
+      val exactRank = xs.count(_ <= est)
+      val target = math.ceil(p * xs.length).toLong
+      assert(math.abs(exactRank - target) <= bound(xs.length),
+        s"group $g p=$p: estimate $est rank $exactRank vs target $target")
+    }
+    // all-null group evaluates to null estimates, not a crash
+    val nulls = Seq(("a", Option.empty[Double]), ("a", None), ("b", Some(1.0)))
+      .toDF("g", "v")
+    val agg = nulls.groupBy($"g").agg(
+      org.apache.spark.sql.graftnative.SketchAggregates
+        .kllQuantiles($"v", Seq(0.5), K).as("est"))
+    val m = agg.collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(m("a") === true && m("b") === false)
+  }
+
+  test("sketch binary state round-trips exactly (the aggregate's wire format)") {
+    val xs = seededData(25000)
+    val s = KllSketch.fromValues(xs, K)
+    val r = KllSketch.fromBytes(s.toBytes)
+    assert(r.n === s.n && r.retained === s.retained && r.k === s.k)
+    for (p <- Seq(0.01, 0.5, 0.99)) assert(r.quantile(p) === s.quantile(p))
+    // and an un-flushed buffer (n < k) survives the trip too
+    val tiny = KllSketch.fromValues(Seq(3.0, 1.0, 2.0), K)
+    val t = KllSketch.fromBytes(tiny.toBytes)
+    assert(t.n === 3 && t.quantile(0.5) === 2.0)
+  }
 }
