@@ -339,16 +339,33 @@ object TextAnalysis {
     * Output per distinct token: (wh, est, exact). Shuffles: tokens ×
     * `rows` to (row, cell) — bounded `rows·width` counters however
     * large the corpus — plus the exact-count groupBy for the gate. */
+  /** The seeded affine cell map shared by the batch sketch, the probe
+    * side, and the streaming fold — exact integer arithmetic, so every
+    * consumer (including the DuckDB oracle) lands in the same cell. */
+  private def cmCell(wh: Column, r: Column, width: Int): Column =
+    ((wh * (lit(1000003L) + r * 2L) + r) % graft.functions.TextHash.P) % width
+
+  /** Just the Count-Min COUNTER MATRIX of a corpus as a (r, c, cnt)
+    * frame — bounded at rows·width cells however large the input, and
+    * ADDITIVE: matrices of two corpora merge by cell-wise sum (groupBy
+    * IS the merge), which is what makes the sketch shard-parallel at
+    * 100 TB and streaming-foldable ([[graft.streaming.StreamOps.streamingCountMinFold]]). */
+  def countMinCounters(docs: DataFrame, rows: Int = 4, width: Int = 256): DataFrame = {
+    import graft.functions.TextHash
+    require(rows >= 1 && rows <= 16 && width >= 2, s"bad sketch dims $rows x $width")
+    val toks = docs.select(explode(TextHash.wordHashes(col("text"))).as("wh"))
+    toks.select(col("wh"), explode(
+        array((0 until rows).map(r => lit(r.toLong)): _*)).as("r"))
+      .select(col("r"), cmCell(col("wh"), col("r"), width).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
   def countMinEstimates(docs: DataFrame, rows: Int = 4, width: Int = 256): DataFrame = {
     import graft.functions.TextHash
     require(rows >= 1 && rows <= 16 && width >= 2, s"bad sketch dims $rows x $width")
-    def cell(wh: Column, r: Column): Column =
-      ((wh * (lit(1000003L) + r * 2L) + r) % TextHash.P) % width
+    def cell(wh: Column, r: Column): Column = cmCell(wh, r, width)
     val toks = docs.select(explode(TextHash.wordHashes(col("text"))).as("wh"))
-    val cells = toks.select(col("wh"), explode(
-        array((0 until rows).map(r => lit(r.toLong)): _*)).as("r"))
-      .select(col("r"), cell(col("wh"), col("r")).as("c"))
-    val counters = cells.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val counters = countMinCounters(docs, rows, width)
     val exact = toks.groupBy(col("wh")).agg(count(lit(1)).as("exact"))
     val probes = exact.select(col("wh"), col("exact"), explode(
         array((0 until rows).map(r => lit(r.toLong)): _*)).as("r"))

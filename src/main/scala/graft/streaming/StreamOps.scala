@@ -592,6 +592,30 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous Count-Min sketching: each batch's counter matrix
+    * ([[graft.operators.TextAnalysis.countMinCounters]], bounded at
+    * rows·width cells) folds into ONE driver-held matrix by cell-wise
+    * sum — the additivity that makes Count-Min the right frequency
+    * sketch for streams. Unlike the KLL fold the result is EXACTLY the
+    * batch sketch of the union (counter addition is associative and
+    * commutative, no merge-order dependence), so StreamingSpec pins
+    * stream==batch to the cell, not to a bound. Driver-held state is
+    * rows·width longs — configuration-sized, not data-sized. */
+  def streamingCountMinFold(docs: DataFrame, rows: Int = 4, width: Int = 256)(
+      onCounters: Array[Array[Long]] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val acc = Array.fill(rows)(new Array[Long](width))
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextAnalysis.countMinCounters(batch.toDF(), rows, width)
+            .collect()   // bounded: ≤ rows·width cells by construction
+            .foreach(r => acc(r.getLong(0).toInt)(r.getLong(1).toInt) += r.getLong(2))
+        onCounters(acc)
+      }
+      .start()
+  }
+
   /** Unpersists the cached blocks behind a localCheckpointed frame. The
     * checkpoint pins its data as persisted-RDD blocks referenced from the
     * plan's `LogicalRDD` leaf — `Dataset.unpersist` cannot reach them (it

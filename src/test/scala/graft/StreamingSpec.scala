@@ -636,6 +636,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming count-min fold: folded counters equal the one-shot batch sketch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").as[String].collect().toSeq
+    val (rows, width) = (4, 64)
+    // batch reference matrix over the whole corpus
+    val ref = Array.fill(rows)(new Array[Long](width))
+    graft.operators.TextAnalysis.countMinCounters(docs.toDF("text"), rows, width)
+      .collect().foreach(r => ref(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    val stream = MemoryStream[String]
+    @volatile var last: Array[Array[Long]] = null
+    val query = StreamOps.streamingCountMinFold(
+      stream.toDF().toDF("text"), rows, width)(m => last = m)
+    try {
+      docs.grouped(math.max(1, docs.size / 3)).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+      // EXACT equality, not a bound: counter matrices are additive, so
+      // the 3-batch fold is the one-shot sketch cell for cell
+      assert(last != null)
+      for (r <- 0 until rows; c <- 0 until width)
+        assert(last(r)(c) === ref(r)(c), s"cell ($r,$c)")
+      // one-sided error on a point estimate: min over rows >= exact
+      val est = graft.operators.TextAnalysis
+        .countMinEstimates(docs.toDF("text"), rows, width)
+      assert(est.filter(col("est") < col("exact")).count() === 0)
+    } finally query.stop()
+  }
+
   test("fold loops release superseded checkpoints: persistent-RDD count stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
