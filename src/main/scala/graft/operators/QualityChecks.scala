@@ -620,6 +620,47 @@ object QualityChecks {
       .select(col(coarseCol), col("n_sketches"), col("n_registers"), col("raw_est"))
   }
 
+  /** HLL SET OPERATIONS: the pairwise distinct-overlap matrix between
+    * groups, computed entirely on merged sketches — |A∪B| by
+    * register-wise max of A's and B's registers, |A∩B| by
+    * inclusion–exclusion (est_a + est_b − est_union). This is the
+    * audit a multi-source corpus needs ("how many users/docs do
+    * sources share?") in a form that never rescans raw data per pair:
+    * one pass builds ≤ 64 registers per group, and every pairwise
+    * union touches only collapsed sketch rows. Registers merge
+    * losslessly (max is associative), so the union ESTIMATE is
+    * bit-identical to sketching A∪B's raw rows directly — pinned by
+    * SketchSpec — and the whole construction replays in SQL under the
+    * DuckDB hash gate (same deterministic HLL as [[hllDistinct]]).
+    *
+    * The group list is collected driver-side to enumerate pairs —
+    * bounded by contract: this is a SOURCE/SPLIT-grain audit (tens of
+    * groups), same cardinality class as the other collapsed report
+    * frames. Output: (g_a, g_b, est_a, est_b, est_union,
+    * est_intersection), g_a < g_b. */
+  def hllOverlapMatrix(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val regs = hllRegisters(df, Seq(groupCol), valueCol)
+      .localCheckpoint(false) // reused by the per-group and union folds
+    val groups = regs.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val mapping = groups.combinations(2).toSeq
+      .flatMap { p => val (a, b) = (p(0), p(1)); Seq((a, a, b), (b, a, b)) }
+      .toDF("g", "g_a", "g_b")
+    val unionRegs = regs
+      .join(broadcast(mapping), regs(groupCol).cast("string") === mapping("g"))
+      .groupBy(col("g_a"), col("g_b"), col("j")).agg(max(col("mj")).as("mj"))
+    val single = hllEstimate(regs, Seq(groupCol))
+      .select(col(groupCol).cast("string").as("g"), col("raw_est"))
+    hllEstimate(unionRegs, Seq("g_a", "g_b"))
+      .select(col("g_a"), col("g_b"), col("raw_est").as("est_union"))
+      .join(single.select(col("g").as("g_a"), col("raw_est").as("est_a")), "g_a")
+      .join(single.select(col("g").as("g_b"), col("raw_est").as("est_b")), "g_b")
+      .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersection"))
+  }
+
   /** Mann–Whitney U between two groups of a 2-decimal measure — the
     * rank-based (distribution-free) sibling of [[abTest]], the right
     * readout when the metric is skewed or heavy-tailed. Everything up

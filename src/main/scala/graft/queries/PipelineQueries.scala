@@ -455,6 +455,48 @@ object PipelineQueries {
         Seq(0.5, 0.95, 0.99)),
       None),
 
+    // HLL SET OPERATIONS: pairwise distinct-user overlap between event
+    // types from MERGED SKETCHES — |A∪B| by register-wise max, |A∩B| by
+    // inclusion-exclusion — never rescanning raw rows per pair. The
+    // deterministic HLL (q29b/q176) makes the whole thing replay under
+    // the hash gate, intersection arithmetic included.
+    QueryDef("q208_hll_setops",
+      (s, dir) => QualityChecks.hllOverlapMatrix(
+        Tables.events(s, dir).select(col("event_type"), col("user_id")),
+        "event_type", "user_id"),
+      Some("""WITH h0 AS (SELECT event_type AS g,
+             |                   (CAST(user_id AS BIGINT) * 2654435761 + 7) % 1000000007 AS h
+             |            FROM events),
+             |h1 AS (SELECT g, (h * h + h * 5 + 1) % 1000000007 AS h FROM h0),
+             |h2 AS (SELECT g, (h * h + h * 3 + 7) % 1000000007 AS h FROM h1),
+             |r AS (SELECT g, CAST(h % 64 AS INTEGER) AS j, h // 64 AS v FROM h2),
+             |rr AS (SELECT g, j, CASE WHEN v = 0 THEN 25
+             |                        ELSE CAST(length(bin(v & -v)) AS INTEGER) END AS rho
+             |       FROM r),
+             |m AS (SELECT g, j, max(rho) AS mj FROM rr GROUP BY 1, 2),
+             |eg AS (SELECT g, CAST(count(*) AS INTEGER) AS n_registers,
+             |              list(CAST(1.0 AS DOUBLE) / CAST((1 << mj) AS DOUBLE) ORDER BY j) AS terms
+             |       FROM m GROUP BY 1),
+             |es AS (SELECT g, CAST(2904.064 AS DOUBLE)
+             |              / (list_reduce(terms, (a, b) -> a + b)
+             |                 + CAST(64 - n_registers AS DOUBLE)) AS est
+             |       FROM eg),
+             |gs AS (SELECT DISTINCT g FROM m),
+             |pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
+             |pm AS (SELECT p.g_a, p.g_b, m.j, max(m.mj) AS mj
+             |       FROM pairs p JOIN m ON m.g = p.g_a OR m.g = p.g_b
+             |       GROUP BY 1, 2, 3),
+             |ug AS (SELECT g_a, g_b, CAST(count(*) AS INTEGER) AS n_registers,
+             |              list(CAST(1.0 AS DOUBLE) / CAST((1 << mj) AS DOUBLE) ORDER BY j) AS terms
+             |       FROM pm GROUP BY 1, 2),
+             |us AS (SELECT g_a, g_b, CAST(2904.064 AS DOUBLE)
+             |              / (list_reduce(terms, (a, b) -> a + b)
+             |                 + CAST(64 - n_registers AS DOUBLE)) AS est_union
+             |       FROM ug)
+             |SELECT us.g_a, us.g_b, ea.est AS est_a, eb.est AS est_b, us.est_union,
+             |       ea.est + eb.est - us.est_union AS est_intersection
+             |FROM us JOIN es ea ON ea.g = us.g_a JOIN es eb ON eb.g = us.g_b""".stripMargin)),
+
     // SimHash cluster ASSIGNMENTS — the linear-output form. The scaling
     // harness showed pair enumeration is OUTPUT-bound on this corpus
     // (template text collapses into large fingerprint clusters; a k-doc

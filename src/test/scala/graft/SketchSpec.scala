@@ -60,6 +60,34 @@ class SketchSpec extends SparkSpec {
       "register-wise max merge is lossless: rollup == direct sketch")
   }
 
+  test("hllOverlapMatrix: union est == direct sketch of the union; inclusion-exclusion tracks truth") {
+    import spark.implicits._
+    import graft.operators.QualityChecks
+    // A = {0..899}, B = {600..1499}: true overlap 300 of 1500
+    val rows = (1 to 4000).flatMap { i =>
+      Seq(("a", (i % 900).toLong), ("b", (600 + i % 900).toLong))
+    }
+    val df = rows.toDF("g", "uid")
+    val out = QualityChecks.hllOverlapMatrix(df, "g", "uid").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === ("a", "b"))
+    val (estA, estB, estU, estI) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // register-wise max merge is lossless: the merged-union estimate is
+    // BIT-IDENTICAL to sketching the union's raw rows directly
+    val direct = QualityChecks.hllDistinct(
+      df.select(lit("u").as("g"), col("uid")), "g", "uid")
+      .collect().head.getDouble(2)
+    assert(estU === direct, "merged union sketch == direct union sketch")
+    assert(estI === estA + estB - estU)
+    // 64-register HLL: ~13% standard error; assert within 3 sigma
+    def within(est: Double, truth: Double) =
+      math.abs(est - truth) <= 0.4 * truth
+    assert(within(estA, 900) && within(estB, 900) &&
+      within(estU, 1500), s"ests ($estA, $estB, $estU)")
+  }
+
   test("topK aggregate: exact rank order, ties broken by id, k-bounded merges") {
     import spark.implicits._
     import org.apache.spark.sql.graftnative.SketchAggregates
