@@ -559,7 +559,7 @@ object QualityChecks {
   /** The (groups..., j, mj) register sketch behind [[hllDistinct]] /
     * [[hllSketchRollup]] — the MERGEABLE persisted form (register-wise
     * max combines sketches across any grain without raw data). */
-  private def hllRegisters(df: DataFrame, groupCols: Seq[String],
+  private[graft] def hllRegisters(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     val P = graft.functions.TextHash.P
     val g = groupCols.map(col)
@@ -576,6 +576,19 @@ object QualityChecks {
       .select(g :+ col("j") :+
         when(col("v") === 0L, lit(25)).otherwise(length(bin(expr("v & -v")))).as("rho"): _*)
       .groupBy(g :+ col("j"): _*).agg(max(col("rho")).as("mj"))
+  }
+
+  /** Driver-side twin of [[hllEstimate]]'s harmonic fold for a SINGLE
+    * sketch held as (j, mj) pairs — same fixed operation order (terms
+    * ascending by j, then the absent-register ones appended), so a
+    * register map folded on the driver (the streaming path) yields the
+    * IDENTICAL double the frame fold yields. */
+  def hllRawEstimateOf(regs: Iterable[(Int, Int)]): Double = {
+    require(regs.nonEmpty, "estimate of an empty sketch")
+    val sorted = regs.toSeq.sortBy(_._1)
+    val terms = sorted.map { case (_, mj) => 1.0 / (1L << mj).toDouble }
+    val invSum = terms.tail.foldLeft(terms.head)(_ + _) + (64 - sorted.size).toDouble
+    2904.064 / invSum
   }
 
   /** The harmonic-mean fold from (groups..., j, mj) registers to

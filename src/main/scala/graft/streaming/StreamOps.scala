@@ -616,6 +616,37 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous distinct-count sketching: each batch's deterministic
+    * HLL registers ([[graft.operators.QualityChecks.hllRegisters]],
+    * ≤ 64 rows per group) fold into a driver-held register map by
+    * register-wise MAX — lossless, associative, order-independent, so
+    * the streamed sketch equals the one-shot batch sketch EXACTLY
+    * (StreamingSpec pins registers and the folded estimate to the
+    * batch path bit for bit; contrast the KLL fold, which only pins a
+    * bound). This is how "distinct users so far" is served on an
+    * unbounded stream with configuration-sized state — the streaming
+    * face of the q176 rollup and q208 set-ops tiers, whose persisted
+    * sketches the same max-merge combines. */
+  def streamingHllFold(df: DataFrame, groupCol: String, valueCol: String)(
+      onRegisters: Map[(String, Int), Int] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var acc = Map.empty[(String, Int), Int]
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val regs = graft.operators.QualityChecks
+            .hllRegisters(batch.toDF(), Seq(groupCol), valueCol)
+            .collect() // bounded: ≤ 64 registers per group
+            .map(r => (r.get(0).toString, r.getInt(1)) -> r.getInt(2))
+          acc = regs.foldLeft(acc) { case (m, (k, mj)) =>
+            m.updated(k, math.max(m.getOrElse(k, 0), mj))
+          }
+        }
+        onRegisters(acc)
+      }
+      .start()
+  }
+
   /** Unpersists the cached blocks behind a localCheckpointed frame. The
     * checkpoint pins its data as persisted-RDD blocks referenced from the
     * plan's `LogicalRDD` leaf — `Dataset.unpersist` cannot reach them (it

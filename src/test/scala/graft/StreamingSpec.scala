@@ -666,6 +666,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming HLL fold: register max-merge equals the one-shot batch sketch bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 5000).map(i => (s"g${i % 3}", (i % (700 + 100 * (i % 3))).toLong))
+    val batchRegs = graft.operators.QualityChecks
+      .hllRegisters(rows.toDF("g", "uid"), Seq("g"), "uid")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val stream = MemoryStream[(String, Long)]
+    @volatile var last: Map[(String, Int), Int] = Map.empty
+    val query = StreamOps.streamingHllFold(
+      stream.toDF().toDF("g", "uid"), "g", "uid")(m => last = m)
+    try {
+      rows.grouped(1700).foreach { b => stream.addData(b); query.processAllAvailable() }
+      assert(last === batchRegs, "streamed registers == batch registers, every cell")
+      // and the driver-side harmonic fold reproduces the frame fold's
+      // double EXACTLY, group by group
+      val frameEst = graft.operators.QualityChecks
+        .hllDistinct(rows.toDF("g", "uid"), "g", "uid")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val streamEst = last.groupBy(_._1._1).map { case (g, regs) =>
+        g -> graft.operators.QualityChecks.hllRawEstimateOf(
+          regs.map { case ((_, j), mj) => (j, mj) })
+      }
+      assert(streamEst === frameEst, "driver harmonic fold == frame harmonic fold")
+    } finally query.stop()
+  }
+
   test("fold loops release superseded checkpoints: persistent-RDD count stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
