@@ -379,6 +379,45 @@ object Cli {
       println(s"[graft] maintain checksum-diff: ${bad.length} mismatched ranges -> $outDir/checksum_diff")
       bad.foreach(r => println(s"[graft]   bucket=${r.getLong(0)}"))
 
+    // sketch-tier reports: per-group quantile estimates (KLL native
+    // aggregate — no per-row shuffle however large the groups) and the
+    // pairwise distinct-overlap matrix (merged HLL sketches — no raw
+    // rescan per pair). The profiling surface an operator reaches for
+    // before committing to an exact (sort/distinct) pass at 100 TB.
+    case "sketch" :: "quantiles" :: tablePath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val df = spark.read.parquet(tablePath)
+      val groupCol = o.getOrElse("group-col", df.columns.head)
+      val valueCol = o.getOrElse("value-col",
+        df.columns.find(_ != groupCol).getOrElse(df.columns.head))
+      val ps = o.get("ps").map(_.split(",").toSeq.map(_.toDouble))
+        .getOrElse(Seq(0.5, 0.95, 0.99))
+      val k = o.get("k").map(_.toInt).getOrElse(200)
+      val rep = graft.operators.Quantiles
+        .groupedQuantileReport(df, groupCol, valueCol, ps, k)
+      rep.write.mode("overwrite").parquet(s"$outDir/quantiles")
+      val rows = spark.read.parquet(s"$outDir/quantiles")
+        .orderBy(groupCol, "p").collect()
+      println(s"[graft] sketch quantiles: $groupCol x $valueCol k=$k -> $outDir/quantiles")
+      rows.foreach(r => println(f"[graft]   ${r.get(0)}%-12s p=${r.getDouble(1)}%.2f " +
+        f"est=${r.getDouble(2)}%.4f n=${r.getLong(3)}%d"))
+
+    case "sketch" :: "overlap" :: tablePath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val df = spark.read.parquet(tablePath)
+      val groupCol = o.getOrElse("group-col", df.columns.head)
+      val valueCol = o.getOrElse("value-col",
+        df.columns.find(_ != groupCol).getOrElse(df.columns.head))
+      val rep = graft.operators.QualityChecks
+        .hllOverlapMatrix(df, groupCol, valueCol)
+      rep.write.mode("overwrite").parquet(s"$outDir/overlap")
+      val rows = spark.read.parquet(s"$outDir/overlap")
+        .orderBy("g_a", "g_b").collect()
+      println(s"[graft] sketch overlap: $groupCol x $valueCol -> $outDir/overlap")
+      rows.foreach(r => println(f"[graft]   ${r.getString(0)}%-10s ${r.getString(1)}%-10s " +
+        f"a=${r.getDouble(2)}%.0f b=${r.getDouble(3)}%.0f union=${r.getDouble(4)}%.0f " +
+        f"inter=${r.getDouble(5)}%.0f"))
+
     case "dedup-eval" :: corpusPath :: outDir :: opts =>
       val o = parseOpts(opts)
       val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
@@ -410,6 +449,8 @@ object Cli {
           |  release      <corpusParquet> <outDir> [--bench P] [--jaccard T] [--seq-len N]
           |  bpe          <corpusParquet> <outDir> [--merges N]
           |  dedup-eval   <corpusParquet> <outDir> [--jaccard T]
+          |  sketch quantiles <tableParquet> <outDir> [--group-col g] [--value-col v] [--ps 0.5,0.95] [--k N]
+          |  sketch overlap   <tableParquet> <outDir> [--group-col g] [--value-col v]
           |  maintain compact-plan  <manifestParquet> <outDir> [--id-col c] [--bytes-col c] [--target BYTES]
           |  maintain diff          <oldParquet> <newParquet> <outDir> [--keys k1,k2] [--cols c1,c2]
           |  maintain checksum      <tableParquet> <outDir> [--key-col c] [--range-width N] [--cols c1,c2]

@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   * its key range. */
 class CliMaintainSpec extends SparkSpec {
 
+  test("sketch quantiles + overlap run end-to-end from parquet to report files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clisketch").toString
+    (1 to 4000).map(i => (s"s${i % 2}", (i % (900 + 100 * (i % 2))).toLong))
+      .toDF("src", "uid").write.parquet(s"$dir/t")
+
+    Cli.run(spark, List("sketch", "quantiles", s"$dir/t", s"$dir/q",
+      "--group-col", "src", "--value-col", "uid", "--ps", "0.5,0.9", "--k", "128"))
+    val q = spark.read.parquet(s"$dir/q/quantiles").collect()
+    assert(q.length === 4, "2 groups x 2 ps")
+    assert(q.forall(r => r.getLong(3) === 2000L), "per-group exact n carried")
+
+    Cli.run(spark, List("sketch", "overlap", s"$dir/t", s"$dir/o",
+      "--group-col", "src", "--value-col", "uid"))
+    val o = spark.read.parquet(s"$dir/o/overlap").collect()
+    assert(o.length === 1)
+    val r = o.head
+    assert((r.getString(0), r.getString(1)) === ("s0", "s1"))
+    // s0 = {0..899}, s1 = {0..999}: union truth 1000, overlap truth 900
+    assert(math.abs(r.getDouble(4) - 1000) <= 400, s"union est ${r.getDouble(4)}")
+  }
+
   test("maintain compact-plan bins a file manifest to the target size") {
     import spark.implicits._
     val dir = Files.createTempDirectory("climaintain").toString
