@@ -418,6 +418,28 @@ object TextAnalysis {
       .select(col("doc_id"), col(stratumCol), col("rn"))
   }
 
+  /** [[stratifiedSample]] re-expressed as a BOUNDED AGGREGATE: per
+    * stratum, bottom-`perStratum` docs by (gate-hash ASC, doc_id ASC)
+    * via the native top-k aggregate on the negated hash
+    * ([[org.apache.spark.sql.graftnative.TopKAgg]]). Same rows, same
+    * ranks, same oracle as the window form — different physics: the
+    * window must shuffle and SORT every row of every stratum, while
+    * the aggregate keeps a k-entry buffer per (partition, stratum) and
+    * ships ≤ k pairs per stratum across the wire — O(n log k) with
+    * k-bounded shuffle volume, the sampling shape that survives a
+    * billion-doc stratum. Output: (doc_id, stratum, rn), rn 1-based in
+    * hash order. */
+  def stratifiedSampleAgg(docs: DataFrame, stratumCol: String, perStratum: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.SketchAggregates
+    val h = Curation.gateHash(TextHash.polyHash(col("text")), TextHash.P)
+    docs.select(col(stratumCol), (-h).as("v"), col("doc_id"))
+      .groupBy(col(stratumCol))
+      .agg(SketchAggregates.topK(col("v"), col("doc_id"), perStratum).as("top"))
+      .select(col(stratumCol), posexplode(col("top")))
+      .select(col("col.id").as("doc_id"), col(stratumCol),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Corpus-trained unigram-LM quality score — the CCNet/KenLM
     * perplexity-filter shape: train token frequencies on the corpus
     * itself, score each doc by its mean token probability. The textbook

@@ -283,6 +283,20 @@ object PipelineQueries {
              |          FROM documents)
              |SELECT doc_id, lang, rn FROM r WHERE rn <= 50""".stripMargin)),
 
+    // q39's stratified sample as a BOUNDED AGGREGATE (native TopKAgg on
+    // the negated gate hash): identical rows/ranks/oracle, but a
+    // k-entry buffer per (partition, stratum) replaces the per-stratum
+    // window SORT of every row — the form that survives billion-doc
+    // strata. Same oracle SQL as q39 by construction.
+    QueryDef("q209_stratified_bottomk",
+      (s, dir) => TextAnalysis.stratifiedSampleAgg(
+        Tables.load(s, dir, "documents"), "lang", 50),
+      Some(s"""WITH r AS (SELECT doc_id, lang,
+             |                CAST(row_number() OVER (PARTITION BY lang
+             |                       ORDER BY ${Curation.gateHashSql(TextHash.polyHashSql("text"), TextHash.P)}, doc_id) AS INTEGER) AS rn
+             |          FROM documents)
+             |SELECT doc_id, lang, rn FROM r WHERE rn <= 50""".stripMargin)),
+
     QueryDef("q37_data_quality",
       (s, dir) => graft.operators.QualityChecks.profile(
         Tables.load(s, dir, "documents"), Seq("doc_id", "lang", "source")),

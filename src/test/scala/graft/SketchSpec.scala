@@ -60,6 +60,17 @@ class SketchSpec extends SparkSpec {
       "register-wise max merge is lossless: rollup == direct sketch")
   }
 
+  test("stratifiedSampleAgg: bounded aggregate == window form, row for row") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val win = rows(TextAnalysis.stratifiedSample(docs, "lang", 7))
+    val agg = rows(TextAnalysis.stratifiedSampleAgg(docs, "lang", 7))
+    assert(agg === win, "same docs, same strata, same ranks")
+    assert(agg.nonEmpty)
+  }
+
   test("hllOverlapMatrix: union est == direct sketch of the union; inclusion-exclusion tracks truth") {
     import spark.implicits._
     import graft.operators.QualityChecks
