@@ -24,5 +24,6 @@ object GraftRuntime {
     // implementations the Column API uses
     VectorExpressions.register(spark)
     StringNormExpressions.register(spark)
+    org.apache.spark.sql.graftnative.SketchAggregates.register(spark)
   }
 }

@@ -296,4 +296,49 @@ object SketchAggregates {
   def kllQuantiles(c: Column, ps: Seq[Double], k: Int = 200): Column =
     ExpressionUtils.column(
       KllQuantileAgg(ExpressionUtils.expression(c), k, ps).toAggregateExpression())
+
+  private def litNum(e: Expression, fn: String): Double = {
+    require(e.foldable && e.eval() != null,
+      s"$fn: sketch parameters must be non-null literals")
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL `0.5` parses as Decimal
+      case n: Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: sketch parameters must be numeric literals, got $other")
+    }
+  }
+
+  /** SQL-name registration (`graft_misra_gries(x, k)`,
+    * `graft_topk(v, id, k)`, `graft_kll_quantiles(x, k, p...)`) so
+    * `spark.sql` text reaches the sketch aggregates too — the analyzer
+    * wraps a returned AggregateFunction into its AggregateExpression,
+    * so these builders return the bare function. Sketch parameters must
+    * be literals (they size aggregation buffers at plan time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_misra_gries takes (x, k)")
+        MisraGriesAgg(children.head, litNum(children(1), "graft_misra_gries").toInt)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_topk takes (v, id, k)")
+        TopKAgg(children.head, children(1), litNum(children(2), "graft_topk").toInt)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantileAgg].getName, "graft_kll_quantiles"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 3, "graft_kll_quantiles takes (x, k, p, ...)")
+        KllQuantileAgg(children.head,
+          litNum(children(1), "graft_kll_quantiles").toInt,
+          children.drop(2).map(litNum(_, "graft_kll_quantiles")))
+      })
+  }
 }

@@ -99,6 +99,40 @@ class SketchSpec extends SparkSpec {
       within(estU, 1500), s"ests ($estA, $estB, $estU)")
   }
 
+  test("sketch aggregates reach spark.sql text: SQL names == Column API") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => ((i % 4).toLong, (i % (50 + 10 * (i % 4))).toLong,
+      (i % 977).toDouble))
+    rows.toDF("g", "item", "v").createOrReplaceTempView("sketch_in")
+    // topk is exact and deterministic: full equality
+    val sqlTop = spark.sql(
+      "SELECT g, graft_topk(item, item, 5) AS t FROM sketch_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))).toMap
+    val apiTop = rows.toDF("g", "item", "v").groupBy($"g")
+      .agg(org.apache.spark.sql.graftnative.SketchAggregates.topK($"item", $"item", 5).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))).toMap
+    assert(sqlTop === apiTop && sqlTop.nonEmpty)
+    // misra-gries: the guarantee is about heavy items (freq > n/k) —
+    // the dominant item must be present in the SQL-built candidates
+    (1 to 900).map(i => if (i % 3 == 0) (i % 40).toLong else 42L)
+      .toDF("item").createOrReplaceTempView("mg_in")
+    val sqlMg = spark.sql(
+      "SELECT graft_misra_gries(item, 8) AS c FROM mg_in")
+      .collect().head.getSeq[Long](0)
+    assert(sqlMg.contains(42L), s"dominant item must survive: $sqlMg")
+    // kll: SQL form parses, returns one estimate per requested p, and
+    // the estimate respects the rank bound
+    val est = spark.sql(
+      "SELECT g, graft_kll_quantiles(v, 128, 0.5, 0.9) AS q FROM sketch_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(est.length === 4 && est.forall(_._2.size == 2))
+    // non-literal k must be rejected loudly, not mis-sized silently
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_topk(item, item, item) FROM sketch_in").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("topK aggregate: exact rank order, ties broken by id, k-bounded merges") {
     import spark.implicits._
     import org.apache.spark.sql.graftnative.SketchAggregates
