@@ -54,7 +54,14 @@ object ScalingBench {
     "q67_semantic_dedup",   // SemDeDup end-to-end
     "q113_ensemble_dedup",  // 3 families + shared verify, one corpus scan
     "q124_triangles",       // degree-oriented triangle census
-    "q131_graph_components" // iterative min-label CC
+    "q131_graph_components", // iterative min-label CC
+    // tier-vs-tier: the same sampling/quantile SEMANTICS in the
+    // window-sort form vs the bounded-state form, measured head to head
+    // as group sizes grow ×R (groups stay fixed; rows per group scale)
+    "q39_stratified_sample",   // per-stratum sample via window SORT of every row
+    "q209_stratified_bottomk", // same rows via k-bounded TopKAgg
+    "q145_grouped_quantiles",  // exact per-group quantiles via bounded cents-histogram
+    "q207_kll_grouped"         // per-group quantile ESTIMATES via KLL aggregate
   )
 
   private val IdOffset = 140000000L
@@ -92,10 +99,19 @@ object ScalingBench {
     base.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdOffset))
       .withColumn("l_partkey", col("l_partkey") + lit(k * IdOffset))
 
+  /** events: key-shift only — event_type (the GROUP key of the
+    * window-vs-aggregate rows) is left alone, so groups keep their
+    * cardinality and each grows ×R rows: exactly the "one stratum gets
+    * huge" regime the bounded-aggregate tier exists for. */
+  private def replicaEvents(base: DataFrame, k: Int): DataFrame =
+    base.withColumn("event_id", col("event_id") + lit(k * IdOffset))
+      .withColumn("user_id", col("user_id") + lit(k * IdOffset))
+
   /** Builds the ×r corpus under `outDir` (documents, embeddings,
     * lineitem — the only tables the headline rows read). Idempotent. */
   def buildScale(spark: SparkSession, baseDir: String, outDir: String, r: Int): Unit = {
-    val done = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK")
+    // v2: events.parquet joined the replica set (window-vs-aggregate rows)
+    val done = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK_V2")
     if (java.nio.file.Files.exists(done)) return
     val docs = Tables.load(spark, baseDir, "documents")
     val emb = Tables.load(spark, baseDir, "embeddings")
@@ -107,6 +123,9 @@ object ScalingBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     (0 until r).map(replicaLineitem(li, _)).reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    val ev = Tables.events(spark, baseDir) // ts normalized before rewrite
+    (0 until r).map(replicaEvents(ev, _)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     java.nio.file.Files.write(done, s"r=$r\n".getBytes("UTF-8"))
   }
 

@@ -422,13 +422,19 @@ object TextAnalysis {
     * stratum, bottom-`perStratum` docs by (gate-hash ASC, doc_id ASC)
     * via the native top-k aggregate on the negated hash
     * ([[org.apache.spark.sql.graftnative.TopKAgg]]). Same rows, same
-    * ranks, same oracle as the window form — different physics: the
-    * window must shuffle and SORT every row of every stratum, while
-    * the aggregate keeps a k-entry buffer per (partition, stratum) and
-    * ships ≤ k pairs per stratum across the wire — O(n log k) with
-    * k-bounded shuffle volume, the sampling shape that survives a
-    * billion-doc stratum. Output: (doc_id, stratum, rn), rn 1-based in
-    * hash order. */
+    * ranks, same oracle as the window form.
+    *
+    * Scale relationship, measured (SketchSpec bounded-shuffle gate):
+    * Catalyst's WindowGroupLimit pushdown already k-bounds the WINDOW
+    * form's shuffle for `rank() <= k` filters (each map partition
+    * pre-filters to local top-k before the exchange), so shuffle bytes
+    * are comparable between the two; a naive window (pushdown
+    * disabled) ships the whole table. The aggregate form's remaining
+    * edge is CPU shape — a k-entry heap per (partition, stratum)
+    * instead of a full local SORT of every partition's rows — and
+    * applicability where the pattern is not a rank filter (inside
+    * rollups, mixed aggregations, streaming folds). Output:
+    * (doc_id, stratum, rn), rn 1-based in hash order. */
   def stratifiedSampleAgg(docs: DataFrame, stratumCol: String, perStratum: Int): DataFrame = {
     import org.apache.spark.sql.graftnative.SketchAggregates
     val h = Curation.gateHash(TextHash.polyHash(col("text")), TextHash.P)

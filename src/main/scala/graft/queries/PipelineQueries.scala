@@ -284,10 +284,11 @@ object PipelineQueries {
              |SELECT doc_id, lang, rn FROM r WHERE rn <= 50""".stripMargin)),
 
     // q39's stratified sample as a BOUNDED AGGREGATE (native TopKAgg on
-    // the negated gate hash): identical rows/ranks/oracle, but a
-    // k-entry buffer per (partition, stratum) replaces the per-stratum
-    // window SORT of every row — the form that survives billion-doc
-    // strata. Same oracle SQL as q39 by construction.
+    // the negated gate hash): identical rows/ranks/oracle. Shuffle is
+    // k-bounded in BOTH forms on this Spark (WindowGroupLimit pushdown
+    // pre-filters the window's map side — measured in SketchSpec); the
+    // aggregate's edge is a k-entry heap instead of full local sorts,
+    // and availability outside rank-filter patterns.
     QueryDef("q209_stratified_bottomk",
       (s, dir) => TextAnalysis.stratifiedSampleAgg(
         Tables.load(s, dir, "documents"), "lang", 50),

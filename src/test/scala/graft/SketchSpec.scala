@@ -60,6 +60,64 @@ class SketchSpec extends SparkSpec {
       "register-wise max merge is lossless: rollup == direct sketch")
   }
 
+  test("bounded-shuffle gate: aggregate form and WindowGroupLimit'd window both bound shuffle; naive window does not") {
+    // Wall time cannot differentiate the forms at test sizes (see
+    // SCALING.md), but shuffle VOLUME is size-independent evidence.
+    // Measuring it surfaced a Catalyst fact worth pinning: on this
+    // Spark, `rank() <= k` window filters get the WindowGroupLimit
+    // pushdown — each map partition pre-filters to its local top-k
+    // BEFORE the exchange, so the optimized window form's shuffle is
+    // k-bounded too (not "every row", as a 3.x-era reading would
+    // claim). The gate therefore pins all three regimes: the naive
+    // window (pushdown disabled) ships the whole table; the optimized
+    // window and the TopKAgg form both stay bounded and comparable.
+    // The aggregate's residual edge is CPU shape (k-entry heap vs full
+    // local sort per partition) and applicability beyond rank-filter
+    // patterns — not shuffle bytes; this test documents exactly that.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val docs = (1 to 60000).map { i =>
+      (i.toLong, s"s${i % 4}", rnd.alphanumeric.take(60).mkString)
+    }.toDF("doc_id", "stratum", "text").repartition(16)
+    docs.cache().count()
+    val limitKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val prior = spark.conf.get(limitKey)
+    try {
+      def shuffleBytes(df: org.apache.spark.sql.DataFrame): Long = {
+        // materialize THIS queryExecution (df.write would plan a fresh
+        // one, leaving these metric accumulators untouched)
+        df.queryExecution.toRdd.count()
+        def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+          Seq(p) ++ (p.children ++ p.subqueries).flatMap(collectAll) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              collectAll(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              collectAll(q.plan)
+            case _ => Seq.empty
+          })
+        collectAll(df.queryExecution.executedPlan)
+          .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L) }
+          .sum
+      }
+      spark.conf.set(limitKey, "-1")
+      val naive = shuffleBytes(
+        graft.operators.TextAnalysis.stratifiedSample(docs, "stratum", 10))
+      spark.conf.set(limitKey, prior)
+      val win = shuffleBytes(
+        graft.operators.TextAnalysis.stratifiedSample(docs, "stratum", 10))
+      val agg = shuffleBytes(
+        graft.operators.TextAnalysis.stratifiedSampleAgg(docs, "stratum", 10))
+      info(s"shuffle bytes: naive window=$naive, window-group-limit=$win, aggregate=$agg")
+      assert(naive > 0 && win > 0 && agg > 0,
+        s"all three must have measured exchanges ($naive / $win / $agg)")
+      assert(win * 5 < naive && agg * 5 < naive,
+        s"bounded forms must ship <1/5 of the naive window's bytes (naive=$naive win=$win agg=$agg)")
+      assert(agg < win * 3 && win < agg * 3,
+        s"optimized window and aggregate should be comparable (win=$win agg=$agg)")
+    } finally { spark.conf.set(limitKey, prior); docs.unpersist() }
+  }
+
   test("stratifiedSampleAgg: bounded aggregate == window form, row for row") {
     import graft.operators.TextAnalysis
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
