@@ -647,6 +647,45 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous per-stratum bottom-k sampling: each batch's k-bounded
+    * TopKAgg buffers (≤ k (hash, id) pairs per stratum) fold into a
+    * driver-held map by ordered merge-and-truncate — the same lossless
+    * merge the aggregate's partials use, so the streamed sample equals
+    * the one-shot batch sample EXACTLY at every trigger (a total order
+    * on (hash, id) makes partial bottom-k sets merge without
+    * information loss; contrast KLL's bound-only pin). This is
+    * reservoir-style "keep a deterministic uniform sample per stratum
+    * forever" on an unbounded stream, in k·|strata| driver state. */
+  def streamingBottomKFold(docs: DataFrame, stratumCol: String, perStratum: Int)(
+      onSample: Map[String, Seq[(Long, Long)]] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.graftnative.SketchAggregates
+    var acc = Map.empty[String, Seq[(Long, Long)]] // stratum -> (negHash, id) rank order
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val h = graft.operators.Curation.gateHash(
+            graft.functions.TextHash.polyHash(col("text")), graft.functions.TextHash.P)
+          val batchTop = batch.toDF()
+            .select(col(stratumCol).cast("string").as("s"), (-h).as("v"), col("doc_id"))
+            .groupBy(col("s"))
+            .agg(SketchAggregates.topK(col("v"), col("doc_id"), perStratum).as("top"))
+            .collect() // bounded: ≤ perStratum pairs per stratum
+            .map(r => r.getString(0) ->
+              r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))))
+          acc = batchTop.foldLeft(acc) { case (m, (s, top)) =>
+            // ordered merge by (v desc, id asc) then truncate — the
+            // TopKAgg merge, replayed driver-side
+            val merged = (m.getOrElse(s, Seq.empty) ++ top).distinct
+              .sortBy { case (v, id) => (-v, id) }.take(perStratum)
+            m.updated(s, merged)
+          }
+        }
+        onSample(acc)
+      }
+      .start()
+  }
+
   /** Unpersists the cached blocks behind a localCheckpointed frame. The
     * checkpoint pins its data as persisted-RDD blocks referenced from the
     * plan's `LogicalRDD` leaf — `Dataset.unpersist` cannot reach them (it

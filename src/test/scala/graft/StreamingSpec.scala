@@ -693,6 +693,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bottom-k fold: per-stratum sample equals the one-shot batch sample exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // batch reference: the oracle-gated q209 form on the same rows
+    val ref = graft.operators.TextAnalysis
+      .stratifiedSampleAgg(docs.toDF("doc_id", "lang", "text"), "lang", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet // (lang, doc_id)
+    val stream = MemoryStream[(Long, String, String)]
+    @volatile var last: Map[String, Seq[(Long, Long)]] = Map.empty
+    val query = StreamOps.streamingBottomKFold(
+      stream.toDF().toDF("doc_id", "lang", "text"), "lang", 5)(m => last = m)
+    try {
+      docs.grouped(math.max(1, docs.size / 4)).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+      val streamed = last.toSeq.flatMap { case (s, top) => top.map(p => (s, p._2)) }.toSet
+      assert(streamed === ref,
+        "4-batch fold == one-shot batch sample, every (stratum, doc)")
+      assert(last.values.forall(_.size <= 5), "state bounded at k per stratum")
+    } finally query.stop()
+  }
+
   test("fold loops release superseded checkpoints: persistent-RDD count stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
