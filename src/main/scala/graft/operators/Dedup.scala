@@ -1134,6 +1134,10 @@ object Dedup {
       bits: Int = 48): DataFrame = {
     val sh = simhash(corpus, bits)
       .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+      // one row per doc, fanned out 3× below (reps, the rep join, and
+      // the CC edge path) — pin it or the explode×bits sum pipeline
+      // recomputes per consumer (realized by the CC loop's first action)
+      .localCheckpoint(false)
     val reps = sh.groupBy(col("source"), col("simhash"))
       .agg(min(col("doc_id")).as("rep"))
     val edges = bandedHammingPairs(
