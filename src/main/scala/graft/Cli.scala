@@ -418,6 +418,50 @@ object Cli {
         f"a=${r.getDouble(2)}%.0f b=${r.getDouble(3)}%.0f union=${r.getDouble(4)}%.0f " +
         f"inter=${r.getDouble(5)}%.0f"))
 
+    // persisted HLL register store: the sketch-tier index lifecycle —
+    // build once, append each batch's registers (never raw data),
+    // serve distinct-per-group from stored sketch rows, compact the
+    // accumulated append files into one committed version
+    case "sketch" :: "hll-build" :: tablePath :: sketchDir :: opts =>
+      val o = parseOpts(opts)
+      val df = spark.read.parquet(tablePath)
+      val groupCol = o.getOrElse("group-col", df.columns.head)
+      val valueCol = o.getOrElse("value-col",
+        df.columns.find(_ != groupCol).getOrElse(df.columns.head))
+      graft.operators.QualityChecks.hllStoreBuild(df, groupCol, valueCol, sketchDir)
+      println(s"[graft] sketch hll-build: $groupCol x $valueCol -> $sketchDir/v0")
+
+    case "sketch" :: "hll-append" :: batchPath :: sketchDir :: opts =>
+      val o = parseOpts(opts)
+      val df = spark.read.parquet(batchPath)
+      val groupCol = o.getOrElse("group-col", df.columns.head)
+      val valueCol = o.getOrElse("value-col",
+        df.columns.find(_ != groupCol).getOrElse(df.columns.head))
+      graft.operators.QualityChecks.hllStoreAppend(df, groupCol, valueCol, sketchDir)
+      println(s"[graft] sketch hll-append: $batchPath registers folded into $sketchDir")
+
+    case "sketch" :: "hll-report" :: sketchDir :: Nil =>
+      val rep = graft.operators.QualityChecks.hllStoreReport(spark, sketchDir)
+        .orderBy("g").collect()
+      println(s"[graft] sketch hll-report: ${rep.length} groups")
+      rep.foreach(r => println(f"[graft]   ${r.getString(0)}%-14s registers=${r.getInt(1)}%-3d " +
+        f"distinct_est=${r.getDouble(2)}%.0f"))
+
+    case "sketch" :: "hll-compact" :: sketchDir :: Nil =>
+      graft.operators.QualityChecks.hllStoreCompact(spark, sketchDir)
+      println(s"[graft] sketch hll-compact: merged register set committed under $sketchDir")
+
+    case "sketch" :: "heavy-hitters" :: corpusPath :: outDir :: opts =>
+      val o = parseOpts(opts)
+      val k = o.get("k").map(_.toInt).getOrElse(16)
+      val rep = graft.operators.TextAnalysis
+        .heavyHitters(spark.read.parquet(corpusPath), k)
+      rep.write.mode("overwrite").parquet(s"$outDir/heavy_hitters")
+      val rows = spark.read.parquet(s"$outDir/heavy_hitters")
+        .orderBy(col("cnt").desc, col("wh")).collect()
+      println(s"[graft] sketch heavy-hitters: k=$k -> ${rows.length} tokens with freq > n/$k -> $outDir/heavy_hitters")
+      rows.take(20).foreach(r => println(f"[graft]   wh=${r.getLong(0)}%-20d cnt=${r.getLong(1)}%d"))
+
     case "dedup-eval" :: corpusPath :: outDir :: opts =>
       val o = parseOpts(opts)
       val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
@@ -451,6 +495,11 @@ object Cli {
           |  dedup-eval   <corpusParquet> <outDir> [--jaccard T]
           |  sketch quantiles <tableParquet> <outDir> [--group-col g] [--value-col v] [--ps 0.5,0.95] [--k N]
           |  sketch overlap   <tableParquet> <outDir> [--group-col g] [--value-col v]
+          |  sketch heavy-hitters <corpusParquet> <outDir> [--k N]
+          |  sketch hll-build   <tableParquet> <sketchDir> [--group-col g] [--value-col v]
+          |  sketch hll-append  <batchParquet> <sketchDir> [--group-col g] [--value-col v]
+          |  sketch hll-report  <sketchDir>
+          |  sketch hll-compact <sketchDir>
           |  maintain compact-plan  <manifestParquet> <outDir> [--id-col c] [--bytes-col c] [--target BYTES]
           |  maintain diff          <oldParquet> <newParquet> <outDir> [--keys k1,k2] [--cols c1,c2]
           |  maintain checksum      <tableParquet> <outDir> [--key-col c] [--range-width N] [--cols c1,c2]

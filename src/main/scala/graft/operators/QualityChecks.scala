@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling for pipeline gates (the Deequ-style checks a
@@ -672,6 +672,82 @@ object QualityChecks {
       .join(single.select(col("g").as("g_b"), col("raw_est").as("est_b")), "g_b")
       .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"), col("est_union"),
         (col("est_a") + col("est_b") - col("est_union")).as("est_intersection"))
+  }
+
+  // ---- persisted HLL register store -------------------------------------
+  // The sketch-tier analog of the persisted band/embedding indexes: a
+  // nightly job APPENDS each batch's registers (≤ 64 rows per group —
+  // never raw data) and any reader serves "distinct per group so far"
+  // by register-wise max over the stored rows. Register merge is
+  // lossless, so a report over the store equals sketching all raw rows
+  // ever seen, exactly (CliMaintainSpec pins it). Same durability
+  // contract as Bucketing's indexes: versioned subdirectories committed
+  // by marker file, compaction writes v(N+1) and retains vN one cycle,
+  // so a concurrent reader mid-compact always sees a complete version.
+  // Single concurrent writer by contract (one maintenance job owns the
+  // store), like the band index.
+
+  private def hllStoreVersions(dir: String): Seq[(Int, java.io.File)] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_GRAFT_OK").exists())
+      .map(f => f.getName.drop(1).toInt -> f).sortBy(_._1)
+  }
+
+  private def hllStoreCurrent(dir: String): java.io.File =
+    hllStoreVersions(dir).lastOption.map(_._2).getOrElse(
+      throw new IllegalStateException(s"no committed sketch version under $dir"))
+
+  private def commitVersion(dir: String, n: Int, regs: DataFrame): Unit = {
+    val vdir = s"$dir/v$n"
+    regs.write.mode("overwrite").parquet(vdir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(vdir, "_GRAFT_OK"),
+      Array.empty[Byte])
+  }
+
+  private def storeRegs(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllRegisters(df.select(col(groupCol).cast("string").as("g"),
+      col(valueCol)), Seq("g"), valueCol)
+
+  /** Initialize the store at `dir` (version v0) from a base table. */
+  def hllStoreBuild(df: DataFrame, groupCol: String, valueCol: String,
+      dir: String): Unit =
+    commitVersion(dir, 0, storeRegs(df, groupCol, valueCol))
+
+  /** Append one batch's registers to the CURRENT version — the nightly
+    * incremental step: O(64·|groups|) rows written, raw batch never
+    * stored. (Parquet-level file append; readers merge by max, so
+    * duplicate (g, j) rows across files are harmless by construction.) */
+  def hllStoreAppend(df: DataFrame, groupCol: String, valueCol: String,
+      dir: String): Unit =
+    storeRegs(df, groupCol, valueCol).write.mode("append")
+      .parquet(hllStoreCurrent(dir).getPath)
+
+  /** Serve (g, n_registers, raw_est) from the store — register-wise max
+    * then the harmonic fold; touches only stored sketch rows. */
+  def hllStoreReport(spark: SparkSession, dir: String): DataFrame = {
+    val regs = spark.read.parquet(hllStoreCurrent(dir).getPath)
+      .groupBy(col("g"), col("j")).agg(max(col("mj")).as("mj"))
+    hllEstimate(regs, Seq("g"))
+  }
+
+  /** Fold accumulated append files into one merged register set at
+    * v(N+1); the previous version is retained for one cycle (readers
+    * mid-compact see a complete old version), older ones dropped. */
+  def hllStoreCompact(spark: SparkSession, dir: String): Unit = {
+    val versions = hllStoreVersions(dir)
+    val (n, cur) = versions.last
+    val merged = spark.read.parquet(cur.getPath)
+      .groupBy(col("g"), col("j")).agg(max(col("mj")).as("mj"))
+    commitVersion(dir, n + 1, merged)
+    versions.dropRight(1).foreach { case (_, f) =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        x.delete(); ()
+      }
+      rm(f)
+    }
   }
 
   /** Mann–Whitney U between two groups of a 2-decimal measure — the

@@ -33,6 +33,36 @@ class CliMaintainSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1000) <= 400, s"union est ${r.getDouble(4)}")
   }
 
+  test("hll store lifecycle: build + appends serve EXACTLY the direct sketch of all rows; compact preserves it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clihll").toString
+    def part(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 3}", (i % (400 + 100 * (i % 3))).toLong))
+    part(0, 3000).toDF("g", "uid").write.parquet(s"$dir/base")
+    part(3000, 4000).toDF("g", "uid").write.parquet(s"$dir/b1")
+    part(4000, 5000).toDF("g", "uid").write.parquet(s"$dir/b2")
+
+    Cli.run(spark, List("sketch", "hll-build", s"$dir/base", s"$dir/sk"))
+    Cli.run(spark, List("sketch", "hll-append", s"$dir/b1", s"$dir/sk"))
+    Cli.run(spark, List("sketch", "hll-append", s"$dir/b2", s"$dir/sk"))
+
+    def report() = graft.operators.QualityChecks.hllStoreReport(spark, s"$dir/sk")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // register merge is lossless: store == one-shot sketch of ALL rows
+    val direct = graft.operators.QualityChecks
+      .hllDistinct(part(0, 5000).toDF("g", "uid"), "g", "uid")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(report() === direct, "build + 2 appends == direct sketch, bit for bit")
+
+    Cli.run(spark, List("sketch", "hll-compact", s"$dir/sk"))
+    assert(report() === direct, "compact preserves the merged registers exactly")
+    assert(new java.io.File(s"$dir/sk/v1/_GRAFT_OK").exists, "compact commits v1")
+    assert(new java.io.File(s"$dir/sk/v0").exists, "previous version retained one cycle")
+    // appends after compact land in the new current version
+    Cli.run(spark, List("sketch", "hll-append", s"$dir/b1", s"$dir/sk"))
+    assert(report() === direct, "re-appending seen rows changes nothing (max is idempotent)")
+  }
+
   test("maintain compact-plan bins a file manifest to the target size") {
     import spark.implicits._
     val dir = Files.createTempDirectory("climaintain").toString
