@@ -686,6 +686,24 @@ object StreamOps {
       .start()
   }
 
+  /** Stream arrival path for the persisted HLL register store
+    * ([[graft.operators.QualityChecks.hllStoreAppend]]): each batch
+    * appends its ≤ 64-rows-per-group register sketch to the store —
+    * raw rows never persist, and because register merge is lossless
+    * and idempotent, replayed or overlapping batches cannot corrupt
+    * the estimate (max of the same registers). The batch `Cli sketch
+    * hll-compact` folds the accumulated files on its own schedule. */
+  def streamingHllStoreIngest(df: DataFrame, groupCol: String, valueCol: String,
+      sketchDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.QualityChecks
+            .hllStoreAppend(batch.toDF(), groupCol, valueCol, sketchDir)
+      }
+      .start()
+
   /** Unpersists the cached blocks behind a localCheckpointed frame. The
     * checkpoint pins its data as persisted-RDD blocks referenced from the
     * plan's `LogicalRDD` leaf — `Dataset.unpersist` cannot reach them (it

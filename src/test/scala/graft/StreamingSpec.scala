@@ -718,6 +718,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming HLL store ingest: streamed appends serve the direct sketch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("streamhll").toString
+    val rows = (1 to 4500).map(i => (s"g${i % 2}", (i % (500 + 200 * (i % 2))).toLong))
+    // store must exist before the stream appends into it
+    graft.operators.QualityChecks.hllStoreBuild(
+      rows.take(1500).toDF("g", "uid"), "g", "uid", s"$dir/sk")
+    val stream = MemoryStream[(String, Long)]
+    val query = StreamOps.streamingHllStoreIngest(
+      stream.toDF().toDF("g", "uid"), "g", "uid", s"$dir/sk")
+    try {
+      rows.drop(1500).grouped(1000).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+      val got = graft.operators.QualityChecks.hllStoreReport(spark, s"$dir/sk")
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      val direct = graft.operators.QualityChecks
+        .hllDistinct(rows.toDF("g", "uid"), "g", "uid")
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      assert(got === direct, "base + streamed appends == one-shot sketch of all rows")
+    } finally query.stop()
+  }
+
   test("fold loops release superseded checkpoints: persistent-RDD count stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
