@@ -3380,6 +3380,34 @@ object PipelineQueries {
              |       jaro_winkler_similarity(c_name, 'Customer#000000001') AS jw
              |FROM customer""".stripMargin)),
 
+    // SQL-text surface for the native AGGREGATES (the q188 counterpart
+    // for the sketch tier): graft_topk through spark.sql text, exploded
+    // to rows, is EXACT and so gets the full hash gate against the
+    // window-rank oracle — proof the FunctionRegistry path produces
+    // the same bytes as the Column API end to end.
+    QueryDef("q210_topk_sql",
+      (s, dir) => {
+        graft.plans.GraftRuntime.enable(s)
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_t")
+        s.sql("""SELECT o_custkey,
+                |       CAST(e.pos + 1 AS INTEGER) AS rn,
+                |       e.col.v AS o_totalcents,
+                |       e.col.id AS o_orderkey
+                |FROM (SELECT o_custkey,
+                |             graft_topk(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+                |                        o_orderkey, 3) AS top
+                |      FROM orders_t GROUP BY o_custkey) g
+                |LATERAL VIEW posexplode(g.top) e AS pos, col""".stripMargin)
+      },
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey,
+             |                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             |                  CAST(row_number() OVER (PARTITION BY o_custkey
+             |                    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DESC,
+             |                             o_orderkey) AS INTEGER) AS rn
+             |           FROM orders)
+             |SELECT o_custkey, rn, cents AS o_totalcents, o_orderkey
+             |FROM r WHERE rn <= 3""".stripMargin)),
+
     // KS drift matrix: one collapsed histogram with per-group counts,
     // every unordered pair's sup-distance in exact integers
     QueryDef("q185_ks_matrix",
