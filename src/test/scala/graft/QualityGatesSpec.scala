@@ -114,6 +114,26 @@ class QualityGatesSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  test("sketch-tier plan shapes: one exchange of sketch state for q207; broadcast-only pair joins for q208") {
+    // q207: map-side partial sketch aggregation must be the ONLY thing
+    // feeding the exchange — the whole point of the grouped KLL
+    // aggregate is that raw rows never shuffle. Exactly one Exchange,
+    // and both ObjectHashAggregate halves around it.
+    val p207 = SparkEntry.queries("q207_kll_grouped")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges207 = p207.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges207 === 1, s"q207 must shuffle ONLY sketch partials:\n$p207")
+    assert(p207.contains("partial_graft_kll_quantiles"),
+      "q207 must partial-aggregate the sketch map-side")
+    // q208: every pair join runs over collapsed sketch frames — all
+    // joins broadcast, no sort-merge, no cartesian
+    val p208 = SparkEntry.queries("q208_hll_setops")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p208.contains("SortMergeJoin") && !p208.contains("CartesianProduct"),
+      s"q208 pair joins must broadcast over collapsed sketches:\n$p208")
+    assert(p208.contains("BroadcastHashJoin"), "q208 must join, broadcast-style")
+  }
+
   test("headline filters reach the parquet scan (PushedFilters)") {
     // a selective predicate that does not appear in the scan's
     // PushedFilters is a full-table read wearing a Filter node
