@@ -459,8 +459,14 @@ object Dedup {
     val sh = shingled(corpus).localCheckpoint(false)
     val truth = jaccardPairsFrom(sh, minJaccard, sameSourceOnly = false)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
+    // ONE signature table at the grid's max width; every point reads its
+    // prefix (hash i is the same function at any nh, so sig(nh) IS the
+    // i < nh slice — the exact structure the DuckDB oracle replays).
+    // Without this each point re-permuted the shingle table from scratch.
+    val sigMax = minhashSignaturesFrom(sh, grid.map(_._1).max)
+      .localCheckpoint(false)
     def point(nh: Int, rpb: Int): DataFrame =
-      lshCandidates(lshBands(minhashSignaturesFrom(sh, nh), rpb))
+      lshCandidates(lshBands(sigMax.filter(col("i") < nh), rpb))
         .join(truth.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_candidates"),
           coalesce(sum(col("hit")), lit(0L)).as("tp"))
