@@ -459,14 +459,16 @@ object Dedup {
     val sh = shingled(corpus).localCheckpoint(false)
     val truth = jaccardPairsFrom(sh, minJaccard, sameSourceOnly = false)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
-    // ONE signature table at the grid's max width; every point reads its
-    // prefix (hash i is the same function at any nh, so sig(nh) IS the
-    // i < nh slice — the exact structure the DuckDB oracle replays).
-    // Without this each point re-permuted the shingle table from scratch.
-    val sigMax = minhashSignaturesFrom(sh, grid.map(_._1).max)
-      .localCheckpoint(false)
+    // Each point builds its own signatures from the pinned shingle
+    // frame. A shared max-width signature table (each point reading its
+    // i < nh prefix, as the DuckDB oracle does) was tried and MEASURED
+    // SLOWER at local[32]/sf0.1 — 6.6-7.8 s vs 6.3-7.1 s per sweep, and
+    // 8.6+ s with a pre-checkpoint repartition: the six redundant
+    // permute pipelines are embarrassingly parallel and cheaper than a
+    // materialization barrier at this corpus-to-core ratio. Revisit only
+    // with a measured win at the target scale.
     def point(nh: Int, rpb: Int): DataFrame =
-      lshCandidates(lshBands(sigMax.filter(col("i") < nh), rpb))
+      lshCandidates(lshBands(minhashSignaturesFrom(sh, nh), rpb))
         .join(truth.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_candidates"),
           coalesce(sum(col("hit")), lit(0L)).as("tp"))
