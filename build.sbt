@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to sbt's LoggedOutput strategy, which prefixes every
+// line the child JVM prints with "[info] "/"[error] " — that prefix is the
+// ONLY reason the bench's compact JSON line (already <1400 B and inside the
+// captured 2000-char tail) failed to parse in rounds 1-6. StdoutOutput
+// inherits the parent's raw stdout/stderr, so `println(json)` arrives bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -8,14 +8,17 @@ SF_CORRECT=${1:-/root/testdata/sf0.01}
 SF_BENCH=${2:-/root/testdata/sf0.1}
 OUT=$(mktemp -d /tmp/graft_gates.XXXX)
 
-echo "== 1/3 sbt test =="
+echo "== 1/4 sbt test =="
 sbt -batch test
 
-echo "== 2/3 Verify + DuckDB oracle @ $SF_CORRECT =="
+echo "== 2/4 Verify + DuckDB oracle @ $SF_CORRECT =="
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} sbt -batch "runMain graft.Verify $SF_CORRECT $OUT/verify"
 python3 tools/oracle_check.py "$SF_CORRECT" "$OUT/verify"
 
-echo "== 3/3 Bench @ $SF_BENCH =="
+echo "== 3/4 bench-line tail-parse gate (driver's exact capture) =="
+tools/check_bench_line.sh "$SF_CORRECT"
+
+echo "== 4/4 Bench @ $SF_BENCH =="
 SPARK_GRAFT_SF_DIR=$SF_BENCH sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"' | sed 's/^\[info\] //' | tee "$OUT/bench.json"
 echo "gates done; artifacts in $OUT"
