@@ -532,6 +532,17 @@ object QualityChecks {
     w.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** HLL geometry shared by EVERY register builder, fold, and DuckDB
+    * oracle string: m = 64 registers, and α_64·m² pre-multiplied to ONE
+    * double literal (0.709·4096 — composing it from two literals would
+    * round differently than DuckDB's decimal-exact product). These were
+    * previously triplicated across hllRegisters/hllEstimate/
+    * hllRawEstimateOf plus the q208/q29/q210 SQL strings; drift in any
+    * copy silently breaks the pinned stream==batch bit-equality, so
+    * there are no copies. */
+  val HllM: Int = 64
+  val HllAlphaM2: Double = 2904.064
+
   /** Deterministic HyperLogLog (Flajolet et al. 2007) distinct estimate —
     * the REPLAYABLE counterpart of `approx_count_distinct` (whose HLL++
     * register layout is engine-private, so q29 can only be rows-checked):
@@ -572,7 +583,7 @@ object QualityChecks {
     df.select(g :+ h0.as("h"): _*)
       .select(g :+ (((col("h") * col("h") + col("h") * 5L + 1L) % P).as("h")): _*)
       .select(g :+ (((col("h") * col("h") + col("h") * 3L + 7L) % P).as("h")): _*)
-      .select(g :+ (col("h") % 64).cast("int").as("j") :+ expr("h div 64").as("v"): _*)
+      .select(g :+ (col("h") % HllM).cast("int").as("j") :+ expr(s"h div $HllM").as("v"): _*)
       .select(g :+ col("j") :+
         when(col("v") === 0L, lit(25)).otherwise(length(bin(expr("v & -v")))).as("rho"): _*)
       .groupBy(g :+ col("j"): _*).agg(max(col("rho")).as("mj"))
@@ -587,8 +598,8 @@ object QualityChecks {
     require(regs.nonEmpty, "estimate of an empty sketch")
     val sorted = regs.toSeq.sortBy(_._1)
     val terms = sorted.map { case (_, mj) => 1.0 / (1L << mj).toDouble }
-    val invSum = terms.tail.foldLeft(terms.head)(_ + _) + (64 - sorted.size).toDouble
-    2904.064 / invSum
+    val invSum = terms.tail.foldLeft(terms.head)(_ + _) + (HllM - sorted.size).toDouble
+    HllAlphaM2 / invSum
   }
 
   /** The harmonic-mean fold from (groups..., j, mj) registers to
@@ -603,12 +614,9 @@ object QualityChecks {
         expr("transform(rs, r -> 1.0D / CAST(shiftleft(1L, r.mj) AS DOUBLE))").as("terms"): _*)
       .select(g :+ col("n_registers") :+
         (expr("aggregate(slice(terms, 2, size(terms) - 1), terms[0], (a, x) -> a + x)")
-          + (lit(64) - col("n_registers")).cast("double")).as("inv_sum"): _*)
+          + (lit(HllM) - col("n_registers")).cast("double")).as("inv_sum"): _*)
       .select(g :+ col("n_registers") :+
-        // α_64·m² pre-multiplied to ONE double literal (0.709·4096 —
-        // composing it from two literals would round differently than
-        // DuckDB's decimal-exact product)
-        (lit(2904.064) / col("inv_sum")).as("raw_est"): _*)
+        (lit(HllAlphaM2) / col("inv_sum")).as("raw_est"): _*)
   }
 
   /** Sketch ROLLUP: per-(coarse, fine) register sketches — the form a
@@ -734,13 +742,39 @@ object QualityChecks {
 
   /** Fold accumulated append files into one merged register set at
     * v(N+1); the previous version is retained for one cycle (readers
-    * mid-compact see a complete old version), older ones dropped. */
+    * mid-compact see a complete old version), older ones dropped.
+    *
+    * Concurrent-append safety: a [[hllStoreAppend]] (or the streaming
+    * ingest's foreachBatch) that resolved vN as current while this
+    * compact is committing v(N+1) writes its register files into vN
+    * AFTER the merge read them. Two mechanisms keep those registers
+    * from ever being dropped: (a) the merge reads ALL committed
+    * versions, not just the last — register merge is lossless max, so
+    * re-folding an older version is free correctness, and it means a
+    * file in vK is only deleted by a compact that re-read vK at that
+    * later time; (b) after committing, every snapshotted directory is
+    * re-listed and any parquet file that landed since the read is
+    * appended into v(N+1) (duplicate (g, j) rows across files are
+    * harmless — readers merge by max, exactly [[hllStoreAppend]]'s own
+    * contract). Compacts themselves remain single-writer by contract
+    * (one maintenance job owns version creation), but a stream
+    * appending while a scheduled compact runs is a supported overlap —
+    * SketchSpec pins the late-append recovery. */
   def hllStoreCompact(spark: SparkSession, dir: String): Unit = {
+    def parquetFiles(f: java.io.File): Seq[String] =
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(x => x.isFile && x.getName.endsWith(".parquet")).map(_.getPath)
     val versions = hllStoreVersions(dir)
-    val (n, cur) = versions.last
-    val merged = spark.read.parquet(cur.getPath)
+    val n = versions.last._1
+    val snapshot = versions.map { case (_, f) => f -> parquetFiles(f) }
+    val merged = spark.read.parquet(snapshot.flatMap(_._2): _*)
       .groupBy(col("g"), col("j")).agg(max(col("mj")).as("mj"))
     commitVersion(dir, n + 1, merged)
+    val late = snapshot.flatMap { case (f, seen) =>
+      parquetFiles(f).filterNot(seen.toSet) }
+    if (late.nonEmpty)
+      spark.read.parquet(late: _*).select(col("g"), col("j"), col("mj"))
+        .write.mode("append").parquet(s"$dir/v${n + 1}")
     versions.dropRight(1).foreach { case (_, f) =>
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)

@@ -248,7 +248,11 @@ object Quantiles {
         SketchAggregates.kllQuantiles(col(valueCol).cast("double"), ps, k).as("est"),
         count(col(valueCol)).as("n"))
     val pArr = array(ps.map(lit): _*)
-    agg.select(col(groupCol), col("n"), posexplode(col("est")))
+    // posexplode_OUTER: a group whose values are entirely NULL has a null
+    // sketch array (count(valueCol) = 0); plain posexplode would emit no
+    // rows and the group would silently vanish from the report. The outer
+    // form keeps it as one (group, value_est = null, n = 0) row.
+    agg.select(col(groupCol), col("n"), posexplode_outer(col("est")))
       .select(col(groupCol), element_at(pArr, col("pos") + 1).as("p"),
         col("col").as("value_est"), col("n"))
   }

@@ -479,12 +479,12 @@ object PipelineQueries {
       (s, dir) => QualityChecks.hllOverlapMatrix(
         Tables.events(s, dir).select(col("event_type"), col("user_id")),
         "event_type", "user_id"),
-      Some("""WITH h0 AS (SELECT event_type AS g,
+      Some(s"""WITH h0 AS (SELECT event_type AS g,
              |                   (CAST(user_id AS BIGINT) * 2654435761 + 7) % 1000000007 AS h
              |            FROM events),
              |h1 AS (SELECT g, (h * h + h * 5 + 1) % 1000000007 AS h FROM h0),
              |h2 AS (SELECT g, (h * h + h * 3 + 7) % 1000000007 AS h FROM h1),
-             |r AS (SELECT g, CAST(h % 64 AS INTEGER) AS j, h // 64 AS v FROM h2),
+             |r AS (SELECT g, CAST(h % ${QualityChecks.HllM} AS INTEGER) AS j, h // ${QualityChecks.HllM} AS v FROM h2),
              |rr AS (SELECT g, j, CASE WHEN v = 0 THEN 25
              |                        ELSE CAST(length(bin(v & -v)) AS INTEGER) END AS rho
              |       FROM r),
@@ -492,9 +492,9 @@ object PipelineQueries {
              |eg AS (SELECT g, CAST(count(*) AS INTEGER) AS n_registers,
              |              list(CAST(1.0 AS DOUBLE) / CAST((1 << mj) AS DOUBLE) ORDER BY j) AS terms
              |       FROM m GROUP BY 1),
-             |es AS (SELECT g, CAST(2904.064 AS DOUBLE)
+             |es AS (SELECT g, CAST(${QualityChecks.HllAlphaM2} AS DOUBLE)
              |              / (list_reduce(terms, (a, b) -> a + b)
-             |                 + CAST(64 - n_registers AS DOUBLE)) AS est
+             |                 + CAST(${QualityChecks.HllM} - n_registers AS DOUBLE)) AS est
              |       FROM eg),
              |gs AS (SELECT DISTINCT g FROM m),
              |pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
@@ -504,9 +504,9 @@ object PipelineQueries {
              |ug AS (SELECT g_a, g_b, CAST(count(*) AS INTEGER) AS n_registers,
              |              list(CAST(1.0 AS DOUBLE) / CAST((1 << mj) AS DOUBLE) ORDER BY j) AS terms
              |       FROM pm GROUP BY 1, 2),
-             |us AS (SELECT g_a, g_b, CAST(2904.064 AS DOUBLE)
+             |us AS (SELECT g_a, g_b, CAST(${QualityChecks.HllAlphaM2} AS DOUBLE)
              |              / (list_reduce(terms, (a, b) -> a + b)
-             |                 + CAST(64 - n_registers AS DOUBLE)) AS est_union
+             |                 + CAST(${QualityChecks.HllM} - n_registers AS DOUBLE)) AS est_union
              |       FROM ug)
              |SELECT us.g_a, us.g_b, ea.est AS est_a, eb.est AS est_b, us.est_union,
              |       ea.est + eb.est - us.est_union AS est_intersection
@@ -2969,7 +2969,7 @@ object PipelineQueries {
 
     QueryDef("q97_hopping",
       (s, dir) => StreamOps.hoppingCounts(Tables.events(s, dir)),
-      Some("""WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      Some(s"""WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
              |           FROM events),
              |w AS (SELECT event_type, value, ((us // 1800000000) - j) * 1800 AS wstart
              |      FROM e, (SELECT unnest([0, 1]) AS j) jj)
@@ -3236,7 +3236,7 @@ object PipelineQueries {
         Tables.events(s, dir).select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day"), col("user_id")),
         "event_type", "day", "user_id"),
-      Some("""WITH e AS (SELECT event_type,
+      Some(s"""WITH e AS (SELECT event_type,
              |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
              |                  user_id
              |           FROM events),
@@ -3245,7 +3245,7 @@ object PipelineQueries {
              |       FROM e),
              |h1 AS (SELECT event_type, day, (h * h + h * 5 + 1) % 1000000007 AS h FROM h0),
              |h AS (SELECT event_type, day, (h * h + h * 3 + 7) % 1000000007 AS h FROM h1),
-             |r AS (SELECT event_type, day, CAST(h % 64 AS INTEGER) AS j, h // 64 AS v FROM h),
+             |r AS (SELECT event_type, day, CAST(h % ${QualityChecks.HllM} AS INTEGER) AS j, h // ${QualityChecks.HllM} AS v FROM h),
              |rr AS (SELECT event_type, day, j,
              |              CASE WHEN v = 0 THEN 25
              |                   ELSE CAST(length(bin(v & -v)) AS INTEGER) END AS rho
@@ -3259,10 +3259,10 @@ object PipelineQueries {
              |      FROM mm GROUP BY 1),
              |s AS (SELECT event_type, n_registers,
              |             list_reduce(terms, (a, b) -> a + b)
-             |               + CAST(64 - n_registers AS DOUBLE) AS inv_sum
+             |               + CAST(${QualityChecks.HllM} - n_registers AS DOUBLE) AS inv_sum
              |      FROM g)
              |SELECT s.event_type, ns.n_sketches, s.n_registers,
-             |       CAST(2904.064 AS DOUBLE) / inv_sum AS raw_est
+             |       CAST(${QualityChecks.HllAlphaM2} AS DOUBLE) / inv_sum AS raw_est
              |FROM s JOIN ns USING (event_type)""".stripMargin)),
 
     // canonicalization-aware exact dedup: byte-different but

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.operators.QualityChecks
 
 /** Relational surface beyond the reference's own operators (the reference
   * has no windows/sorts/set-ops — SURVEY §2.7); all stock Catalyst, all
@@ -1401,12 +1402,12 @@ object RelationalQueries {
         Tables.load(s, dir, "lineitem")
           .select(col("l_returnflag").as("rflag"), col("l_partkey")),
         "rflag", "l_partkey"),
-      Some("""WITH h0 AS (SELECT l_returnflag AS rflag,
+      Some(s"""WITH h0 AS (SELECT l_returnflag AS rflag,
              |                   (CAST(l_partkey AS BIGINT) * 2654435761 + 7) % 1000000007 AS h
              |            FROM lineitem),
              |h1 AS (SELECT rflag, (h * h + h * 5 + 1) % 1000000007 AS h FROM h0),
              |h AS (SELECT rflag, (h * h + h * 3 + 7) % 1000000007 AS h FROM h1),
-             |r AS (SELECT rflag, CAST(h % 64 AS INTEGER) AS j, h // 64 AS v FROM h),
+             |r AS (SELECT rflag, CAST(h % ${QualityChecks.HllM} AS INTEGER) AS j, h // ${QualityChecks.HllM} AS v FROM h),
              |rr AS (SELECT rflag, j,
              |              CASE WHEN v = 0 THEN 25
              |                   ELSE CAST(length(bin(v & -v)) AS INTEGER) END AS rho
@@ -1417,9 +1418,9 @@ object RelationalQueries {
              |      FROM m GROUP BY 1),
              |s AS (SELECT rflag, n_registers,
              |             list_reduce(terms, (a, b) -> a + b)
-             |               + CAST(64 - n_registers AS DOUBLE) AS inv_sum
+             |               + CAST(${QualityChecks.HllM} - n_registers AS DOUBLE) AS inv_sum
              |      FROM g)
-             |SELECT rflag, n_registers, CAST(2904.064 AS DOUBLE) / inv_sum AS raw_est
+             |SELECT rflag, n_registers, CAST(${QualityChecks.HllAlphaM2} AS DOUBLE) / inv_sum AS raw_est
              |FROM s""".stripMargin)),
 
     // connected components over the co-purchase graph — the SAME

@@ -692,7 +692,13 @@ object StreamOps {
     * raw rows never persist, and because register merge is lossless
     * and idempotent, replayed or overlapping batches cannot corrupt
     * the estimate (max of the same registers). The batch `Cli sketch
-    * hll-compact` folds the accumulated files on its own schedule. */
+    * hll-compact` folds the accumulated files on its own schedule —
+    * running it WHILE this stream appends is a supported overlap:
+    * compact merges every committed version and re-lists for files
+    * that landed during the merge, folding late appends into the new
+    * version before any directory is dropped (see
+    * [[graft.operators.QualityChecks.hllStoreCompact]]). Concurrent
+    * COMPACTS remain single-writer by contract. */
   def streamingHllStoreIngest(df: DataFrame, groupCol: String, valueCol: String,
       sketchDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

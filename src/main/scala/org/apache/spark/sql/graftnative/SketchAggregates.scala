@@ -238,6 +238,11 @@ case class KllQuantileAgg(child: Expression, k: Int, ps: Seq[Double],
 
   require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
     s"quantile ps must be non-empty and within [0,1], got $ps")
+  // validate k HERE, not in KllSketch's constructor: the sketch is first
+  // built executor-side (createAggregationBuffer), so a bad k — including
+  // user-supplied text via the graft_kll_quantiles SQL path — would
+  // otherwise surface as a task failure that never names the aggregate
+  require(k >= 8, s"graft_kll_quantiles needs k >= 8 (accuracy parameter), got $k")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

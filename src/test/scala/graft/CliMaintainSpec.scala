@@ -63,6 +63,40 @@ class CliMaintainSpec extends SparkSpec {
     assert(report() === direct, "re-appending seen rows changes nothing (max is idempotent)")
   }
 
+  test("hll store compact folds a late append into the old version instead of dropping it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clihllrace").toString
+    def rows(lo: Int, hi: Int) = (lo until hi).map(i => (s"g${i % 3}", i.toLong))
+    rows(0, 2000).toDF("g", "uid").write.parquet(s"$dir/base")
+    Cli.run(spark, List("sketch", "hll-build", s"$dir/base", s"$dir/sk"))
+    Cli.run(spark, List("sketch", "hll-compact", s"$dir/sk")) // v0 + v1 exist
+
+    // Simulate the race ADVICE flagged: an append that resolved v0 as
+    // current WHILE the compact above was committing v1 lands its
+    // register files in v0 after the merge read it. Reproduce the end
+    // state deterministically by writing the batch's registers straight
+    // into v0 (exactly what hllStoreAppend does to whichever version it
+    // resolved).
+    val late = rows(2000, 3000).toDF("g", "uid")
+    graft.operators.QualityChecks.hllRegisters(
+        late.select(col("g").cast("string").as("g"), col("uid")), Seq("g"), "uid")
+      .write.mode("append").parquet(s"$dir/sk/v0")
+
+    // The NEXT compact deletes v0 — pre-fix it read only v1, so the late
+    // registers were dropped and estimates undercounted. Post-fix compact
+    // merges every committed version, so v0's late files fold into v2.
+    Cli.run(spark, List("sketch", "hll-compact", s"$dir/sk"))
+    val report = graft.operators.QualityChecks.hllStoreReport(spark, s"$dir/sk")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val direct = graft.operators.QualityChecks
+      .hllDistinct(rows(0, 3000).toDF("g", "uid"), "g", "uid")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(report === direct,
+      "late append into the retained old version survives its deletion, bit for bit")
+    assert(!new java.io.File(s"$dir/sk/v0").exists, "old version still dropped")
+    assert(new java.io.File(s"$dir/sk/v2/_GRAFT_OK").exists, "compact committed v2")
+  }
+
   test("maintain compact-plan bins a file manifest to the target size") {
     import spark.implicits._
     val dir = Files.createTempDirectory("climaintain").toString

@@ -110,6 +110,29 @@ class QuantileSketchSpec extends SparkSpec {
         .kllQuantiles($"v", Seq(0.5), K).as("est"))
     val m = agg.collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
     assert(m("a") === true && m("b") === false)
+    // ...and the REPORT keeps the all-null group as a (g, value_est =
+    // null, n = 0) row rather than silently dropping it (posexplode_outer)
+    val rep = Quantiles.groupedQuantileReport(nulls, "g", "v", Seq(0.5), K)
+      .collect().map(r => r.getString(0) -> (r.isNullAt(2), r.getLong(3))).toMap
+    assert(rep.keySet === Set("a", "b"), "all-null group must not vanish")
+    assert(rep("a") === ((true, 0L)))
+    assert(rep("b") === ((false, 1L)))
+  }
+
+  test("k below the sketch minimum fails at PLAN time naming the aggregate") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftnative.SketchAggregates.kllQuantiles($"v", Seq(0.5), 4)
+    }
+    assert(e.getMessage.contains("graft_kll_quantiles"), e.getMessage)
+    // same guard on the SQL path, where k arrives as user-supplied text
+    org.apache.spark.sql.graftnative.SketchAggregates.register(spark)
+    df.createOrReplaceTempView("kll_k_guard")
+    val sqlErr = intercept[Exception] {
+      spark.sql("SELECT graft_kll_quantiles(v, 4, 0.5) FROM kll_k_guard").collect()
+    }
+    assert(sqlErr.getMessage.contains("graft_kll_quantiles"), sqlErr.getMessage)
   }
 
   test("sketch binary state round-trips exactly (the aggregate's wire format)") {
