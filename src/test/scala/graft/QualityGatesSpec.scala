@@ -31,6 +31,50 @@ class QualityGatesSpec extends SparkSpec {
     }
   }
 
+  // Registry-level accuracy gates for the OTHER two rows-only rows
+  // (q206/q207, KLL sketch estimates — merge-order-dependent, so no
+  // DuckDB hash): the same mechanical-bound treatment q29 gets above.
+  // Each estimate the REGISTRY entry emits is ranked against the exact
+  // sorted values of its own source table; rank error must stay within
+  // the k=200 KLL ceiling QuantileSketchSpec pins at unit level (3% of
+  // n, floor 2 — observed error is well under 1%).
+  private def kllRankBound(n: Long): Long = math.max(2L, (0.03 * n).toLong)
+
+  test("q206 KLL global quantiles within rank-error bound of the exact sort") {
+    val rows = SparkEntry.queries("q206_kll_quantiles")(spark, dir).collect()
+    val exact = Tables.load(spark, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val (p, est, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+      assert(n === exact.length.toLong)
+      val rank = exact.count(_ <= est).toLong
+      val target = math.ceil(p * n).toLong
+      assert(math.abs(rank - target) <= kllRankBound(n),
+        s"p=$p: estimate $est has exact rank $rank vs target $target")
+    }
+  }
+
+  test("q207 KLL grouped quantiles within rank-error bound per group") {
+    val rows = SparkEntry.queries("q207_kll_grouped")(spark, dir).collect()
+    val byGroup = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    assert(rows.map(_.getString(0)).toSet === byGroup.keySet,
+      "every event type present in the grouped report")
+    rows.foreach { r =>
+      val (g, p, est, n) = (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val exact = byGroup(g)
+      assert(n === exact.length.toLong)
+      val rank = exact.count(_ <= est).toLong
+      val target = math.ceil(p * n).toLong
+      assert(math.abs(rank - target) <= kllRankBound(n),
+        s"group $g p=$p: estimate $est has exact rank $rank vs target $target")
+    }
+  }
+
   // queries whose construction itself runs driver-side jobs (iterative
   // loops) — their per-round plans are covered by their own specs
   private val iterative = Set("q46_canonical", "q48_dedup_apply",
