@@ -102,15 +102,62 @@ object Bench {
     spark
   }
 
+  /** Committed CLEAN reference time for [[canary]] at the driver's bench
+    * conditions (sf0.1, local[32]; builder's uncontended machine measured
+    * 0.33-0.47 s across fresh child JVMs, so 0.40 with the 5x factor
+    * flags at 2.0 s). The round-6 driver run was uniformly slow
+    * across whole chunks (q113 min 22.0 s in every rep vs 6.1 s clean),
+    * which the per-ROW 5× median/min heuristic cannot see — a fixed
+    * trivial query timed at the start of each chunk can: machine
+    * contention inflates it the same way it inflates the real rows. */
+  val CanaryRefSec: Double = 0.40
+
+  /** Chunks whose canary blew past 5× the committed clean reference —
+    * uniform contention (every rep slow) that median/min misses. The
+    * 5× factor mirrors the per-row heuristic; at smaller scale factors
+    * the canary only runs faster, so the flag cannot false-positive. */
+  def contendedChunks(canaries: Seq[Double]): Int =
+    canaries.count(_ > 5 * CanaryRefSec)
+
+  /** The fixed per-chunk canary: a trivial 5-row scan-and-count whose
+    * cost is almost pure job-submission/scheduling overhead — exactly
+    * the cost machine contention inflates. Run twice, first untimed
+    * (parquet footer + codegen for THIS query shape), second timed, so
+    * the signal is scheduling, not cold start (measured: 0.60 s cold,
+    * 0.33-0.47 s warm on the clean builder). */
+  def canary(spark: SparkSession, sfDir: String): Double = {
+    def once(): Unit =
+      try spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    once()
+    val t0 = System.nanoTime()
+    once()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Pseudo-row name carrying a chunk's canary time through the child
+    * protocol; filtered out of the query results by the parent. */
+  val CanaryName = "__chunk_canary"
+
   /** Runs the named queries (reps each) in THIS JVM and returns rows.
-    * Shared by child processes and the parent's inline fallback. */
+    * Shared by child processes and the parent's inline fallback. When
+    * `withCanary`, the chunk's canary is timed right after the warmup
+    * and prepended as a [[CanaryName]] pseudo-row. */
   def runQueries(spark: SparkSession, sfDir: String, names: Seq[String],
-                 reps: Int): Seq[QueryResult] = {
+                 reps: Int, withCanary: Boolean = false): Seq[QueryResult] = {
     val byName = registry.toMap
     // untimed warmup: JIT + codegen + parquet footer caches
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val canaryRow =
+      if (withCanary) {
+        val t = canary(spark, sfDir)
+        System.err.println(f"[bench] chunk canary ${t}%.3f s (clean ref $CanaryRefSec, flag at ${5 * CanaryRefSec}%.1f)")
+        Seq(QueryResult(CanaryName, Seq(t), 0.0, 0.0))
+      } else Nil
 
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -153,7 +200,7 @@ object Bench {
       t
     }
 
-    names.flatMap { name =>
+    canaryRow ++ names.flatMap { name =>
       byName.get(name) match {
         case None => System.err.println(s"[bench] unknown query $name — skipped"); None
         case Some(fn) =>
@@ -182,7 +229,7 @@ object Bench {
     val names = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "").split(',').toSeq.filter(_.nonEmpty)
     val out = sys.env("SPARK_GRAFT_BENCH_OUT")
     val spark = newSession(cpus)
-    val rows = runQueries(spark, sfDir, names, reps)
+    val rows = runQueries(spark, sfDir, names, reps, withCanary = true)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       rows.map(encodeRow).mkString("", "\n", "\n").getBytes("UTF-8"))
     spark.stop()
@@ -240,11 +287,14 @@ object Bench {
     // lazily created only if a child spawn fails and a chunk runs inline
     lazy val inlineSpark = newSession(cpus)
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench")
-    val results = chunks.zipWithIndex.flatMap { case (chunk, i) =>
+    val allRows = chunks.zipWithIndex.flatMap { case (chunk, i) =>
       System.err.println(s"[bench] chunk ${i + 1}/${chunks.size}: ${chunk.head}..${chunk.last} (${chunk.size} queries, fresh JVM)")
       runChunkInChild(chunk, tmpDir.resolve(s"chunk$i.tsv"))
-        .getOrElse(runQueries(inlineSpark, sfDir, chunk, reps))
+        .getOrElse(runQueries(inlineSpark, sfDir, chunk, reps, withCanary = true))
     }
+    // each chunk's canary rides back as a pseudo-row; split it out
+    val (canaryRows, results) = allRows.partition(_.name == CanaryName)
+    val canaries = canaryRows.map(_.runs.head)
 
     // durability against log-tail truncation (round 2 lost q00-q03 from the
     // captured artifact): persist the FULL object to a file first, stop Spark
@@ -252,10 +302,10 @@ object Bench {
     // JSON as the very last line of both stdout and stderr
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (fullLine(results, reps, chunks.size, chunkSize, sfDir) + "\n").getBytes("UTF-8"))
+      (fullLine(results, reps, chunks.size, chunkSize, sfDir, canaries) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     try { SparkSession.getActiveSession.foreach(_.stop()) } catch { case _: Throwable => () }
-    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir)
+    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir, canaries)
     println(compact)
     System.out.flush()
     System.err.println(compact)
@@ -283,16 +333,22 @@ object Bench {
     * (`fullLine`). BenchLineSpec gates the rendered length at < 1400
     * bytes so growth cannot silently re-break the artifact.
     * `min_total` (Σ per-query minima) is the robust cross-machine number:
-    * when `contended` is true, read min_total, not value. */
+    * when `contended` is true, read min_total, not value. `contended`
+    * trips on EITHER per-row median/min blowouts or per-chunk canary
+    * blowouts (`n_contended_chunks` — uniform contention across a whole
+    * chunk leaves median/min ≈ 1, which round 6's driver run proved). */
   def compactLine(results: Seq[QueryResult], reps: Int, nChunks: Int,
-                  chunkSize: Int, sfDir: String): String = {
+                  chunkSize: Int, sfDir: String,
+                  canaries: Seq[Double] = Nil): String = {
     val flagship = results.filter(_.name == "q00_flagship_kmedoids")
     val shown = (flagship ++ results.sortBy(-_.median).take(3)).distinct
     val contended = contendedRows(results)
+    val slowChunks = contendedChunks(canaries)
     s"""{"metric":"total","value":${num(results.map(_.median).sum)},"unit":"sec",""" +
       s""""min_total":${num(results.map(_.min).sum)},"reps":$reps,""" +
       s""""chunks":$nChunks,"chunk_size":$chunkSize,"n_queries":${results.size},""" +
-      s""""contended":${contended.nonEmpty},"n_contended":${contended.size},""" +
+      s""""contended":${contended.nonEmpty || slowChunks > 0},""" +
+      s""""n_contended":${contended.size},"n_contended_chunks":$slowChunks,""" +
       s""""queries":${shown.map(r => "\"" + r.name + "\":" + num(r.median)).mkString("{", ",", "}")},""" +
       s""""detail":"bench_result.json","sf":"$sfDir"}"""
   }
@@ -302,14 +358,17 @@ object Bench {
     * contended-row list. ~30 KB at 230+ queries — more than the driver's
     * log-tail capture holds, so this object must NEVER be the stdout line. */
   def fullLine(results: Seq[QueryResult], reps: Int, nChunks: Int,
-               chunkSize: Int, sfDir: String): String = {
+               chunkSize: Int, sfDir: String,
+               canaries: Seq[Double] = Nil): String = {
     def jmap(f: QueryResult => String): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val contended = contendedRows(results)
     s"""{"metric":"total","value":${results.map(_.median).sum},"unit":"sec",""" +
       s""""min_total":${results.map(_.min).sum},"reps":$reps,""" +
       s""""chunks":$nChunks,"chunk_size":$chunkSize,"n_queries":${results.size},""" +
-      s""""contended":${contended.nonEmpty},""" +
+      s""""contended":${contended.nonEmpty || contendedChunks(canaries) > 0},""" +
+      s""""n_contended_chunks":${contendedChunks(canaries)},""" +
+      s""""canary_sec":${canaries.map(num).mkString("[", ",", "]")},""" +
       s""""contended_rows":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${jmap(_.median.toString)},""" +
       s""""runs":${jmap(_.runs.mkString("[", ",", "]"))},""" +

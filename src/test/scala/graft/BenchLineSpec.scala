@@ -22,7 +22,8 @@ class BenchLineSpec extends SparkSpec {
 
   test("compact line stays under the 1400-byte driver-tail budget") {
     val line = Bench.compactLine(syntheticResults(300), reps = 3, nChunks = 13,
-      chunkSize = 24, sfDir = "/root/testdata/sf0.1")
+      chunkSize = 24, sfDir = "/root/testdata/sf0.1",
+      canaries = Seq.fill(13)(12.345))
     assert(line.getBytes("UTF-8").length < 1400,
       s"compact bench line is ${line.length} bytes; the driver keeps only the " +
         "last 2000 chars of stdout and sbt appends a trailer, so this must stay " +
@@ -61,6 +62,28 @@ class BenchLineSpec extends SparkSpec {
     assert(Bench.contendedRows(Seq(clean, blown)) === Seq("q_blown"))
     assert(Bench.compactLine(Seq(clean, blown), 3, 1, 24, "sf").contains("\"contended\":true"))
     assert(Bench.compactLine(Seq(clean), 3, 1, 24, "sf").contains("\"contended\":false"))
+  }
+
+  test("chunk canary catches UNIFORM contention the per-row heuristic misses") {
+    // round 6's driver pattern: whole chunks uniformly slow (every rep of
+    // q113 at 22+ s vs 6.1 s clean), so median/min ≈ 1 and contendedRows
+    // stays silent — only a fixed-cost canary exceeding 5× its committed
+    // clean reference can see it
+    val uniformSlow = Bench.QueryResult("q_uniform", Seq(22.0, 24.1, 28.4), 0, 0)
+    assert(Bench.contendedRows(Seq(uniformSlow)).isEmpty,
+      "per-row heuristic is blind to uniform slowdown (that's the gap)")
+    val cleanCanaries = Seq(0.9, 1.1, 0.8).map(_ * Bench.CanaryRefSec)
+    val slowCanaries = Seq(0.9 * Bench.CanaryRefSec, 6.0 * Bench.CanaryRefSec,
+      40.0 * Bench.CanaryRefSec)
+    assert(Bench.contendedChunks(cleanCanaries) === 0)
+    assert(Bench.contendedChunks(slowCanaries) === 2)
+    val line = Bench.compactLine(Seq(uniformSlow), 3, 3, 24, "sf", slowCanaries)
+    assert(line.contains("\"contended\":true"))
+    assert(line.contains("\"n_contended_chunks\":2"))
+    val cleanLine = Bench.compactLine(Seq(uniformSlow), 3, 3, 24, "sf", cleanCanaries)
+    assert(cleanLine.contains("\"contended\":false"))
+    // canary pseudo-rows ride the child protocol but never the results
+    assert(!line.contains(Bench.CanaryName))
   }
 
   test("full bench_result.json object keeps the complete per-query map") {
