@@ -379,6 +379,35 @@ object Cli {
       println(s"[graft] maintain checksum-diff: ${bad.length} mismatched ranges -> $outDir/checksum_diff")
       bad.foreach(r => println(s"[graft]   bucket=${r.getLong(0)}"))
 
+    // ANALYZE for the cost-based optimizer: register each parquet table
+    // under a catalog name and collect table + column statistics, so
+    // the CBO the runtime enables (GraftRuntime) can reorder joins from
+    // data. The post-load/post-compaction step a warehouse schedules;
+    // q211 runs its star join through tables analyzed this way.
+    case "maintain" :: "analyze" :: dir :: opts =>
+      val o = parseOpts(opts)
+      val tables = o.get("tables").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(sys.error(
+          "maintain analyze: --tables=t1,t2,... required (parquet basenames under <dir>)"))
+      val prefix = o.getOrElse("prefix", "")
+      val names = tables.map { t =>
+        val name = s"$prefix$t"
+        val loc = s"$dir/$t.parquet"
+        if (!new java.io.File(loc).exists())
+          sys.error(s"maintain analyze: no parquet table at $loc")
+        // external table over the existing location: DROP leaves data
+        // untouched; re-registering re-points a stale location
+        spark.sql(s"DROP TABLE IF EXISTS `$name`")
+        spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$loc'")
+        name
+      }
+      graft.operators.Maintenance.analyzeForCbo(spark, names)
+      names.foreach { n =>
+        val stats = spark.table(n).queryExecution.optimizedPlan.stats
+        println(s"[graft] maintain analyze: $n rows=${stats.rowCount.getOrElse("?")} " +
+          s"bytes=${stats.sizeInBytes}")
+      }
+
     // sketch-tier reports: per-group quantile estimates (KLL native
     // aggregate — no per-row shuffle however large the groups) and the
     // pairwise distinct-overlap matrix (merged HLL sketches — no raw

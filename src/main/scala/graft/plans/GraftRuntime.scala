@@ -25,5 +25,14 @@ object GraftRuntime {
     VectorExpressions.register(spark)
     StringNormExpressions.register(spark)
     org.apache.spark.sql.graftnative.SketchAggregates.register(spark)
+    // Cost-based optimization is standard runtime configuration, not
+    // demo-only: with ANALYZE-collected statistics (`Cli maintain
+    // analyze` / Maintenance.analyzeForCbo) Catalyst reorders joins
+    // from DATA rather than SQL syntax (q211 + CboSpec pin the reorder).
+    // For path-read frames with no catalog stats the join-reorder rule
+    // skips (it needs row counts on every side), so the rest of the
+    // registry is unaffected.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
   }
 }

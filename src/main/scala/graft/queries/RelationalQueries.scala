@@ -1543,5 +1543,31 @@ object RelationalQueries {
              |           FROM lineitem GROUP BY 1)
              |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
              |UNION ALL
-             |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM a""".stripMargin)))
+             |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM a""".stripMargin)),
+
+    // ---- CBO star join: execution order picked by ANALYZE statistics,
+    // not syntax. The query runs the PRODUCT maintenance path first
+    // (`Cli maintain analyze`: register parquet locations as catalog
+    // tables + collect table/column stats), then the 3-way join written
+    // in the WORST order — fact table first. With the runtime-enabled
+    // CBO (GraftRuntime) Catalyst reorders it to join the filtered
+    // dimension first and the fact table LAST; QualityGatesSpec pins
+    // that plan shape, so this row fails loudly if CBO stops reordering.
+    // At 100 TB the reorder is the difference between shuffling the
+    // fact table against all orders and against the BUILDING fifth. ----
+    QueryDef("q211_cbo_star",
+      (s, dir) => {
+        graft.Cli.run(s, List("maintain", "analyze", dir,
+          "--tables", "lineitem,orders,customer", "--prefix", "g211_"))
+        s.sql("""SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_name
+                |FROM g211_lineitem l
+                |JOIN g211_orders o ON l.l_orderkey = o.o_orderkey
+                |JOIN g211_customer c ON o.o_custkey = c.c_custkey
+                |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+      },
+      Some("""SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_name
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)))
 }

@@ -43,25 +43,23 @@ class CboSpec extends SparkSpec {
         s"without stats the syntactic order must hold, got $before")
       val expected = spark.sql(q).count()
 
+      // CBO is RUNTIME configuration (GraftRuntime.enable), not a
+      // test-local toggle — assert the session really carries it, since
+      // that's what the driver's Verify/Bench/Cli sessions run with
+      assert(spark.conf.get("spark.sql.cbo.enabled") === "true")
+      assert(spark.conf.get("spark.sql.cbo.joinReorder.enabled") === "true")
       Maintenance.analyzeForCbo(spark, tables)
-      spark.conf.set("spark.sql.cbo.enabled", "true")
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-      try {
-        val after = joinLeaves(spark.sql(q).queryExecution.optimizedPlan)
-        assert(after.last === "cbo_lineitem",
-          s"statistics must push the fact table to the OUTERMOST join, got $after")
-        assert(after.take(2).toSet === Set("cbo_orders", "cbo_customer"),
-          s"the filtered dimension must join first, got $after")
-        assert(spark.sql(q).count() === expected, "reorder must not change the result")
+      val after = joinLeaves(spark.sql(q).queryExecution.optimizedPlan)
+      assert(after.last === "cbo_lineitem",
+        s"statistics must push the fact table to the OUTERMOST join, got $after")
+      assert(after.take(2).toSet === Set("cbo_orders", "cbo_customer"),
+        s"the filtered dimension must join first, got $after")
+      assert(spark.sql(q).count() === expected, "reorder must not change the result")
 
-        // and the stats are real: row counts visible on every relation
-        tables.foreach { t =>
-          val stats = spark.table(t).queryExecution.optimizedPlan.stats
-          assert(stats.rowCount.exists(_ > 0), s"$t has no ANALYZE row count")
-        }
-      } finally {
-        spark.conf.unset("spark.sql.cbo.enabled")
-        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      // and the stats are real: row counts visible on every relation
+      tables.foreach { t =>
+        val stats = spark.table(t).queryExecution.optimizedPlan.stats
+        assert(stats.rowCount.exists(_ > 0), s"$t has no ANALYZE row count")
       }
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }

@@ -75,6 +75,27 @@ class QualityGatesSpec extends SparkSpec {
     }
   }
 
+  test("q211 star join reorders under ANALYZE stats: fact table outermost (CBO product path)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def joinLeaves(p: LogicalPlan): Seq[String] = p match {
+      case j: Join => joinLeaves(j.left) ++ joinLeaves(j.right)
+      case other => other.collect {
+        case r: LogicalRelation => r.catalogTable.map(_.identifier.table)
+      }.flatten
+    }
+    // the registry row itself runs `Cli maintain analyze` then the
+    // fact-FIRST star join; this gate fails if the runtime session stops
+    // carrying CBO or the analyzed stats stop driving the reorder
+    val df = SparkEntry.queries("q211_cbo_star")(spark, dir)
+    val order = joinLeaves(df.queryExecution.optimizedPlan)
+    assert(order.size === 3, s"expected 3 catalog leaves, got $order")
+    assert(order.last === "g211_lineitem",
+      s"ANALYZE stats must push the fact table outermost, got $order")
+    assert(order.take(2).toSet === Set("g211_orders", "g211_customer"),
+      s"filtered dimension must join first, got $order")
+  }
+
   // queries whose construction itself runs driver-side jobs (iterative
   // loops) — their per-round plans are covered by their own specs
   private val iterative = Set("q46_canonical", "q48_dedup_apply",
