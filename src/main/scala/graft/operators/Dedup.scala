@@ -933,8 +933,38 @@ object Dedup {
     * unverified family (SimHash's hamming radius on a shared-vocabulary
     * corpus) would glue unrelated docs into one giant component. Every
     * family is its own bucketed generator with its own hot-key defense;
-    * the CC pass is shared. Output: (doc_id, source) of survivors. */
-  def ensembleDedupApply(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    * the CC pass is shared. Output: (doc_id, source) of survivors.
+    *
+    * The SimHash family proposes in q45c's STAR form, not pair form:
+    * one rep (min doc_id) per distinct (source, fingerprint), member→rep
+    * edges for its group (hamming 0 by construction) plus banded rep→rep
+    * edges within the radius — O(docs + rep pairs) candidates where the
+    * pair form emits k(k−1)/2 per k-doc fingerprint cluster (the one
+    * measured superlinear row in SCALING.md; dense template clusters
+    * made the ensemble's verify input quadratic too). Every proposed
+    * edge still passes the shared Jaccard gate; groups only expand
+    * through verified edges via the CC pass. The star form does not
+    * propose member–member pairs whose BOTH endpoints fail the
+    * rep-Jaccard gate — on a near-dup cluster those pairs are covered
+    * by transitivity through the rep, and the LSH/winnow families still
+    * propose any genuinely-similar pair independently (that blind-spot
+    * coverage is why the ensemble exists). DedupSpec pins survivor-set
+    * equality against the exhaustive pair form on the spec corpus. */
+  def ensembleDedupApply(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    ensembleDedupImpl(corpus, minJaccard, starSimhash = true)
+
+  /** The pre-round-7 EXHAUSTIVE pair-form reference: the SimHash family
+    * proposes every banded member pair (k(k−1)/2 candidate rows per
+    * k-doc fingerprint cluster — quadratic on dense clusters, the shape
+    * SCALING.md measured at exponent ~0.97 for the whole ensemble).
+    * Never the production path; kept so DedupSpec can pin that the star
+    * form's survivor set is IDENTICAL on real near-dup corpora. */
+  private[graft] def ensembleDedupApplyExhaustive(corpus: DataFrame,
+      minJaccard: Double = 0.5): DataFrame =
+    ensembleDedupImpl(corpus, minJaccard, starSimhash = false)
+
+  private def ensembleDedupImpl(corpus: DataFrame, minJaccard: Double,
+      starSimhash: Boolean): DataFrame = {
     // ONE corpus scan derives every per-doc structure the ensemble needs
     // — shingle hashes (minhash + the verify sets), word hashes
     // (simhash), winnow fingerprints — materialized once with a lazy
@@ -947,12 +977,42 @@ object Dedup {
         TextHash.wordHashes(col("text")).as("whs"),
         array_distinct(TextHash.winnowHashes(col("text"), 4)).as("wfps"))
       .localCheckpoint(false)
+    // 48-bit fingerprints: at 24 bits the hamming-6 ball covers ~1.1% of
+    // the space, so once a source block exceeds ~10^4 docs the RANDOM
+    // pair background dominates the candidate set — measured at the ×16
+    // scaling corpus: 10.7M of the star form's candidates were this
+    // background (42k reps → C(42k,2)·1.1%), and generating+verifying
+    // them was the entire 120 s cost. At 48 bits the random-pair
+    // probability is ~5×10⁻⁸ and the rep graph holds only genuine
+    // near-dup edges. Width fixes the noise floor; the star form below
+    // fixes the dense-cluster blowup; production needs BOTH (the
+    // SCALING.md guidance, now applied to the ensemble itself).
+    val sh = simhashFrom(prep, 48)
+      .join(prep.select(col("doc_id"), col("source")), "doc_id")
+    val simhashCandidates =
+      if (starSimhash) {
+        // the simhash frame fans out to reps (consumed twice) and the
+        // member join — pin it or the explode×bits sum pipeline
+        // recomputes per consumer (the q45c round-6 lesson: 9.5→5.4 s
+        // at ×1 from exactly this checkpoint)
+        val shPinned = sh.localCheckpoint(false)
+        val reps = shPinned.groupBy(col("source"), col("simhash"))
+          .agg(min(col("doc_id")).as("rep"))
+        // rep = group min, so (rep, member) is already (id_a < id_b)-ordered
+        val memberEdges = shPinned.join(reps, Seq("source", "simhash"))
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+        val repEdges = bandedHammingPairs(
+            reps.select(col("rep").as("doc_id"), col("simhash"), col("source")),
+            "simhash", 48, 6, blockCols = Seq("source"))
+          .select(col("id_a"), col("id_b"))
+        memberEdges.union(repEdges)
+      } else
+        bandedHammingPairs(sh, "simhash", 48, 6, blockCols = Seq("source"))
+          .select(col("id_a"), col("id_b"))
     val candidates =
       lshCandidates(lshBands(minhashSignaturesFrom(prep, 16), 4))
-        .union(bandedHammingPairs(
-            simhashFrom(prep, 24).join(prep.select(col("doc_id"), col("source")), "doc_id"),
-            "simhash", 24, 6, blockCols = Seq("source"))
-          .select(col("id_a"), col("id_b")))
+        .union(simhashCandidates)
         .union(winnowCandidatesFrom(
           prep.select(col("doc_id"), explode(col("wfps")).as("fp")), DefaultMaxFpDf))
         .distinct()
@@ -1093,12 +1153,30 @@ object Dedup {
   /** [[simhash]] over a precomputed (doc_id, whs: array<bigint>) frame. */
   private def simhashFrom(whs: DataFrame, bits: Int): DataFrame = {
     val exploded = whs.select(col("doc_id"), explode(col("whs")).as("wh"))
+    // word hashes live in [0, P) ⊂ [0, 2^30): bits ≥ 30 of wh are
+    // CONSTANT ZERO, so a wide simhash read directly off wh is
+    // effectively 30-bit — measured at the ×16 scaling corpus, where
+    // every "48-bit" fingerprint's top blocks collapsed into one v=0
+    // band bucket (5 456 hashes per source in a single join key) and
+    // explained why q45b's 48-bit pair counts barely moved off the
+    // 24-bit ones. Each 24-bit block of the fingerprint therefore
+    // reads a FRESH affine permutation of the word hash (the minhash
+    // machinery's [[TextHash.permute]]), whose low 24 bits are uniform
+    // on [0, P); block 0 keeps the raw hash, so every ≤ 24-bit form
+    // (q45, the dHash/audio families' widths are unrelated) is
+    // bit-for-bit unchanged.
+    val numBlocks = (bits + 23) / 24
+    val blockHashes = (0 until numBlocks).map { k =>
+      (if (k == 0) col("wh") else TextHash.permute(lit(k), col("wh"))).as(s"whb$k")
+    }
+    val withBlocks = exploded.select(col("doc_id") +: blockHashes: _*)
     val sums = (0 until bits).map(b =>
-      sum(when(shiftright(col("wh"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b"))
+      sum(when(shiftright(col(s"whb${b / 24}"), b % 24) % 2 === 1, 1)
+        .otherwise(-1)).as(s"b$b"))
     val packed = (0 until bits).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    exploded.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    withBlocks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
   }
 
@@ -1159,49 +1237,97 @@ object Dedup {
         coalesce(col("canonical_id"), col("rep")).as("canonical_id"))
   }
 
-  /** The pigeonhole-banding hamming join in generic form, shared by
-    * [[simhashPairs]] (text, 24-bit, source-blocked) and the image
-    * dHash pairs (56-bit, unblocked): any two hashes within Hamming
-    * distance maxHamming agree exactly on ≥ 1 of (maxHamming + 1) bit
-    * bands, so candidates come from an equi-join on (block, band,
-    * band bits) and each verifies with one `bit_count(xor)` — output
-    * identical to the all-pairs formulation, candidate generation
-    * O(collisions). `sh` needs (doc_id, hashCol, blockCols…). */
+  /** (numBlocks m, comboSize c) for the generalized pigeonhole hamming
+    * join: two hashes within Hamming ≤ k differ in at most k of m bit
+    * blocks, so they AGREE on ≥ m−k blocks; with c ≤ m−k every such
+    * pair shares at least one c-subset of agreeing blocks, and keying
+    * on all C(m, c) subsets finds every pair (Manku, Jain & Das Sarma,
+    * WWW'07 §3 — the production simhash-dedup scheme). c = 1 (m = k+1,
+    * the classic banding) makes the KEY only bits/(k+1) wide: with
+    * 10⁴⁺ hashes per block the band buckets hold thousands of hashes
+    * and the bucket join is quadratic — measured at the ×16 scaling
+    * corpus as the entire cost of the 48-bit families (42 k hashes per
+    * source → 48 M intermediate pairs). Larger c multiplies fan-out by
+    * C(m, c) but widens the key to c·bits/m, shrinking buckets
+    * geometrically. Chosen by maximizing log2(selectivity) = keyWidth −
+    * log2(C(m, c)) under a fan-out cap of 96 rows per hash: 48-bit/k=6
+    * → (m=9, c=3), 84 keys of ~16 bits (vs 7 keys of ~7 bits). */
+  private[graft] def hammingBlockPlan(bits: Int, maxHamming: Int): (Int, Int) = {
+    def comb(n: Int, r: Int): Long =
+      (0 until r).foldLeft(1L)((a, i) => a * (n - i) / (i + 1))
+    (1 to 5).map(c => (maxHamming + c, c))
+      .filter { case (m, c) => m <= bits && comb(m, c) <= 96 }
+      .maxBy { case (m, c) =>
+        c.toDouble * bits / m - math.log(comb(m, c).toDouble) / math.log(2) }
+  }
+
+  /** The pigeonhole hamming join in generic form, shared by
+    * [[simhashPairs]] / [[simhashAssignments]] (text, source-blocked),
+    * the ensemble's rep edges, and the image/audio fingerprint pairs
+    * (56-bit, unblocked): hashes are keyed on combinations of agreeing
+    * bit blocks ([[hammingBlockPlan]]), candidates come from an
+    * equi-join on (combo, key bits, block) and each verifies with one
+    * `bit_count(xor)` — output IDENTICAL to the all-pairs formulation
+    * (which the DuckDB oracles still run at verification scale), only
+    * the candidate generation changes. `sh` needs
+    * (doc_id, hashCol, blockCols…). */
   private[graft] def bandedHammingPairs(sh: DataFrame, hashCol: String,
       bits: Int, maxHamming: Int, blockCols: Seq[String]): DataFrame = {
-    val numBands = maxHamming + 1
+    val (numBlocks, comboSize) = hammingBlockPlan(bits, maxHamming)
     val members = sh.select((Seq(col("doc_id"), col(hashCol).as("h"))
       ++ blockCols.map(col)): _*)
-    // hot-key defense: the band join runs over DISTINCT (hash, block)
+    // hot-key defense: the combo-key join runs over DISTINCT (hash, block)
     // rows, so k docs sharing one hash (flat images, boilerplate text)
-    // contribute ONE row per band instead of a k² candidate group;
+    // contribute ONE row per combo instead of a k² candidate group;
     // identical-hash pairs are expanded afterwards, where the work is
     // the OUTPUT size, not a join blowup
     val hashes = members.drop("doc_id").distinct()
-    // band b covers bits [offset_b, offset_b + len_b): sizes differ by ≤ 1
-    val bandDefs = {
-      val base = bits / numBands
-      val extra = bits % numBands
-      val lens = Seq.tabulate(numBands)(b => if (b < extra) base + 1 else base)
-      lens.scanLeft(0)(_ + _).zip(lens).zipWithIndex.map {
-        case ((off, len), idx) => (idx, off, len)
-      }
+    // block b covers bits [offset_b, offset_b + len_b): sizes differ by ≤ 1
+    val blockDefs = {
+      val base = bits / numBlocks
+      val extra = bits % numBlocks
+      val lens = Seq.tabulate(numBlocks)(b => if (b < extra) base + 1 else base)
+      lens.scanLeft(0)(_ + _).zip(lens).map { case (off, len) => (off, len) }
     }
+    // one struct per c-combination of blocks; key = concatenated block bits
+    val comboDefs = (0 until numBlocks).combinations(comboSize).toSeq
     val bandRows = hashes
       .select((Seq(col("h")) ++ blockCols.map(col) :+
-        explode(array(bandDefs.map { case (idx, off, len) =>
-          struct(lit(idx).as("b"),
-            shiftright(col("h"), off).bitwiseAND(lit((1L << len) - 1)).as("v"))
+        explode(array(comboDefs.zipWithIndex.map { case (combo, idx) =>
+          val key = combo.foldLeft(lit(0L)) { (acc, b) =>
+            val (off, len) = blockDefs(b)
+            shiftleft(acc, len) +
+              shiftright(col("h"), off).bitwiseAND(lit((1L << len) - 1))
+          }
+          struct(lit(idx).as("b"), key.as("v"))
         }: _*)).as("bd")): _*)
       .select((Seq(col("h"), col("bd.b").as("b"), col("bd.v").as("v"))
         ++ blockCols.map(col)): _*)
     val joinCond = (Seq(col("a.b") === col("b.b"), col("a.v") === col("b.v"))
       ++ blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       :+ (col("a.h") < col("b.h"))).reduce(_ && _)
+    // DEDUP WITHOUT A SHUFFLE: a close pair agrees on MANY combos (a
+    // hamming-2 pair at m=9/c=3 agrees on C(7,3)=35 of 84), so the raw
+    // join emits it once per agreeing combo — measured at the ×16
+    // scaling corpus as 16.3 M raw rows for 542 k true pairs, with the
+    // distinct() to collapse them the single most expensive exchange in
+    // the family. Instead each row keeps the pair ONLY when its combo is
+    // the FIRST one the pair agrees on — computable from xor(h_a, h_b)
+    // alone (a fixed CASE chain over the combo masks), so exactly one
+    // row survives per qualifying pair and the distinct() disappears.
+    val comboMasks = comboDefs.map(_.map { b =>
+      val (off, len) = blockDefs(b); ((1L << len) - 1) << off
+    }.reduce(_ | _))
+    val x = col("h_a").bitwiseXOR(col("h_b"))
+    val firstAgreeingCombo = comboMasks.zipWithIndex.reverse
+      .foldLeft(lit(-1): org.apache.spark.sql.Column) {
+        case (acc, (m, i)) => when(x.bitwiseAND(lit(m)) === 0L, lit(i)).otherwise(acc)
+      }
     val hashPairs = bandRows.as("a").join(bandRows.as("b"), joinCond)
-      .select((Seq(col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .select((Seq(col("a.h").as("h_a"), col("b.h").as("h_b"), col("a.b").as("b"))
         ++ blockCols.map(c => col(s"a.$c"))): _*)
-      .distinct()
+      .filter(col("b") === firstAgreeingCombo)
+      .drop("b")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
     // expand verified DISTINCT-hash pairs back to member pairs …

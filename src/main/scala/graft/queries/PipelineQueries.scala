@@ -90,6 +90,15 @@ object PipelineQueries {
   /** Distinct-shingle + per-doc-size + pair-intersection CTEs over `sh`.
     * `blocked` adds the same-source blocking predicate (q41); the LSH
     * verify path (q43) is unblocked. */
+  /** Per-bit simhash sum term, mirroring Dedup.simhashFrom: block 0
+    * (bits < 24) reads the raw word hash; each higher 24-bit block reads
+    * a fresh affine permutation of it (word hashes live in [0, P) ⊂
+    * [0, 2^30), so raw bits >= 30 are constant zero — see simhashFrom). */
+  private def simhashBitSql(b: Int): String = {
+    val h = if (b < 24) "wh" else s"(${TextHash.permuteSql((b / 24).toString, "wh")})"
+    s"sum(CASE WHEN ($h >> ${b % 24}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+  }
+
   private def jaccardCtes(blocked: Boolean): String = {
     val blockPred = if (blocked) " AND a.source = b.source" else ""
     s"""dsh AS (SELECT doc_id, source, unnest(list_distinct(shs)) AS s FROM sh),
@@ -388,7 +397,7 @@ object PipelineQueries {
       Some {
         val bits = 24
         val sums = (0 until bits).map(b =>
-          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n       ")
+          simhashBitSql(b)).mkString(",\n       ")
         val packed = (0 until bits).map(b =>
           s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
         s"""WITH $nearDupCorpus,
@@ -403,7 +412,7 @@ object PipelineQueries {
       Some {
         val bits = 24
         val sums = (0 until bits).map(b =>
-          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+          simhashBitSql(b)).mkString(", ")
         val packed = (0 until bits).map(b =>
           s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
         s"""WITH $nearDupCorpus,
@@ -432,7 +441,7 @@ object PipelineQueries {
       Some {
         val bits = 48
         val sums = (0 until bits).map(b =>
-          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+          simhashBitSql(b)).mkString(", ")
         val packed = (0 until bits).map(b =>
           s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
         s"""WITH $nearDupCorpus,
@@ -526,7 +535,7 @@ object PipelineQueries {
       Some {
         val bits = 48
         val sums = (0 until bits).map(b =>
-          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+          simhashBitSql(b)).mkString(", ")
         val packed = (0 until bits).map(b =>
           s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
         s"""WITH RECURSIVE $nearDupCorpus,
@@ -816,7 +825,7 @@ object PipelineQueries {
       Some {
         val bits = 24
         val sums = (0 until bits).map(b =>
-          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+          simhashBitSql(b)).mkString(", ")
         val packed = (0 until bits).map(b =>
           s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
         s"""WITH $nearDupCorpus,
@@ -929,9 +938,9 @@ object PipelineQueries {
       (s, dir) => Dedup.ensembleDedupApply(
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
       Some {
-        val bits = 24
+        val bits = 48 // width fixes the noise floor (see ensembleDedupImpl)
         val sums = (0 until bits).map(b =>
-          s"sum(CASE WHEN (wh >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+          simhashBitSql(b)).mkString(", ")
         val packed = (0 until bits).map(b =>
           s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
         s"""WITH RECURSIVE $nearDupCorpus,
@@ -949,6 +958,16 @@ object PipelineQueries {
            |ssums AS (SELECT doc_id, $sums FROM sx GROUP BY 1),
            |ssh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
            |        FROM ssums s JOIN corpus c ON c.doc_id = s.doc_id),
+           |srep AS (SELECT source, simhash, min(doc_id) AS rep FROM ssh GROUP BY 1, 2),
+           |sedges AS (SELECT r.rep AS id_a, s.doc_id AS id_b
+           |           FROM ssh s JOIN srep r
+           |             ON r.source = s.source AND r.simhash = s.simhash
+           |           WHERE s.doc_id != r.rep
+           |           UNION
+           |           SELECT a.rep AS id_a, b.rep AS id_b
+           |           FROM srep a JOIN srep b
+           |             ON a.source = b.source AND a.rep < b.rep
+           |           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
            |wf AS (SELECT DISTINCT doc_id, fp FROM
            |       (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh)),
            |rare AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= ${Dedup.DefaultMaxFpDf}),
@@ -965,10 +984,9 @@ object PipelineQueries {
            |  SELECT c.id_a, c.id_b FROM cand c JOIN jac j
            |    ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jacc >= 0.5
            |  UNION
-           |  SELECT a.doc_id, b.doc_id FROM ssh a JOIN ssh b
-           |    ON a.source = b.source AND a.doc_id < b.doc_id
-           |  JOIN jac j ON j.id_a = a.doc_id AND j.id_b = b.doc_id
-           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 AND j.jacc >= 0.5
+           |  SELECT e.id_a, e.id_b FROM sedges e
+           |  JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b
+           |  WHERE j.jacc >= 0.5
            |  UNION
            |  SELECT id_a, id_b FROM vw
            |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),

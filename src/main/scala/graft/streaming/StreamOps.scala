@@ -31,6 +31,19 @@ final case class MgState(ver: Long, counters: Map[Long, Long])
   * version it belongs to. */
 final case class HhOut(grp: String, ver: Long, wh: Long, lower: Long)
 
+/** Numeric event for [[StreamOps.streamingGroupedQuantiles]] — `seq` is
+  * the replay order (sequential KLL updates are order-defined). */
+final case class NumIn(grp: String, v: Double, seq: Long)
+
+/** Per-group KLL state for [[StreamOps.streamingGroupedQuantiles]]: the
+  * sketch's wire bytes (the SAME format the batch aggregate shuffles —
+  * [[graft.operators.KllSketch.toBytes]]) plus a version stamp. */
+final case class KllState(ver: Long, bytes: Array[Byte])
+
+/** One per-group quantile emission at state version `ver`: the estimate
+  * for probe `p` and the group's exact running count `n`. */
+final case class KllOut(grp: String, ver: Long, p: Double, value_est: Double, n: Long)
+
 /** Structured Streaming surface: event-time windowed aggregation with
   * watermarks, and custom sessionization state via mapGroupsWithState.
   * The reference is batch-only (SURVEY §2.7); this is the engine's
@@ -486,6 +499,40 @@ object StreamOps {
           val now = MgState(before.ver + 1, m)
           state.update(now)
           m.iterator.map { case (wh, c) => HhOut(grp, now.ver, wh, c) }
+      }
+  }
+
+  /** Streaming PER-GROUP quantiles: one KLL sketch lives in each group's
+    * state — O(k·log n) doubles per group FOREVER, the bounded-state
+    * contract (a naive streaming percentile would buffer every value).
+    * Each trigger folds its values in `seq` order through sequential
+    * [[graft.operators.KllSketch.update]] calls and emits the requested
+    * probes stamped with a state version; downstream takes the
+    * max-version rows per group. Because the state evolves by SEQUENTIAL
+    * update — never a merge — splitting the feed across triggers is
+    * bit-identical to one batch fold AND to a driver-side sequential
+    * reference (the strongest member of the stream==batch family: exact
+    * equality, not a bound — pinned in StreamingSpec; the foreachBatch
+    * fold [[streamingQuantileFold]] keeps its bound-level pin because
+    * its per-batch sketch-and-MERGE is the distributed shape). State
+    * serializes as the sketch's wire bytes, the same format the batch
+    * aggregate shuffles. */
+  def streamingGroupedQuantiles(values: Dataset[NumIn], ps: Seq[Double],
+      k: Int = 200): Dataset[KllOut] = {
+    import values.sparkSession.implicits._
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"quantile ps must be non-empty and within [0,1], got $ps")
+    values.groupByKey(_.grp)
+      .flatMapGroupsWithState[KllState, KllOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp, evs, state: GroupState[KllState]) =>
+          val sk = state.getOption
+            .map(s => graft.operators.KllSketch.fromBytes(s.bytes))
+            .getOrElse(graft.operators.KllSketch.empty(k))
+          evs.toArray.sortBy(_.seq).foreach(e => sk.update(e.v))
+          val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+          state.update(KllState(ver, sk.toBytes))
+          ps.iterator.map(p => KllOut(grp, ver, p, sk.quantile(p), sk.n))
       }
   }
 

@@ -252,6 +252,19 @@ class DedupSpec extends SparkSpec {
     assert(assign.exists { case (d, c) => d != c }, "fixture must contain real clusters")
   }
 
+  test("ensemble star-form SimHash feed: survivor set identical to the exhaustive pair form") {
+    val docs = Dedup.withNearDuplicates(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val star = Dedup.ensembleDedupApply(docs)
+      .collect().map(_.getLong(0)).toSet
+    val exhaustive = Dedup.ensembleDedupApplyExhaustive(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(star === exhaustive,
+      s"star-form survivors must match pair-form: only-star=${(star -- exhaustive).take(5)} " +
+        s"only-exhaustive=${(exhaustive -- star).take(5)}")
+    assert(star.size < docs.count(), "fixture must contain real duplicates")
+  }
+
   test("lshParameterSweep: one chosen point, budget honored, band-count drives recall") {
     val corpus = Dedup.withNearDuplicates(
       Tables.load(spark, "/root/testdata/sf0.001", "documents"))

@@ -181,6 +181,48 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot.size <= 2, "state stays bounded at k-1 counters")
   }
 
+  test("streaming grouped quantiles: per-group KLL state equals the sequential reference bit-for-bit, across batch splits") {
+    import spark.implicits._
+    import graft.streaming.{NumIn, KllOut}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11L)
+    // two groups at different scales, enough rows to force compactions
+    // (k=16) so the equality covers the non-trivial sketch path
+    val events = (0 until 800).map { i =>
+      val g = s"g${i % 2}"
+      NumIn(g, math.floor(math.exp(rnd.nextGaussian() + (i % 2)) * 100) / 100, i.toLong)
+    }
+    val ps = Seq(0.5, 0.9)
+    // driver-side sequential reference: the same update order the stream
+    // folds in — sequential updates have NO merge, so equality is exact
+    val reference = events.groupBy(_.grp).map { case (g, evs) =>
+      val sk = graft.operators.KllSketch.empty(16)
+      evs.sortBy(_.seq).foreach(e => sk.update(e.v))
+      g -> ps.map(p => (p, sk.quantile(p), sk.n))
+    }
+    def runSplit(batches: Seq[Seq[NumIn]]): Map[String, Seq[(Double, Double, Long)]] = {
+      val stream = MemoryStream[NumIn]
+      val query = StreamOps.streamingGroupedQuantiles(stream.toDS(), ps, 16)
+        .writeStream.format("memory").queryName("kllq")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+        val rows = spark.table("kllq").as[KllOut].collect()
+        rows.groupBy(_.grp).map { case (g, rs) =>
+          val maxVer = rs.map(_.ver).max
+          g -> rs.filter(_.ver == maxVer).sortBy(_.p)
+            .map(r => (r.p, r.value_est, r.n)).toSeq
+        }
+      } finally { query.stop(); spark.sql("DROP TABLE IF EXISTS kllq") }
+    }
+    val oneShot = runSplit(Seq(events))
+    val split = runSplit(Seq(events.take(300), events.slice(300, 550), events.drop(550)))
+    assert(oneShot === reference.toMap,
+      "one-batch stream fold == driver-side sequential reference, exactly")
+    assert(split === reference.toMap,
+      "state carries: 3 triggers == 1 trigger == reference, exactly (no merge in the path)")
+  }
+
   test("stream-stream join: clicks joined to purchases within the window, equals batch") {
     import spark.implicits._
     val clickRows = Seq(
