@@ -548,10 +548,17 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    var labels = edges.select(col("src").as("id"), col("src").as("label"))
-      .unionAll(edges.select(col("src").as("id"), col("dst").as("label")))
-      .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint(false) // realized by round 1's count
+    // every per-round checkpoint is stats-stripped: chained checkpoints
+    // compound size estimates multiplicatively per round (digit count
+    // TRIPLES per round through the 3-way self-join) until the driver
+    // spends minutes per round multiplying astronomical BigInts — see
+    // graftnative.PlanStats
+    import org.apache.spark.sql.graftnative.PlanStats.withoutPropagatedStats
+    var labels = withoutPropagatedStats(
+      edges.select(col("src").as("id"), col("src").as("label"))
+        .unionAll(edges.select(col("src").as("id"), col("dst").as("label")))
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(false)) // realized by round 1's count
     var changed = 1L
     var round = 0
     val nullPrev = lit(null).cast("long").as("prev")
@@ -574,9 +581,9 @@ object Dedup {
       }
       // one aggregate computes the round AND carries `prev` (each id has
       // exactly one non-null prev, from the self branch; min ignores null)
-      val next = branches.groupBy("id")
+      val next = withoutPropagatedStats(branches.groupBy("id")
         .agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
       // the round's single action: realizes the checkpoint, tests fixpoint
       val t0 = System.nanoTime()
       changed = next.filter(col("label") =!= col("prev")).count()
@@ -593,8 +600,12 @@ object Dedup {
     // repeatedly (StreamOps.streamingCanonicalFold) rely on the result
     // being already materialized so they can release the previous
     // assignment's blocks without re-checkpointing a second copy
-    val result = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
-      .localCheckpoint(true)
+    // ...including the eager result: streamingCanonicalFold chains it
+    // into the NEXT batch's CC input, which would otherwise re-compound
+    // across batches
+    val result = withoutPropagatedStats(
+      labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+        .localCheckpoint(true))
     edges.unpersist()
     result
   }
@@ -1253,12 +1264,27 @@ object Dedup {
     * log2(C(m, c)) under a fan-out cap of 96 rows per hash: 48-bit/k=6
     * → (m=9, c=3), 84 keys of ~16 bits (vs 7 keys of ~7 bits). */
   private[graft] def hammingBlockPlan(bits: Int, maxHamming: Int): (Int, Int) = {
-    def comb(n: Int, r: Int): Long =
-      (0 until r).foldLeft(1L)((a, i) => a * (n - i) / (i + 1))
-    (1 to 5).map(c => (maxHamming + c, c))
-      .filter { case (m, c) => m <= bits && comb(m, c) <= 96 }
-      .maxBy { case (m, c) =>
-        c.toDouble * bits / m - math.log(comb(m, c).toDouble) / math.log(2) }
+    // Density regime decides the plan (both measured at the ×16 scaling
+    // corpus): a NARROW fingerprint (< 32 bits) with radius 6 has a
+    // hamming ball covering ~1% of the space, so true/near pairs
+    // dominate the stream and the dominant cost is DISCOVERY
+    // MULTIPLICITY — a close pair collides in up to C(m−d, c) combo
+    // keys, so classic c = 1 (≤ k+1 discoveries) wins (q45 24-bit ×16:
+    // 95 s classic vs 169 s combos). A WIDE fingerprint is sparse: the
+    // stream is random-collision-bound and the wider combo keys win by
+    // orders of magnitude (q45b 48-bit ×16: 173 s classic vs 30 s
+    // combos). Narrow widths are themselves only for the noise-floor
+    // demonstration rows — production text/image/audio fingerprints are
+    // 48/56-bit (see the simhashFrom width note).
+    if (bits < 32) (maxHamming + 1, 1)
+    else {
+      def comb(n: Int, r: Int): Long =
+        (0 until r).foldLeft(1L)((a, i) => a * (n - i) / (i + 1))
+      (1 to 5).map(c => (maxHamming + c, c))
+        .filter { case (m, c) => m <= bits && comb(m, c) <= 96 }
+        .maxBy { case (m, c) =>
+          c.toDouble * bits / m - math.log(comb(m, c).toDouble) / math.log(2) }
+    }
   }
 
   /** The pigeonhole hamming join in generic form, shared by
@@ -1289,7 +1315,12 @@ object Dedup {
       val lens = Seq.tabulate(numBlocks)(b => if (b < extra) base + 1 else base)
       lens.scanLeft(0)(_ + _).zip(lens).map { case (off, len) => (off, len) }
     }
-    // one struct per c-combination of blocks; key = concatenated block bits
+    // One struct per c-combination of blocks; key = concatenated block
+    // bits. Each struct also carries the pair-dedup literals `fm`/`fv`
+    // (see below): fm masks the agree-bitmap up to the combo's highest
+    // block, fv is the combo's own block set — a pair's FIRST agreeing
+    // combo is exactly the one whose blocks are the c lowest agreeing
+    // blocks, i.e. agreeBits & fm == fv.
     val comboDefs = (0 until numBlocks).combinations(comboSize).toSeq
     val bandRows = hashes
       .select((Seq(col("h")) ++ blockCols.map(col) :+
@@ -1299,9 +1330,12 @@ object Dedup {
             shiftleft(acc, len) +
               shiftright(col("h"), off).bitwiseAND(lit((1L << len) - 1))
           }
-          struct(lit(idx).as("b"), key.as("v"))
+          struct(lit(idx).as("b"), key.as("v"),
+            lit((1L << (combo.last + 1)) - 1).as("fm"),
+            lit(combo.map(b => 1L << b).sum).as("fv"))
         }: _*)).as("bd")): _*)
-      .select((Seq(col("h"), col("bd.b").as("b"), col("bd.v").as("v"))
+      .select((Seq(col("h"), col("bd.b").as("b"), col("bd.v").as("v"),
+        col("bd.fm").as("fm"), col("bd.fv").as("fv"))
         ++ blockCols.map(col)): _*)
     val joinCond = (Seq(col("a.b") === col("b.b"), col("a.v") === col("b.v"))
       ++ blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -1312,22 +1346,27 @@ object Dedup {
     // scaling corpus as 16.3 M raw rows for 542 k true pairs, with the
     // distinct() to collapse them the single most expensive exchange in
     // the family. Instead each row keeps the pair ONLY when its combo is
-    // the FIRST one the pair agrees on — computable from xor(h_a, h_b)
-    // alone (a fixed CASE chain over the combo masks), so exactly one
-    // row survives per qualifying pair and the distinct() disappears.
-    val comboMasks = comboDefs.map(_.map { b =>
-      val (off, len) = blockDefs(b); ((1L << len) - 1) << off
-    }.reduce(_ | _))
+    // the FIRST one the pair agrees on: build the m-bit agree bitmap
+    // from xor(h_a, h_b) (one masked test per block) and compare it
+    // under the combo's carried fm/fv literals — the first agreeing
+    // combo is the one whose blocks are the c LOWEST agreeing blocks,
+    // i.e. agreeBits & fm == fv. Exactly one row survives per
+    // qualifying pair and the distinct() disappears. (A first attempt
+    // encoded "first agreeing combo index" as an 84-arm nested CASE —
+    // it blew past codegen limits into interpreted evaluation and ran
+    // 15× slower than the distinct() it replaced; the bitmap form is
+    // m fixed terms and stays inside whole-stage codegen.)
     val x = col("h_a").bitwiseXOR(col("h_b"))
-    val firstAgreeingCombo = comboMasks.zipWithIndex.reverse
-      .foldLeft(lit(-1): org.apache.spark.sql.Column) {
-        case (acc, (m, i)) => when(x.bitwiseAND(lit(m)) === 0L, lit(i)).otherwise(acc)
-      }
+    val agreeBits = blockDefs.zipWithIndex.map { case ((off, len), j) =>
+      when(x.bitwiseAND(lit(((1L << len) - 1) << off)) === 0L, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
     val hashPairs = bandRows.as("a").join(bandRows.as("b"), joinCond)
-      .select((Seq(col("a.h").as("h_a"), col("b.h").as("h_b"), col("a.b").as("b"))
+      .select((Seq(col("a.h").as("h_a"), col("b.h").as("h_b"),
+        col("a.fm").as("fm"), col("a.fv").as("fv"))
         ++ blockCols.map(c => col(s"a.$c"))): _*)
-      .filter(col("b") === firstAgreeingCombo)
-      .drop("b")
+      .filter(agreeBits.bitwiseAND(col("fm")) === col("fv"))
+      .drop("fm", "fv")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
     // expand verified DISTINCT-hash pairs back to member pairs …

@@ -19,6 +19,27 @@ class CanonicalSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("CC statistics stay word-sized across many rounds (checkpoint-chain stats hygiene)") {
+    import spark.implicits._
+    // a 4096-node PATH has diameter 4095: pointer jumping needs ~12
+    // rounds. Pre-fix, each round's checkpoint inherited the previous
+    // round's PLAN estimate, whose digit count triples per round through
+    // the 3-way self-join — by convergence the result plan carried a
+    // BigInt size estimate with ~3^rounds digits and the driver spent
+    // minutes per round in BigInteger.multiplyToomCook3 (the q45c ×16
+    // scaling "hang"). Post-fix every per-round checkpoint is rebuilt
+    // without origin stats, so the final estimate stays a handful of
+    // digits.
+    val pairs = (0L until 4095L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val result = Dedup.canonicalAssignments(pairs)
+    val assigned = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned.size === 4096)
+    assert(assigned.values.forall(_ == 0L), "path component collapses to min label 0")
+    val digits = result.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length
+    assert(digits <= 24,
+      s"result stats carry a $digits-digit size estimate — checkpoint chain is compounding again")
+  }
+
   test("canonical ids compose with the LSH pipeline") {
     import spark.implicits._
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
