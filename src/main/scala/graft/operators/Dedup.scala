@@ -548,17 +548,27 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    // every per-round checkpoint is stats-stripped: chained checkpoints
-    // compound size estimates multiplicatively per round (digit count
-    // TRIPLES per round through the 3-way self-join) until the driver
-    // spends minutes per round multiplying astronomical BigInts — see
-    // graftnative.PlanStats
-    import org.apache.spark.sql.graftnative.PlanStats.withoutPropagatedStats
-    var labels = withoutPropagatedStats(
-      edges.select(col("src").as("id"), col("src").as("label"))
-        .unionAll(edges.select(col("src").as("id"), col("dst").as("label")))
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(false)) // realized by round 1's count
+    // Every per-round checkpoint gets REPLACED statistics: chained
+    // checkpoints compound size estimates multiplicatively per round
+    // (digit count TRIPLES per round through the 3-way self-join) until
+    // the driver spends minutes per round multiplying astronomical
+    // BigInts — see graftnative.PlanStats. But fully STATLESS leaves
+    // (round 7's first fix) fall back to Long.MaxValue, which loses the
+    // label-table broadcast: the prop join flipped to broadcasting the
+    // EDGE side (BuildLeft — scale-backwards) and both jump joins went
+    // SortMergeJoin with two exchanges per round. The honest middle:
+    // every round's groupBy(id) output is EXACTLY the vertex set, so one
+    // round-0 count gives the exact per-round rowCount, and each leaf
+    // gets rowCount × flat-row-width — word-sized (no compounding) yet
+    // truthful, so a vertex table under the broadcast threshold
+    // broadcasts and one over it honestly shuffles.
+    import org.apache.spark.sql.graftnative.PlanStats.withKnownRowCount
+    val labels0 = edges.select(col("src").as("id"), col("src").as("label"))
+      .unionAll(edges.select(col("src").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+      .localCheckpoint(false)
+    val vertices = labels0.count() // materializes round 0 + the edge cache
+    var labels = withKnownRowCount(labels0, vertices)
     var changed = 1L
     var round = 0
     val nullPrev = lit(null).cast("long").as("prev")
@@ -581,9 +591,9 @@ object Dedup {
       }
       // one aggregate computes the round AND carries `prev` (each id has
       // exactly one non-null prev, from the self branch; min ignores null)
-      val next = withoutPropagatedStats(branches.groupBy("id")
+      val next = withKnownRowCount(branches.groupBy("id")
         .agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint(false))
+        .localCheckpoint(false), vertices)
       // the round's single action: realizes the checkpoint, tests fixpoint
       val t0 = System.nanoTime()
       changed = next.filter(col("label") =!= col("prev")).count()
@@ -603,9 +613,9 @@ object Dedup {
     // ...including the eager result: streamingCanonicalFold chains it
     // into the NEXT batch's CC input, which would otherwise re-compound
     // across batches
-    val result = withoutPropagatedStats(
+    val result = withKnownRowCount(
       labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
-        .localCheckpoint(true))
+        .localCheckpoint(true), vertices)
     edges.unpersist()
     result
   }
