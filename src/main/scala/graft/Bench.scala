@@ -11,7 +11,9 @@ import graft.operators.KMeans
   * Noise control (single-run totals on a contended sandbox are dominated
   * by outliers that move between runs — measured in round 1):
   *   - each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and
-  *     reports the per-query MEDIAN; `value` = Σ medians;
+  *     reports the per-query MEDIAN; `value` = Σ medians; reps are
+  *     interleaved round-robin across the chunk (see [[runQueries]]) so
+  *     consecutive reps don't re-time the previous rep's teardown;
   *   - an untimed warmup query absorbs JIT/codegen/parquet-footer cold
   *     start before the first timed query;
   *   - the sink is `noop` format, which materializes every row of the
@@ -102,22 +104,37 @@ object Bench {
     spark
   }
 
-  /** Committed CLEAN reference time for [[canary]] at the driver's bench
+  /** Clean reference time for [[canary]] at the driver's bench
     * conditions (sf0.1, local[32]; builder's uncontended machine measured
-    * 0.33-0.47 s across fresh child JVMs, so 0.40 with the 5x factor
-    * flags at 2.0 s). The round-6 driver run was uniformly slow
-    * across whole chunks (q113 min 22.0 s in every rep vs 6.1 s clean),
-    * which the per-ROW 5× median/min heuristic cannot see — a fixed
-    * trivial query timed at the start of each chunk can: machine
-    * contention inflates it the same way it inflates the real rows. */
+    * 0.33-0.47 s across fresh child JVMs). DIAGNOSTIC ONLY since round 8:
+    * a committed absolute constant flags every chunk on a legitimately
+    * slower-but-uncontended machine, so the contention flag now keys off
+    * the run's own fastest canary ([[contendedChunks]]) and this number
+    * just rides along in stderr + `canary_min` in the JSON line so a
+    * reader can compare the run's level against the builder's clean one.
+    * Caveat either way: a UNIFORMLY slow machine (every chunk equally
+    * contended, round 6's driver pattern end to end) is invisible to a
+    * run-relative reference — for that case compare `canary_min` to this
+    * constant; `min_total` remains the robust cross-machine number. */
   val CanaryRefSec: Double = 0.40
 
-  /** Chunks whose canary blew past 5× the committed clean reference —
-    * uniform contention (every rep slow) that median/min misses. The
-    * 5× factor mirrors the per-row heuristic; at smaller scale factors
-    * the canary only runs faster, so the flag cannot false-positive. */
+  /** Chunks whose canary blew past 5× the FASTEST canary observed in
+    * this run (start and end canaries pooled) — uniform-within-a-chunk
+    * contention that median/min misses, measured machine-relative so a
+    * slow-but-steady machine doesn't false-positive. The 0.05 s floor
+    * keeps micro-jitter on tiny scale factors from flagging. */
   def contendedChunks(canaries: Seq[Double]): Int =
-    canaries.count(_ > 5 * CanaryRefSec)
+    if (canaries.isEmpty) 0
+    else canaries.count(_ > 5 * canaries.min.max(0.05))
+
+  /** Chunks whose END canary ran > 3× their START canary (and isn't
+    * micro-jitter): state accumulated DURING the chunk — heap creep,
+    * listener retention, piled-up shuffle files, or late-arriving
+    * interference — which a start-only canary is structurally blind to
+    * (round 7's rep drift: rep 3 of a 24-query chunk runs ~20 min after
+    * its canary). Labeled per chunk, not averaged away. */
+  def driftedChunks(starts: Seq[Double], ends: Seq[Double]): Int =
+    starts.zip(ends).count { case (s, e) => e > 0.5 && e > 3 * s }
 
   /** The fixed per-chunk canary: a trivial 5-row scan-and-count whose
     * cost is almost pure job-submission/scheduling overhead — exactly
@@ -137,14 +154,27 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Pseudo-row name carrying a chunk's canary time through the child
-    * protocol; filtered out of the query results by the parent. */
+  /** Pseudo-row names carrying a chunk's start/end canary times through
+    * the child protocol; filtered out of the query results by the parent. */
   val CanaryName = "__chunk_canary"
+  val CanaryEndName = "__chunk_canary_end"
 
   /** Runs the named queries (reps each) in THIS JVM and returns rows.
     * Shared by child processes and the parent's inline fallback. When
     * `withCanary`, the chunk's canary is timed right after the warmup
-    * and prepended as a [[CanaryName]] pseudo-row. */
+    * AND again after the last pass ([[CanaryName]] / [[CanaryEndName]]
+    * pseudo-rows), so drift DURING the chunk is labeled, not just
+    * contention at its start.
+    *
+    * Reps are INTERLEAVED round-robin (pass 1 of every query, then pass
+    * 2, …), not back-to-back: consecutive reps of the same query re-time
+    * it against its own just-died invocation's asynchronous teardown
+    * (shuffle-file deletion, block eviction, cleaner GC traffic), which
+    * round 7 measured as monotonic rep growth (q110 0.67/2.0/12.1 s)
+    * that inflated Σ-medians 20% over Σ-min. Round-robin puts ~chunk-1
+    * other queries between a query's passes, so each rep sees the same
+    * settled JVM and the median measures the plan again, not the
+    * previous rep's garbage collection. */
   def runQueries(spark: SparkSession, sfDir: String, names: Seq[String],
                  reps: Int, withCanary: Boolean = false): Seq[QueryResult] = {
     val byName = registry.toMap
@@ -155,7 +185,7 @@ object Bench {
     val canaryRow =
       if (withCanary) {
         val t = canary(spark, sfDir)
-        System.err.println(f"[bench] chunk canary ${t}%.3f s (clean ref $CanaryRefSec, flag at ${5 * CanaryRefSec}%.1f)")
+        System.err.println(f"[bench] chunk canary ${t}%.3f s (builder clean ref $CanaryRefSec)")
         Seq(QueryResult(CanaryName, Seq(t), 0.0, 0.0))
       } else Nil
 
@@ -200,17 +230,34 @@ object Bench {
       t
     }
 
-    canaryRow ++ names.flatMap { name =>
-      byName.get(name) match {
-        case None => System.err.println(s"[bench] unknown query $name — skipped"); None
-        case Some(fn) =>
-          val gc0 = gcTotalSec()
-          val runs = (1 to reps).map(_ => timeOnce(name, fn)).sorted
-          val r = QueryResult(name, runs, codeCacheUsedMb(), gcTotalSec() - gc0)
-          System.err.println(f"[bench] $name median ${r.median}%.2f s  runs ${runs.map(x => f"$x%.2f").mkString("/")}  cc ${r.ccMb}%.0f MB  gc ${r.gcSec}%.2f s")
-          Some(r)
+    val known = names.flatMap { name =>
+      val fn = byName.get(name)
+      if (fn.isEmpty) System.err.println(s"[bench] unknown query $name — skipped")
+      fn.map(name -> _)
+    }
+    // pass-major execution; per-query GC deltas are summed over that
+    // query's individual runs so attribution survives the interleave
+    val times = collection.mutable.Map.empty[String, Vector[Double]]
+    val gcSecs = collection.mutable.Map.empty[String, Double]
+    for (pass <- 1 to reps; (name, fn) <- known) {
+      val gc0 = gcTotalSec()
+      val t = timeOnce(name, fn)
+      times(name) = times.getOrElse(name, Vector.empty) :+ t
+      gcSecs(name) = gcSecs.getOrElse(name, 0.0) + (gcTotalSec() - gc0)
+      if (pass == reps) {
+        val r = QueryResult(name, times(name).sorted, codeCacheUsedMb(), gcSecs(name))
+        System.err.println(f"[bench] $name median ${r.median}%.2f s  runs ${times(name).map(x => f"$x%.2f").mkString("/")}  cc ${r.ccMb}%.0f MB  gc ${r.gcSec}%.2f s")
       }
     }
+    val endCanaryRow =
+      if (withCanary) {
+        val t = canary(spark, sfDir)
+        System.err.println(f"[bench] chunk END canary ${t}%.3f s")
+        Seq(QueryResult(CanaryEndName, Seq(t), 0.0, 0.0))
+      } else Nil
+    canaryRow ++ known.map { case (name, _) =>
+      QueryResult(name, times(name).sorted, codeCacheUsedMb(), gcSecs(name))
+    } ++ endCanaryRow
   }
 
   // ---- child protocol: tab-separated rows, no JSON parser needed ----
@@ -292,9 +339,10 @@ object Bench {
       runChunkInChild(chunk, tmpDir.resolve(s"chunk$i.tsv"))
         .getOrElse(runQueries(inlineSpark, sfDir, chunk, reps, withCanary = true))
     }
-    // each chunk's canary rides back as a pseudo-row; split it out
-    val (canaryRows, results) = allRows.partition(_.name == CanaryName)
-    val canaries = canaryRows.map(_.runs.head)
+    // each chunk's start/end canaries ride back as pseudo-rows; split out
+    val canaries = allRows.filter(_.name == CanaryName).map(_.runs.head)
+    val canaryEnds = allRows.filter(_.name == CanaryEndName).map(_.runs.head)
+    val results = allRows.filterNot(r => r.name == CanaryName || r.name == CanaryEndName)
 
     // durability against log-tail truncation (round 2 lost q00-q03 from the
     // captured artifact): persist the FULL object to a file first, stop Spark
@@ -302,10 +350,10 @@ object Bench {
     // JSON as the very last line of both stdout and stderr
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (fullLine(results, reps, chunks.size, chunkSize, sfDir, canaries) + "\n").getBytes("UTF-8"))
+      (fullLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     try { SparkSession.getActiveSession.foreach(_.stop()) } catch { case _: Throwable => () }
-    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir, canaries)
+    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds)
     println(compact)
     System.out.flush()
     System.err.println(compact)
@@ -339,16 +387,24 @@ object Bench {
     * chunk leaves median/min ≈ 1, which round 6's driver run proved). */
   def compactLine(results: Seq[QueryResult], reps: Int, nChunks: Int,
                   chunkSize: Int, sfDir: String,
-                  canaries: Seq[Double] = Nil): String = {
+                  canaries: Seq[Double] = Nil,
+                  canaryEnds: Seq[Double] = Nil): String = {
     val flagship = results.filter(_.name == "q00_flagship_kmedoids")
     val shown = (flagship ++ results.sortBy(-_.median).take(3)).distinct
     val contended = contendedRows(results)
-    val slowChunks = contendedChunks(canaries)
+    val pooled = canaries ++ canaryEnds
+    val slowChunks = contendedChunks(pooled)
+    val drifted = driftedChunks(canaries, canaryEnds)
+    // canary_min is the absolute level a reader compares against the
+    // documented clean builder range (CanaryRefSec) — the uniform-slow
+    // case the run-relative flag cannot see from inside
+    val canaryMin = if (pooled.isEmpty) "null" else num(pooled.min)
     s"""{"metric":"total","value":${num(results.map(_.median).sum)},"unit":"sec",""" +
       s""""min_total":${num(results.map(_.min).sum)},"reps":$reps,""" +
       s""""chunks":$nChunks,"chunk_size":$chunkSize,"n_queries":${results.size},""" +
       s""""contended":${contended.nonEmpty || slowChunks > 0},""" +
       s""""n_contended":${contended.size},"n_contended_chunks":$slowChunks,""" +
+      s""""n_drifted_chunks":$drifted,"canary_min":$canaryMin,""" +
       s""""queries":${shown.map(r => "\"" + r.name + "\":" + num(r.median)).mkString("{", ",", "}")},""" +
       s""""detail":"bench_result.json","sf":"$sfDir"}"""
   }
@@ -359,16 +415,20 @@ object Bench {
     * log-tail capture holds, so this object must NEVER be the stdout line. */
   def fullLine(results: Seq[QueryResult], reps: Int, nChunks: Int,
                chunkSize: Int, sfDir: String,
-               canaries: Seq[Double] = Nil): String = {
+               canaries: Seq[Double] = Nil,
+               canaryEnds: Seq[Double] = Nil): String = {
     def jmap(f: QueryResult => String): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val contended = contendedRows(results)
+    val slowChunks = contendedChunks(canaries ++ canaryEnds)
     s"""{"metric":"total","value":${results.map(_.median).sum},"unit":"sec",""" +
       s""""min_total":${results.map(_.min).sum},"reps":$reps,""" +
       s""""chunks":$nChunks,"chunk_size":$chunkSize,"n_queries":${results.size},""" +
-      s""""contended":${contended.nonEmpty || contendedChunks(canaries) > 0},""" +
-      s""""n_contended_chunks":${contendedChunks(canaries)},""" +
+      s""""contended":${contended.nonEmpty || slowChunks > 0},""" +
+      s""""n_contended_chunks":$slowChunks,""" +
+      s""""n_drifted_chunks":${driftedChunks(canaries, canaryEnds)},""" +
       s""""canary_sec":${canaries.map(num).mkString("[", ",", "]")},""" +
+      s""""canary_end_sec":${canaryEnds.map(num).mkString("[", ",", "]")},""" +
       s""""contended_rows":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${jmap(_.median.toString)},""" +
       s""""runs":${jmap(_.runs.mkString("[", ",", "]"))},""" +

@@ -67,8 +67,8 @@ class BenchLineSpec extends SparkSpec {
   test("chunk canary catches UNIFORM contention the per-row heuristic misses") {
     // round 6's driver pattern: whole chunks uniformly slow (every rep of
     // q113 at 22+ s vs 6.1 s clean), so median/min ≈ 1 and contendedRows
-    // stays silent — only a fixed-cost canary exceeding 5× its committed
-    // clean reference can see it
+    // stays silent — only a fixed-cost canary blowing out against the
+    // run's own fastest canary can see it
     val uniformSlow = Bench.QueryResult("q_uniform", Seq(22.0, 24.1, 28.4), 0, 0)
     assert(Bench.contendedRows(Seq(uniformSlow)).isEmpty,
       "per-row heuristic is blind to uniform slowdown (that's the gap)")
@@ -84,6 +84,39 @@ class BenchLineSpec extends SparkSpec {
     assert(cleanLine.contains("\"contended\":false"))
     // canary pseudo-rows ride the child protocol but never the results
     assert(!line.contains(Bench.CanaryName))
+  }
+
+  test("contention reference is machine-relative; absolute level rides as canary_min") {
+    // a legitimately slower-but-steady machine (every canary ~6x the
+    // builder's clean constant) must NOT flag — the reference is the
+    // run's own fastest canary, and the absolute level is exposed as
+    // canary_min for the reader to compare against CanaryRefSec
+    val steadySlow = Seq(2.4, 2.6, 2.5)
+    assert(Bench.contendedChunks(steadySlow) === 0)
+    val row = Bench.QueryResult("q_x", Seq(1.0, 1.1, 1.2), 0, 0)
+    val line = Bench.compactLine(Seq(row), 3, 3, 24, "sf", steadySlow)
+    assert(line.contains("\"contended\":false"))
+    assert(line.contains("\"canary_min\":2.400"))
+    // no canaries at all → null, not a crash
+    assert(Bench.compactLine(Seq(row), 3, 1, 24, "sf").contains("\"canary_min\":null"))
+  }
+
+  test("end-of-chunk canary labels intra-chunk drift") {
+    // round 7's blind spot: start canaries all clean, but state built up
+    // DURING the chunk (rep 3 runs ~20 min after its canary) — an end
+    // canary 3x its start flags the chunk as drifted
+    val starts = Seq(0.35, 0.40, 0.38)
+    val driftedEnds = Seq(0.42, 1.9, 0.40) // chunk 2 drifted
+    val cleanEnds = Seq(0.42, 0.44, 0.40)
+    assert(Bench.driftedChunks(starts, driftedEnds) === 1)
+    assert(Bench.driftedChunks(starts, cleanEnds) === 0)
+    // micro-jitter floor: 3x of a tiny start is still tiny, not drift
+    assert(Bench.driftedChunks(Seq(0.05), Seq(0.2)) === 0)
+    val row = Bench.QueryResult("q_x", Seq(1.0, 1.1, 1.2), 0, 0)
+    val line = Bench.compactLine(Seq(row), 3, 3, 24, "sf", starts, driftedEnds)
+    assert(line.contains("\"n_drifted_chunks\":1"))
+    val full = Bench.fullLine(Seq(row), 3, 3, 24, "sf", starts, driftedEnds)
+    assert(full.contains("\"canary_end_sec\":[0.420,1.900,0.400]"))
   }
 
   test("full bench_result.json object keeps the complete per-query map") {
