@@ -540,10 +540,19 @@ object Cli {
     def unapply(s: String): Option[Int] = s.toIntOption
   }
 
-  private def parseOpts(opts: List[String]): Map[String, String] =
-    opts.grouped(2).collect {
+  /** `--key value` pairs and `--key=value` both parse (the analyze
+    * usage message prints the `=` form, so it must round-trip). */
+  private def parseOpts(opts: List[String]): Map[String, String] = {
+    val (eq, pos) = opts.partition(o => o.startsWith("--") && o.contains('='))
+    val fromEq = eq.map { o =>
+      val Array(k, v) = o.stripPrefix("--").split("=", 2)
+      k -> v
+    }
+    val fromPairs = pos.grouped(2).collect {
       case key :: value :: Nil if key.startsWith("--") => key.stripPrefix("--") -> value
-    }.toMap
+    }
+    (fromEq ++ fromPairs).toMap
+  }
 
   /** S8 — TSV text sink (`TextOutputFormat` analog). */
   private def writeTsv(df: DataFrame, path: String): Unit =

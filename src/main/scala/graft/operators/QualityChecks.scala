@@ -752,11 +752,14 @@ object QualityChecks {
     * versions, not just the last — register merge is lossless max, so
     * re-folding an older version is free correctness, and it means a
     * file in vK is only deleted by a compact that re-read vK at that
-    * later time; (b) after committing, every snapshotted directory is
-    * re-listed and any parquet file that landed since the read is
-    * appended into v(N+1) (duplicate (g, j) rows across files are
-    * harmless — readers merge by max, exactly [[hllStoreAppend]]'s own
-    * contract). Compacts themselves remain single-writer by contract
+    * later time; (b) each old directory is re-listed TO A FIXPOINT
+    * immediately before its deletion — any parquet file the merge did
+    * not see is appended into v(N+1) and the listing repeats until
+    * clean, so a directory is only removed when its file set equals
+    * what was merged as of the final look (duplicate (g, j) rows
+    * across files are harmless — readers merge by max, exactly
+    * [[hllStoreAppend]]'s own contract); the retained vN's late files
+    * are folded forward too. Compacts themselves remain single-writer by contract
     * (one maintenance job owns version creation), but a stream
     * appending while a scheduled compact runs is a supported overlap —
     * SketchSpec pins the late-append recovery. */
@@ -770,18 +773,43 @@ object QualityChecks {
     val merged = spark.read.parquet(snapshot.flatMap(_._2): _*)
       .groupBy(col("g"), col("j")).agg(max(col("mj")).as("mj"))
     commitVersion(dir, n + 1, merged)
-    val late = snapshot.flatMap { case (f, seen) =>
-      parquetFiles(f).filterNot(seen.toSet) }
-    if (late.nonEmpty)
-      spark.read.parquet(late: _*).select(col("g"), col("j"), col("mj"))
-        .write.mode("append").parquet(s"$dir/v${n + 1}")
+    // Late-append recovery runs per OLD directory, immediately before
+    // that directory's deletion, and loops to a fixpoint: re-list, fold
+    // any file the merge didn't see into v(N+1), re-list again until
+    // nothing new landed — so a directory is only removed when its file
+    // set equals what has been merged as of the last instant we looked.
+    // Residual assumption (documented, not closed): an appender that
+    // resolved this stale version as current can still land a file in
+    // the sub-millisecond gap between the final clean re-list and the
+    // rm. That appender must have held its stale `current` across the
+    // whole merge+commit (after commitVersion, new appenders resolve
+    // v(N+1)); appends are not expected to straddle a full compact
+    // cycle, and the previous version's one-cycle retention bounds the
+    // exposure to exactly this pathological overlap.
+    val mergedFiles = snapshot.map { case (f, seen) => f -> seen.toSet }.toMap
     versions.dropRight(1).foreach { case (_, f) =>
+      var seen = mergedFiles.getOrElse(f, Set.empty)
+      var late = parquetFiles(f).filterNot(seen)
+      while (late.nonEmpty) {
+        spark.read.parquet(late: _*).select(col("g"), col("j"), col("mj"))
+          .write.mode("append").parquet(s"$dir/v${n + 1}")
+        seen ++= late
+        late = parquetFiles(f).filterNot(seen)
+      }
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
         x.delete(); ()
       }
       rm(f)
     }
+    // vN (the just-superseded version) keeps its one-cycle retention;
+    // files landing there post-commit are swept by the NEXT compact's
+    // all-versions merge — mechanism (a) above.
+    val lateInVn = parquetFiles(versions.last._2)
+      .filterNot(mergedFiles.getOrElse(versions.last._2, Set.empty))
+    if (lateInVn.nonEmpty)
+      spark.read.parquet(lateInVn: _*).select(col("g"), col("j"), col("mj"))
+        .write.mode("append").parquet(s"$dir/v${n + 1}")
   }
 
   /** Mann–Whitney U between two groups of a 2-decimal measure — the

@@ -933,7 +933,15 @@ object PipelineQueries {
     // SimHash + winnow) -> connected components -> one survivor per
     // group. The oracle replays each family's exact predicate, unions
     // the edge sets, and closes them with recursive reachability — the
-    // full production dedup story under one hash gate.
+    // full production dedup story under one hash gate. The SimHash
+    // family's oracle form is deliberately EXHAUSTIVE (every same-source
+    // pair within hamming 6) while the Spark side proposes in q45c's
+    // star form: quadratic pairs are affordable at verification scale,
+    // and keeping the oracle on the reference form means the hash gate
+    // independently proves the star approximation loses no survivor on
+    // this corpus instead of replaying the same shortcut on both sides
+    // (a star-only-reachable pair whose endpoints both fail the
+    // rep-Jaccard gate would fail this gate, not slip through it).
     QueryDef("q113_ensemble_dedup",
       (s, dir) => Dedup.ensembleDedupApply(
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
@@ -958,15 +966,9 @@ object PipelineQueries {
            |ssums AS (SELECT doc_id, $sums FROM sx GROUP BY 1),
            |ssh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
            |        FROM ssums s JOIN corpus c ON c.doc_id = s.doc_id),
-           |srep AS (SELECT source, simhash, min(doc_id) AS rep FROM ssh GROUP BY 1, 2),
-           |sedges AS (SELECT r.rep AS id_a, s.doc_id AS id_b
-           |           FROM ssh s JOIN srep r
-           |             ON r.source = s.source AND r.simhash = s.simhash
-           |           WHERE s.doc_id != r.rep
-           |           UNION
-           |           SELECT a.rep AS id_a, b.rep AS id_b
-           |           FROM srep a JOIN srep b
-           |             ON a.source = b.source AND a.rep < b.rep
+           |sedges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |           FROM ssh a JOIN ssh b
+           |             ON a.source = b.source AND a.doc_id < b.doc_id
            |           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
            |wf AS (SELECT DISTINCT doc_id, fp FROM
            |       (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh)),
