@@ -1297,6 +1297,91 @@ object Dedup {
     }
   }
 
+  /** MEASURED plan costs for the generalized pigeonhole hamming join —
+    * the data-driven complement of [[hammingBlockPlan]]'s static regime
+    * rule (and the promotion of its 96-rows-per-hash fan-out cap from
+    * constant to measurement, mirroring q205's LSH sweep). For each
+    * feasible combo plan (m = maxHamming + c blocks, c ∈ 1..maxC — the
+    * tight pigeonhole family), it computes from the ACTUAL hash
+    * distribution the two shuffle-bound quantities the plan trades off:
+    *
+    *   - `band_rows` = |hashes| · C(m, c): the fan-out shipped into the
+    *     equi-join (what the old cap bounded blindly);
+    *   - `raw_join_rows` = Σ_combo Σ_bucket C(n, 2): the join's output
+    *     stream before first-combo dedup and hamming verification.
+    *     This one number captures BOTH measured regimes: dense narrow
+    *     buckets make it random-collision-bound (the wide-key win), and
+    *     a true hamming-d pair agreeing on C(m−d, c) combos makes it
+    *     discovery-multiplicity-bound (the classic-banding win) — the
+    *     exact trade [[hammingBlockPlan]]'s width rule encodes from the
+    *     ×16 corpus measurements.
+    *
+    * `chosen` marks argmin(band_rows + raw_join_rows), ties to the
+    * smaller c. Cost: one aggregation over |hashes| · C(m, c) rows per
+    * plan — no join, no pair materialization, so measuring is orders
+    * cheaper than running any candidate plan. The static rule stays the
+    * zero-cost default in the hot paths; [[hammingBlockPlanMeasured]]
+    * is the opt-in that spends this measuring pass (sampled if huge)
+    * when the corpus's density regime is unknown. Output: (num_blocks,
+    * combo_size, n_hashes, band_rows, raw_join_rows, cost, chosen). */
+  def hammingPlanCosts(sh: DataFrame, hashCol: String, bits: Int,
+      maxHamming: Int, blockCols: Seq[String], maxC: Int = 4): DataFrame = {
+    val hashes = sh.select((col(hashCol).as("h") +: blockCols.map(col)): _*)
+      .distinct().localCheckpoint(false) // scanned once per candidate plan
+    val perPlan = (1 to maxC).map(c => (maxHamming + c, c))
+      .filter { case (m, _) => m <= bits }
+      .map { case (m, c) =>
+        val blockDefs = blockDefsFor(bits, m)
+        val comboDefs = (0 until m).combinations(c).toSeq
+        comboBandRows(hashes, blockDefs, comboDefs, blockCols)
+          .groupBy((Seq(col("b"), col("v")) ++ blockCols.map(col)): _*)
+          .agg(count(lit(1)).as("n"))
+          // integer div throughout: n(n−1) is even, and the counts must
+          // survive past 2^53 at full scale (no double intermediate)
+          .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+            .cast("long").as("raw_join_rows"),
+            coalesce(sum(col("n")), lit(0L)).cast("long").as("n_band_rows"))
+          .select(lit(m).as("num_blocks"), lit(c).as("combo_size"),
+            expr(s"n_band_rows div ${comboDefs.size}").cast("long").as("n_hashes"),
+            col("n_band_rows").as("band_rows"), col("raw_join_rows"))
+      }
+    val all = perPlan.reduce(_ unionAll _)
+      .withColumn("cost", col("band_rows") + col("raw_join_rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cost"), col("combo_size")) // ≤ maxC rows — config-sized
+    all.withColumn("chosen", row_number().over(w) === 1)
+  }
+
+  /** Opt-in measured plan chooser: runs [[hammingPlanCosts]] (over a
+    * deterministic hash sample when the distinct-hash set is huge) and
+    * returns the chosen (numBlocks, comboSize). Scale-adaptive where
+    * the static rule assumes the production regime: on a small or
+    * sparse corpus every bucket is near-singleton, band_rows dominate,
+    * and the argmin is the classic c = 1 banding (correctly — wide
+    * combo keys only pay off once buckets densify); as blocks grow
+    * toward the 10⁴⁺-hashes regime raw_join_rows takes over and the
+    * argmin migrates to the wide-key plans the static rule picks. The
+    * hot paths keep the zero-cost static [[hammingBlockPlan]]; this is
+    * for corpora whose density regime is genuinely unknown. NOTE on
+    * sampling: a 1-in-s hash sample scales every bucket count ~1/s, so
+    * C(n,2) terms shrink ~1/s² while band_rows shrink 1/s — the
+    * measured trade-off point is conservative (biased toward classic
+    * banding) under heavy sampling; sampleCap is sized so production
+    * block sizes (10⁴⁺) stay measurable. */
+  def hammingBlockPlanMeasured(sh: DataFrame, hashCol: String, bits: Int,
+      maxHamming: Int, blockCols: Seq[String],
+      sampleCap: Long = 200000L): (Int, Int) = {
+    val distinctHashes = sh.select((col(hashCol) +: blockCols.map(col)): _*).distinct()
+    val n = distinctHashes.count()
+    val sampled =
+      if (n <= sampleCap) sh
+      else sh.filter(pmod(xxhash64(col(hashCol)), lit(n / sampleCap + 1)) === 0)
+    val chosen = hammingPlanCosts(sampled, hashCol, bits, maxHamming, blockCols)
+      .filter(col("chosen")).select(col("num_blocks"), col("combo_size"))
+      .head() // bounded: the costs frame holds ≤ maxC rows by construction
+    (chosen.getInt(0), chosen.getInt(1))
+  }
+
   /** The pigeonhole hamming join in generic form, shared by
     * [[simhashPairs]] / [[simhashAssignments]] (text, source-blocked),
     * the ensemble's rep edges, and the image/audio fingerprint pairs
@@ -1307,33 +1392,26 @@ object Dedup {
     * (which the DuckDB oracles still run at verification scale), only
     * the candidate generation changes. `sh` needs
     * (doc_id, hashCol, blockCols…). */
-  private[graft] def bandedHammingPairs(sh: DataFrame, hashCol: String,
-      bits: Int, maxHamming: Int, blockCols: Seq[String]): DataFrame = {
-    val (numBlocks, comboSize) = hammingBlockPlan(bits, maxHamming)
-    val members = sh.select((Seq(col("doc_id"), col(hashCol).as("h"))
-      ++ blockCols.map(col)): _*)
-    // hot-key defense: the combo-key join runs over DISTINCT (hash, block)
-    // rows, so k docs sharing one hash (flat images, boilerplate text)
-    // contribute ONE row per combo instead of a k² candidate group;
-    // identical-hash pairs are expanded afterwards, where the work is
-    // the OUTPUT size, not a join blowup
-    val hashes = members.drop("doc_id").distinct()
-    // block b covers bits [offset_b, offset_b + len_b): sizes differ by ≤ 1
-    val blockDefs = {
-      val base = bits / numBlocks
-      val extra = bits % numBlocks
-      val lens = Seq.tabulate(numBlocks)(b => if (b < extra) base + 1 else base)
-      lens.scanLeft(0)(_ + _).zip(lens).map { case (off, len) => (off, len) }
-    }
-    // One struct per c-combination of blocks; key = concatenated block
-    // bits. Each struct also carries the pair-dedup literals `fm`/`fv`
-    // (see below): fm masks the agree-bitmap up to the combo's highest
-    // block, fv is the combo's own block set — a pair's FIRST agreeing
-    // combo is exactly the one whose blocks are the c lowest agreeing
-    // blocks, i.e. agreeBits & fm == fv.
-    val comboDefs = (0 until numBlocks).combinations(comboSize).toSeq
-    val bandRows = hashes
-      .select((Seq(col("h")) ++ blockCols.map(col) :+
+  /** Block b covers bits [offset_b, offset_b + len_b); sizes differ by ≤ 1. */
+  private[graft] def blockDefsFor(bits: Int, numBlocks: Int): Seq[(Int, Int)] = {
+    val base = bits / numBlocks
+    val extra = bits % numBlocks
+    val lens = Seq.tabulate(numBlocks)(b => if (b < extra) base + 1 else base)
+    lens.scanLeft(0)(_ + _).zip(lens).map { case (off, len) => (off, len) }
+  }
+
+  /** One band row per (input row × c-combination of blocks) over a
+    * distinct-hash frame with columns (h ++ blockCols ++ carryCols);
+    * key `v` = concatenated block bits. Each row also carries the
+    * pair-dedup literals `fm`/`fv` (see [[bandedHammingPairs]]): fm
+    * masks the agree-bitmap up to the combo's highest block, fv is the
+    * combo's own block set — a pair's FIRST agreeing combo is exactly
+    * the one whose blocks are the c lowest agreeing blocks, i.e.
+    * agreeBits & fm == fv. Shared by the self-join and probe forms. */
+  private def comboBandRows(hashes: DataFrame, blockDefs: Seq[(Int, Int)],
+      comboDefs: Seq[Seq[Int]], extraCols: Seq[String]): DataFrame =
+    hashes
+      .select((Seq(col("h")) ++ extraCols.map(col) :+
         explode(array(comboDefs.zipWithIndex.map { case (combo, idx) =>
           val key = combo.foldLeft(lit(0L)) { (acc, b) =>
             val (off, len) = blockDefs(b)
@@ -1346,7 +1424,31 @@ object Dedup {
         }: _*)).as("bd")): _*)
       .select((Seq(col("h"), col("bd.b").as("b"), col("bd.v").as("v"),
         col("bd.fm").as("fm"), col("bd.fv").as("fv"))
-        ++ blockCols.map(col)): _*)
+        ++ extraCols.map(col)): _*)
+
+  /** The m-bit agree bitmap of a candidate pair: bit j set iff the pair
+    * agrees on every bit of block j. Compared under the carried fm/fv
+    * literals it keeps exactly the pair's FIRST agreeing combo. */
+  private def agreeBitsOf(blockDefs: Seq[(Int, Int)], xorCol: Column): Column =
+    blockDefs.zipWithIndex.map { case ((off, len), j) =>
+      when(xorCol.bitwiseAND(lit(((1L << len) - 1) << off)) === 0L, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private[graft] def bandedHammingPairs(sh: DataFrame, hashCol: String,
+      bits: Int, maxHamming: Int, blockCols: Seq[String]): DataFrame = {
+    val (numBlocks, comboSize) = hammingBlockPlan(bits, maxHamming)
+    val members = sh.select((Seq(col("doc_id"), col(hashCol).as("h"))
+      ++ blockCols.map(col)): _*)
+    // hot-key defense: the combo-key join runs over DISTINCT (hash, block)
+    // rows, so k docs sharing one hash (flat images, boilerplate text)
+    // contribute ONE row per combo instead of a k² candidate group;
+    // identical-hash pairs are expanded afterwards, where the work is
+    // the OUTPUT size, not a join blowup
+    val hashes = members.drop("doc_id").distinct()
+    val blockDefs = blockDefsFor(bits, numBlocks)
+    val comboDefs = (0 until numBlocks).combinations(comboSize).toSeq
+    val bandRows = comboBandRows(hashes, blockDefs, comboDefs, blockCols)
     val joinCond = (Seq(col("a.b") === col("b.b"), col("a.v") === col("b.v"))
       ++ blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       :+ (col("a.h") < col("b.h"))).reduce(_ && _)
@@ -1366,11 +1468,7 @@ object Dedup {
     // it blew past codegen limits into interpreted evaluation and ran
     // 15× slower than the distinct() it replaced; the bitmap form is
     // m fixed terms and stays inside whole-stage codegen.)
-    val x = col("h_a").bitwiseXOR(col("h_b"))
-    val agreeBits = blockDefs.zipWithIndex.map { case ((off, len), j) =>
-      when(x.bitwiseAND(lit(((1L << len) - 1) << off)) === 0L, lit(1L << j))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    val agreeBits = agreeBitsOf(blockDefs, col("h_a").bitwiseXOR(col("h_b")))
     val hashPairs = bandRows.as("a").join(bandRows.as("b"), joinCond)
       .select((Seq(col("a.h").as("h_a"), col("b.h").as("h_b"),
         col("a.fm").as("fm"), col("a.fv").as("fv"))
@@ -1399,5 +1497,56 @@ object Dedup {
       .select(col("a.da").as("id_a"), col("b.da").as("id_b"),
         lit(0).as("hamming"))
     cross.unionAll(within)
+  }
+
+  /** Incremental flavor of [[bandedHammingPairs]] for DISTINCT-hash
+    * frames (one row per hash — the rep-level graph): the hamming-≤k
+    * edges a batch of FRESH hashes adds against an accumulated base.
+    * `probe` carries the fresh rows (idCol, hashCol, blockCols…);
+    * `base` carries ALL rows (old ∪ fresh) plus a boolean `isNew`
+    * marking the fresh ones. Probe band rows equi-join base band rows
+    * — never base × base — so a fold's join stream is
+    * O(|probe| · collisions); pairs between two fresh hashes dedup by
+    * hash order (both orientations reach the join), pairs against an
+    * old hash keep the single probe→base orientation, and the
+    * first-agreeing-combo bitmap kills combo multiplicity without a
+    * distinct() (same machinery as the self-join form). Over a
+    * sequence of folds whose probes partition the hash set, the union
+    * of outputs is EXACTLY the self-join form over the final base
+    * (hamming is symmetric; every pair has a unique later-arriving
+    * endpoint, and that fold emits it once) — the property the
+    * streaming simhash fold's stream==batch pin rests on. Output:
+    * (id_a, id_b, hamming). */
+  private[graft] def bandedHammingProbeEdges(probe: DataFrame, base: DataFrame,
+      idCol: String, hashCol: String, bits: Int, maxHamming: Int,
+      blockCols: Seq[String]): DataFrame = {
+    val (numBlocks, comboSize) = hammingBlockPlan(bits, maxHamming)
+    val blockDefs = blockDefsFor(bits, numBlocks)
+    val comboDefs = (0 until numBlocks).combinations(comboSize).toSeq
+    val pRows = comboBandRows(
+      probe.select((Seq(col(idCol).as("pid"), col(hashCol).as("h"))
+        ++ blockCols.map(col)): _*),
+      blockDefs, comboDefs, blockCols :+ "pid")
+    val bRows = comboBandRows(
+      base.select((Seq(col(idCol).as("bid"), col(hashCol).as("h"),
+        col("isNew")) ++ blockCols.map(col)): _*),
+      blockDefs, comboDefs, blockCols ++ Seq("bid", "isNew"))
+    val joinCond = (Seq(col("a.b") === col("b.b"), col("a.v") === col("b.v"))
+      ++ blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      // an old base hash pairs in probe→base orientation only (it has no
+      // probe row); a fresh one reaches the join from both sides, so
+      // hash order keeps exactly one orientation
+      :+ (!col("b.isNew") || col("a.h") < col("b.h"))
+      // distinct (hash, block) rows ⇒ equal hashes = the same row
+      :+ (col("a.h") =!= col("b.h"))).reduce(_ && _)
+    val agreeBits = agreeBitsOf(blockDefs, col("h_a").bitwiseXOR(col("h_b")))
+    pRows.as("a").join(bRows.as("b"), joinCond)
+      .select(col("a.pid").as("id_a"), col("b.bid").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"),
+        col("a.fm").as("fm"), col("a.fv").as("fv"))
+      .filter(agreeBits.bitwiseAND(col("fm")) === col("fv"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

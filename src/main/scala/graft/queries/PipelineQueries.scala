@@ -3428,6 +3428,69 @@ object PipelineQueries {
              |SELECT o_custkey, rn, cents AS o_totalcents, o_orderkey
              |FROM r WHERE rn <= 3""".stripMargin)),
 
+    // Hamming-plan autotune: the generalized banding's (m, c) choice
+    // measured from the ACTUAL fingerprint distribution instead of the
+    // static width rule — per plan, the fan-out shipped into the
+    // equi-join (band_rows) and the join's pre-dedup output stream
+    // (raw_join_rows = Σ C(bucket, 2), which counts both random
+    // collisions and discovery multiplicity). The oracle replays every
+    // plan's combo keys literally (offsets/lengths interpolated from
+    // the same blockDefsFor arithmetic) and re-derives the argmin, so
+    // the hash gate covers the measurement AND the choice. Mirrors
+    // q205's LSH sweep for the hamming family; promotes the old
+    // 96-rows-per-hash cap from constant to measurement.
+    QueryDef("q212_hamming_autotune",
+      (s, dir) => {
+        val corpus = Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))
+        val sh = Dedup.simhash(corpus, 48)
+          .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+        Dedup.hammingPlanCosts(sh, "simhash", 48, 6, Seq("source"))
+      },
+      Some {
+        val bits = 48
+        val sums = (0 until bits).map(b => simhashBitSql(b)).mkString(", ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        val cfgs = (1 to 4).map { c =>
+          val m = 6 + c
+          val blockDefs = Dedup.blockDefsFor(bits, m)
+          val combos = (0 until m).combinations(c).toSeq
+          // combined key: (combo index << 24) + concatenated block bits
+          // (key width ≤ c·⌈bits/m⌉ ≤ 20 bits here, so no overlap)
+          val cks = combos.zipWithIndex.map { case (combo, idx) =>
+            val key = combo.foldLeft("CAST(0 AS BIGINT)") { (acc, b) =>
+              val (off, len) = blockDefs(b)
+              s"(($acc << $len) + ((h >> $off) & ${(1L << len) - 1}))"
+            }
+            s"((CAST($idx AS BIGINT) << 24) + $key)"
+          }
+          s"""ck$c AS (SELECT source, unnest([${cks.mkString(", ")}]) AS ck FROM hashes),
+             |cfg$c AS (SELECT $m AS num_blocks, $c AS combo_size,
+             |                 (SELECT count(*) FROM hashes) AS n_hashes,
+             |                 (SELECT count(*) FROM hashes) * ${combos.size} AS band_rows,
+             |                 COALESCE(sum(n * (n - 1) // 2), 0) AS raw_join_rows
+             |          FROM (SELECT source, ck, count(*) AS n FROM ck$c GROUP BY 1, 2))""".stripMargin
+        }
+        s"""WITH $nearDupCorpus,
+           |tok AS (SELECT doc_id, source, ${TextHash.wordHashesSql("text")} AS whs FROM corpus),
+           |sx AS (SELECT doc_id, unnest(whs) AS wh FROM tok),
+           |ssums AS (SELECT doc_id, $sums FROM sx GROUP BY 1),
+           |ssh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS h, c.source
+           |        FROM ssums s JOIN corpus c ON c.doc_id = s.doc_id),
+           |hashes AS (SELECT DISTINCT h, source FROM ssh),
+           |${cfgs.mkString(",\n")},
+           |allc AS (${(1 to 4).map(c => s"SELECT * FROM cfg$c").mkString(" UNION ALL ")})
+           |SELECT CAST(num_blocks AS INTEGER) AS num_blocks,
+           |       CAST(combo_size AS INTEGER) AS combo_size,
+           |       CAST(n_hashes AS BIGINT) AS n_hashes,
+           |       CAST(band_rows AS BIGINT) AS band_rows,
+           |       CAST(raw_join_rows AS BIGINT) AS raw_join_rows,
+           |       CAST(band_rows + raw_join_rows AS BIGINT) AS cost,
+           |       row_number() OVER (ORDER BY band_rows + raw_join_rows ASC,
+           |                          combo_size ASC) = 1 AS chosen
+           |FROM allc""".stripMargin
+      }),
+
     // KS drift matrix: one collapsed histogram with per-group counts,
     // every unordered pair's sup-distance in exact integers
     QueryDef("q185_ks_matrix",

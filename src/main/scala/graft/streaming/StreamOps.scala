@@ -616,6 +616,103 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous SimHash dedup: arriving DOCUMENT batches fold into the
+    * rep-level hamming graph and its canonical assignment — the
+    * streaming twin of [[graft.operators.Dedup.simhashAssignments]],
+    * composing three existing pieces per batch:
+    *
+    *   1. the batch's fingerprints ([[graft.operators.Dedup.simhash]],
+    *      the SAME arithmetic as batch — bit-for-bit fingerprints);
+    *   2. fresh (source, fingerprint) groups probe the accumulated rep
+    *      set via [[graft.operators.Dedup.bandedHammingProbeEdges]] —
+    *      probe × base band rows, never base × base, so a fold costs
+    *      O(|batch| · collisions) however large the corpus; every doc
+    *      (rep or member) also contributes its member→rep edge;
+    *   3. the edges fold into the assignment via
+    *      [[graft.operators.Dedup.incrementalCanonical]] (the
+    *      [[streamingCanonicalFold]] machinery).
+    *
+    * Stream == batch EXACTLY (StreamingSpec pins it, split-invariant):
+    * connectivity lives at FINGERPRINT level — hamming edges depend
+    * only on (source, fingerprint) values, not on which doc represents
+    * a group, and sequential probes of an arrival-partitioned hash set
+    * union to the self-join pair set — while member edges put every
+    * doc in its fingerprint's component, so the CC min-label equals
+    * the batch form's component-minimum doc even when a later batch
+    * delivers a smaller doc_id for an existing fingerprint. State is
+    * sketch-sized (one row per distinct fingerprint + one per assigned
+    * doc), eagerly checkpointed and released per fold like every fold
+    * in this family. Docs need (doc_id, text, source); tokenless docs
+    * are absent from the output in both forms. */
+  def streamingSimhashAssignFold(docs: DataFrame, bits: Int = 48,
+      maxHamming: Int = 6)(
+      onAssignment: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val sourceField = docs.schema("source")
+    def empty(fields: StructField*): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields.toSeq))
+    var reps = empty(sourceField.copy(name = "source"),
+      StructField("simhash", LongType), StructField("rep", LongType))
+      .localCheckpoint(eager = true)
+    var assignment = empty(StructField("doc_id", LongType),
+      StructField("canonical_id", LongType)).localCheckpoint(eager = true)
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF()
+          // one row per tokenized batch doc, consumed twice (rep
+          // derivation, member edges) — pin it or the explode×bits
+          // fingerprint pipeline recomputes per consumer
+          val shB = graft.operators.Dedup.simhash(b, bits)
+            .join(b.select(col("doc_id"), col("source")), "doc_id")
+            .localCheckpoint(eager = true)
+          val batchReps = shB.groupBy(col("source"), col("simhash"))
+            .agg(min(col("doc_id")).as("rep"))
+          val newReps = batchReps
+            .join(reps, Seq("source", "simhash"), "left_anti")
+            .localCheckpoint(eager = true) // probe + merged union
+          val merged = reps.withColumn("isNew", lit(false))
+            .unionAll(newReps.withColumn("isNew", lit(true)))
+            .localCheckpoint(eager = true) // probe base + member edges + next state
+          // every batch doc edges to its fingerprint's rep (self-loop
+          // when it IS the rep — keeps lone docs present in the
+          // assignment, matching the batch form's one-row-per-doc)
+          val memberEdges = shB
+            .join(merged.select(col("source"), col("simhash"), col("rep")),
+              Seq("source", "simhash"))
+            .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+          val repEdges = graft.operators.Dedup.bandedHammingProbeEdges(
+            newReps.select(col("rep"), col("simhash"), col("source")),
+            merged.select(col("rep"), col("simhash"), col("source"), col("isNew")),
+            "rep", "simhash", bits, maxHamming, Seq("source"))
+            .select(col("id_a"), col("id_b"))
+          val prevAssign = assignment
+          val cc = graft.operators.Dedup.incrementalCanonical(
+            assignment, memberEdges.unionAll(repEdges))
+          // the CC pass only sees docs that appear in an edge, and the
+          // star list drops doc == canonical rows — so a TRUE singleton
+          // from an earlier fold would vanish. Carry forward every prior
+          // row absent from the CC result: that set is exactly the pure
+          // singletons (any doc in a ≥2 component rides a star edge, and
+          // a singleton a new doc touches reaches the batch edges via
+          // its rep id), and their self-assignments stay valid.
+          val carried = prevAssign
+            .join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          assignment = cc.unionAll(carried).localCheckpoint(eager = true)
+          releaseCheckpoint(prevAssign); releaseCheckpoint(cc)
+          val prevReps = reps
+          reps = merged.drop("isNew").localCheckpoint(eager = true)
+          releaseCheckpoint(prevReps)
+          releaseCheckpoint(shB); releaseCheckpoint(newReps); releaseCheckpoint(merged)
+        }
+        onAssignment(assignment)
+      }
+      .start()
+  }
+
   /** Continuous quantile sketching: numeric batches fold into ONE
     * running [[graft.operators.KllSketch]] via `foreachBatch` + the SAME
     * per-partition sketch-and-merge the batch path uses

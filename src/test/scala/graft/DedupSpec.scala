@@ -158,6 +158,54 @@ class DedupSpec extends SparkSpec {
       (1L, 4L, 2), (2L, 4L, 2), (3L, 4L, 2)))
   }
 
+  test("bandedHammingProbeEdges: arrival-partitioned probes union to the self-join pair set") {
+    // distinct (hash, source) rows: src a has a hamming-2 pair and one
+    // far hash; src b has a hamming-1 pair whose low hash EQUALS one of
+    // src a's (the blocking column must keep them apart)
+    val rows = Seq(
+      (10L, 0L, "a"), (11L, 3L, "a"), (12L, (1L << 48) - 1, "a"),
+      (20L, 0L, "b"), (21L, 1L, "b"))
+    val want = Dedup.bandedHammingPairs(
+        rows.toDF("doc_id", "h", "source"), "h", 48, 6, Seq("source"))
+      .collect().map(r => (r.getLong(0) min r.getLong(1),
+        r.getLong(0) max r.getLong(1))).toSet
+    assert(want === Set((10L, 11L), (20L, 21L)), "self-join reference sanity")
+    // arrival order interleaves sources and puts each pair's endpoints
+    // in DIFFERENT batches
+    val batches = Seq(Seq(rows(0), rows(4)), Seq(rows(1), rows(3)), Seq(rows(2)))
+    var base = Seq.empty[(Long, Long, String)]
+    val got = batches.flatMap { b =>
+      base = base ++ b
+      val newDf = b.toDF("rep", "simhash", "source")
+      val baseDf = base.toDF("rep", "simhash", "source")
+        .withColumn("isNew", col("rep").isin(b.map(_._1): _*))
+      Dedup.bandedHammingProbeEdges(newDf, baseDf,
+          "rep", "simhash", 48, 6, Seq("source"))
+        .collect().map(r => (r.getLong(0) min r.getLong(1),
+          r.getLong(0) max r.getLong(1)))
+    }
+    assert(got.toSet === want, "probe folds must discover exactly the self-join pairs")
+    assert(got.size === want.size, "each pair must be emitted by exactly one fold, once")
+  }
+
+  test("hammingPlanCosts: hand-computed buckets, integer arithmetic, argmin choice") {
+    // 4 hashes differing only in the low 2 bits: for c=1 (m=7, blocks
+    // 7/7/7/7/7/7/6) only block 0 separates them -> 6 combos hold one
+    // 4-hash bucket each: raw = 6*C(4,2) = 36, band_rows = 4*7 = 28.
+    // For c=2 (m=8, all blocks 6 bits) every pair of blocks without
+    // block 0 collides: C(7,2)=21 combos * 6 = 126, band_rows = 4*28.
+    val sh = Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)).toDF("doc_id", "h")
+    val costs = Dedup.hammingPlanCosts(sh, "h", 48, 6, Seq.empty, maxC = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toList
+      .sortBy(_._2)
+    assert(costs === List(
+      (7, 1, 4L, 28L, 36L, 64L, true),
+      (8, 2, 4L, 112L, 126L, 238L, false)))
+    // the measured chooser returns the argmin pair
+    assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty) === ((7, 1)))
+  }
+
   test("audio fingerprints pair through the shared hamming banding (third modality)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     // 10 and 1000010: same waveform (same text digest, same length) from

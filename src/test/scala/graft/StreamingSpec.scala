@@ -655,6 +655,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming simhash fold: doc batches == batch simhashAssignments, arrival-order invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.operators.Dedup.withNearDuplicates(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .select(col("doc_id"), col("text"), col("source"))
+    val want = graft.operators.Dedup.simhashAssignments(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.exists { case (d, c) => d != c },
+      "fixture must contain at least one nontrivial simhash component")
+    // copies (ids ≥ 1e6) arrive BEFORE their originals: the stream's
+    // arrival rep for a shared fingerprint is NOT the group minimum —
+    // exactly the case the fingerprint-level min-label argument covers
+    val ordered = corpus.as[(Long, String, String)].collect().toSeq.sortBy(-_._1)
+    val stream = MemoryStream[(Long, String, String)]
+    @volatile var last: Option[org.apache.spark.sql.DataFrame] = None
+    val query = StreamOps.streamingSimhashAssignFold(
+      stream.toDF().toDF("doc_id", "text", "source"))(a => last = Some(a))
+    try {
+      ordered.grouped(math.max(1, ordered.size / 3)).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+      val got = last.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        "3-batch simhash fold must equal one-shot batch simhashAssignments")
+    } finally query.stop()
+  }
+
   test("streaming quantile fold: stream fold matches exact ranks within the sketch bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
