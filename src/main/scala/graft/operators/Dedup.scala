@@ -1469,7 +1469,19 @@ object Dedup {
     // 15× slower than the distinct() it replaced; the bitmap form is
     // m fixed terms and stays inside whole-stage codegen.)
     val agreeBits = agreeBitsOf(blockDefs, col("h_a").bitwiseXOR(col("h_b")))
-    val hashPairs = bandRows.as("a").join(bandRows.as("b"), joinCond)
+    // PLAN PIN (measured, round 8): the band-row frame is the input ×
+    // C(m, c) combo explode, but Catalyst's sizeInBytes estimate for a
+    // Generate is child-proportional — blind to the fan-out — so at any
+    // corpus size whose leaf estimate sits under the 10 MB broadcast
+    // threshold the self-join BROADCASTS millions of band rows (the
+    // ×16 scaling corpus: a 9 MB documents leaf became an ~8.4 M-row
+    // broadcast build side and q45b ran 31.9 s; the ×64 corpus crossed
+    // the threshold, planned sort-merge, and ran 22.4 s on 4× the
+    // data). The join is pinned to the scale-correct sort-merge form —
+    // at production sizes it is SMJ regardless; at toy scale the pin
+    // costs ~0.5 s on the sf0.001 suite and removes the
+    // underestimate-by-fan-out trap entirely.
+    val hashPairs = bandRows.as("a").join(bandRows.hint("merge").as("b"), joinCond)
       .select((Seq(col("a.h").as("h_a"), col("b.h").as("h_b"),
         col("a.fm").as("fm"), col("a.fv").as("fv"))
         ++ blockCols.map(c => col(s"a.$c"))): _*)
@@ -1540,7 +1552,16 @@ object Dedup {
       // distinct (hash, block) rows ⇒ equal hashes = the same row
       :+ (col("a.h") =!= col("b.h"))).reduce(_ && _)
     val agreeBits = agreeBitsOf(blockDefs, col("h_a").bitwiseXOR(col("h_b")))
-    pRows.as("a").join(bRows.as("b"), joinCond)
+    // PLAN PIN (same Generate-underestimate trap as the self-join form,
+    // opposite resolution): the probe side is one fold's FRESH hashes —
+    // bounded by the micro-batch — while the base grows with the
+    // corpus, so the scale-correct plan broadcasts the PROBE's band
+    // rows and streams the base with no exchange at all. Left to the
+    // fan-out-blind estimates, Catalyst can pick the base as the build
+    // side once its leaf estimate undercuts the probe's. The explicit
+    // broadcast assumes bounded fold batches (the streaming contract);
+    // a bulk backfill should use the self-join form instead.
+    pRows.as("a").hint("broadcast").join(bRows.as("b"), joinCond)
       .select(col("a.pid").as("id_a"), col("b.bid").as("id_b"),
         col("a.h").as("h_a"), col("b.h").as("h_b"),
         col("a.fm").as("fm"), col("a.fv").as("fv"))

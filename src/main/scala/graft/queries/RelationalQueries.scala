@@ -1569,5 +1569,46 @@ object RelationalQueries {
              |FROM lineitem l
              |JOIN orders o ON l.l_orderkey = o.o_orderkey
              |JOIN customer c ON o.o_custkey = c.c_custkey
-             |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)))
+             |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    // ---- TPC-H Q5 through the CBO product path --------------------------
+    // The same 6-way shape as q26, but (a) written in the WORST syntactic
+    // order — the fact table first, the filtered region joined LAST — and
+    // (b) with ZERO manual broadcast() hints: the inputs are ANALYZEd
+    // catalog tables and the runtime CBO reorders the join graph from
+    // statistics alone (q26 is the hand-tuned form of the same query;
+    // this row must produce identical rows with the plan coming from
+    // stats, not from the author). q211 proves the mechanism on a
+    // synthetic star; this row proves it on the TPC-H shape users
+    // actually run. QualityGatesSpec pins the reorder (lineitem no
+    // longer the first join leaf) so the row fails loudly if ANALYZE
+    // stats stop driving the plan. At 100 TB the difference is joining
+    // the full fact table against every customer vs against the
+    // region-filtered fifth. ----
+    QueryDef("q213_cbo_tpch5",
+      (s, dir) => {
+        graft.Cli.run(s, List("maintain", "analyze", dir,
+          "--tables", "lineitem,orders,customer,supplier,nation,region",
+          "--prefix", "g213_"))
+        s.sql(s"""SELECT n.n_name AS nation,
+                 |       CAST(SUM(${Exact.revenueSql("l.l_extendedprice", "l.l_discount")}) AS DOUBLE) AS revenue
+                 |FROM g213_lineitem l
+                 |JOIN g213_orders o ON l.l_orderkey = o.o_orderkey
+                 |JOIN g213_customer c ON o.o_custkey = c.c_custkey
+                 |JOIN g213_supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+                 |JOIN g213_nation n ON s.s_nationkey = n.n_nationkey
+                 |JOIN g213_region r ON n.n_regionkey = r.r_regionkey
+                 |WHERE r.r_name = 'EUROPE'
+                 |GROUP BY n.n_name""".stripMargin)
+      },
+      Some(s"""SELECT n_name AS nation,
+             |       CAST(SUM(${Exact.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY n_name""".stripMargin)))
 }

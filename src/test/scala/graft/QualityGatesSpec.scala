@@ -96,6 +96,31 @@ class QualityGatesSpec extends SparkSpec {
       s"filtered dimension must join first, got $order")
   }
 
+  test("q213 TPC-H Q5 reorders under ANALYZE stats: fact table not the first leaf") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def joinLeaves(p: LogicalPlan): Seq[String] = p match {
+      case j: Join => joinLeaves(j.left) ++ joinLeaves(j.right)
+      case other => other.collect {
+        case r: LogicalRelation => r.catalogTable.map(_.identifier.table)
+      }.flatten
+    }
+    // the row is WRITTEN fact-first with the region filter joined last;
+    // this gate proves ANALYZE statistics (not syntax) choose the order:
+    // the filtered region⨝nation pair must move ahead of the fact table
+    val df = SparkEntry.queries("q213_cbo_tpch5")(spark, dir)
+    val order = joinLeaves(df.queryExecution.optimizedPlan)
+    assert(order.size === 6, s"expected 6 catalog leaves, got $order")
+    assert(order.head !== "g213_lineitem",
+      s"CBO must demote the syntactically-first fact table, got $order")
+    val liPos = order.indexOf("g213_lineitem")
+    val rPos = order.indexOf("g213_region")
+    val nPos = order.indexOf("g213_nation")
+    assert(rPos >= 0 && nPos >= 0 && liPos >= 0, s"missing leaves in $order")
+    assert(rPos < liPos && nPos < liPos,
+      s"filtered region/nation must join before the fact table, got $order")
+  }
+
   // queries whose construction itself runs driver-side jobs (iterative
   // loops) — their per-round plans are covered by their own specs
   private val iterative = Set("q46_canonical", "q48_dedup_apply",
