@@ -121,6 +121,47 @@ class QualityGatesSpec extends SparkSpec {
       s"filtered region/nation must join before the fact table, got $order")
   }
 
+  test("band-join plan pins: self-join never broadcasts the exploded band frame; probe form broadcasts the bounded probe side") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import spark.implicits._
+    // Catalyst's sizeInBytes for a Generate is child-proportional —
+    // blind to the C(m, c) band fan-out — so at any corpus whose leaf
+    // estimate sits under the broadcast threshold the planner would
+    // broadcast millions of band rows (measured on the ×16 scaling
+    // corpus: an ~8.4 M-row broadcast build, q45b 31.9 s vs 13.3 s
+    // pinned — SCALING.md "explode-underestimate broadcast trap"). A
+    // toy frame IS the under-threshold regime: without the hint pins
+    // in Dedup, both asserts below fail, so an estimator change in a
+    // future Spark cannot silently reintroduce either plan.
+    def hasGen(p: SparkPlan): Boolean =
+      p.collectFirst { case g: GenerateExec => g }.isDefined
+    val rows = Seq((1L, 0L, "a"), (2L, 3L, "a"), (3L, 7L, "b"))
+      .toDF("doc_id", "h", "source")
+    val self = Dedup.bandedHammingPairs(rows, "h", 48, 6, Seq("source"))
+    val selfJoins = self.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec if hasGen(j.left) && hasGen(j.right) => "broadcast"
+      case j: SortMergeJoinExec if hasGen(j.left) && hasGen(j.right) => "smj"
+    }
+    assert(selfJoins.nonEmpty && selfJoins.forall(_ == "smj"),
+      s"band self-join must stay sort-merge at every estimate, got $selfJoins")
+    // probe form: the opposite pin — the per-batch probe side is
+    // bounded by the fold contract, so it is the explicit build side
+    // and the accumulated base streams with no exchange
+    val base = Seq((1L, 0L, "a", false), (2L, 3L, "a", true))
+      .toDF("rep", "simhash", "source", "isNew")
+    val probe = Seq((2L, 3L, "a")).toDF("rep", "simhash", "source")
+    val pe = Dedup.bandedHammingProbeEdges(
+      probe, base, "rep", "simhash", 48, 6, Seq("source"))
+    val probeJoins = pe.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec if hasGen(j.left) && hasGen(j.right) =>
+        j.buildSide.toString
+    }
+    assert(probeJoins === Seq("BuildLeft"),
+      s"probe form must broadcast the probe (left) side, got $probeJoins")
+  }
+
   // queries whose construction itself runs driver-side jobs (iterative
   // loops) — their per-round plans are covered by their own specs
   private val iterative = Set("q46_canonical", "q48_dedup_apply",
