@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runtime scan pruning — the two Spark mechanisms that cut a 100-TB scan
+  * down to the fraction a selective dimension actually touches, completing
+  * the storage-layout tier (zonemaps q194, Z-order q203, bucketing
+  * BucketingSpec) with the RUNTIME half of the story:
+  *
+  *  - '''Dynamic partition pruning''' (partition-level): a fact table
+  *    partitioned on the join key reads ONLY the partitions the filtered
+  *    dimension's keys name. The dim-side filter's value set is not known
+  *    until runtime, so static partition pruning can't do this; Catalyst
+  *    inserts a `DynamicPruningExpression` into the fact scan's partition
+  *    filters, reusing the dim side's broadcast exchange for free. At
+  *    100 TB with daily partitions, a weekend-only analysis reads 2/7th
+  *    of the files — before a single row is decoded.
+  *
+  *  - '''Runtime bloom-filter join pruning''' (row-level): for shuffle
+  *    joins too big to broadcast, Catalyst builds a bloom filter over the
+  *    CREATION side's join keys (the filtered, small side) and applies
+  *    `bloom_filter_might_contain` on the APPLICATION side BELOW its
+  *    shuffle — rows that cannot match are dropped before they are
+  *    hashed, serialized, and exchanged. At 100 TB this turns a
+  *    full-fact-table shuffle into a shuffle of the ~matching fraction.
+  *
+  * Both are stock Catalyst; these operators arrange the preconditions
+  * (layout, thresholds) and QualityGatesSpec pins the plan shapes so a
+  * conf or layout regression fails loudly instead of silently reverting
+  * to full scans.
+  */
+object ScanPruning {
+
+  /** Write `events` partitioned by calendar day (the layout a 100-TB
+    * event store ships with; here materialized to a session-scoped temp
+    * dir at test scale). Partition values are `yyyy-MM-dd` strings; the
+    * read path's partition-column inference types them back as DATE. */
+  def writeDayPartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+
+  /** The day-partitioned fact joined to a runtime-derived dim: distinct
+    * days carrying their ISO weekday, filtered to weekends. The join key
+    * IS the partition column and the dim is broadcast, so Catalyst
+    * inserts dynamic partition pruning into the fact scan — it reads
+    * only weekend partitions (8-9 of 30 in the testdata month).
+    * Returned lazy so the caller (and the plan gate) sees the pruned
+    * scan; [[dppWeekendAgg]] is the registry form. */
+  def dppWeekendJoin(spark: SparkSession, events: DataFrame, tag: String): DataFrame = {
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_dpp_$tag").toString
+    writeDayPartitioned(events, path)
+    val fact = spark.read.parquet(path)
+    // dim from the UNPARTITIONED source: tiny (one row per day), so it
+    // broadcasts and the fact scan reuses that exchange for pruning.
+    // weekday() is 0=Monday..6=Sunday; +1 aligns with DuckDB's isodow.
+    val dim = events.select(to_date(col("ts")).as("day")).distinct()
+      .filter(expr("weekday(day) + 1") >= 6)
+    fact.join(broadcast(dim), Seq("day"))
+  }
+
+  /** Registry/oracle form: per-weekend-day event count and value sum.
+    * The values match a plain `WHERE isodow(day) >= 6` over the source —
+    * the pruning changes which FILES are read, never the rows. */
+  def dppWeekendAgg(spark: SparkSession, events: DataFrame, tag: String): DataFrame =
+    dppWeekendJoin(spark, events, tag)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("value_sum"))
+
+  /** The lazy join the bloom filter is injected into: lineitem against
+    * urgent-priority orders, both hinted to sort-merge (the regime where
+    * row-level runtime pruning matters — a broadcastable dim gets DPP
+    * instead). Catalyst's InjectRuntimeFilter adds
+    * `might_contain(<bloom_filter_agg over filtered o_orderkey>,
+    * xxhash64(l_orderkey))` below lineitem's shuffle, so non-matching
+    * lineitem rows are dropped pre-exchange. RuntimeFilterSpec pins the
+    * injection mechanism on a dim-filter shape; the QualityGatesSpec
+    * q215 gate pins THIS registry shape end to end. */
+  def bloomJoinPlan(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.hint("merge")
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+          .as("price_sum"))
+
+  /** Registry form. The injection thresholds are sized for production
+    * (creation side < 10 MB, application scan > 10 GB by default) — at
+    * test scale the application-side floor is lowered to 0 for the
+    * duration of THIS query's materialization and restored after, so the
+    * registry run demonstrates the 100-TB plan without globally injecting
+    * blooms into every toy-scale shuffle. The result is materialized
+    * eagerly (localCheckpoint) inside the conf window because Catalyst
+    * reads the conf at optimization time, not DataFrame-construction
+    * time; the returned frame is the small aggregated result. */
+  def bloomFilteredJoin(spark: SparkSession, lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the demo regime is "neither side broadcastable" — at test scale
+      // that must be declared, or InjectRuntimeFilter sees a
+      // broadcastable-by-size creation side and (correctly) skips: a
+      // broadcast join needs no bloom. Window-scoped like the floor.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try bloomJoinPlan(lineitem, orders).localCheckpoint(true)
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+}

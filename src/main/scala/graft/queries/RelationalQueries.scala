@@ -1610,5 +1610,67 @@ object RelationalQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'EUROPE'
-             |GROUP BY n_name""".stripMargin)))
+             |GROUP BY n_name""".stripMargin)),
+
+    // ---- dynamic partition pruning --------------------------------------
+    // The fact table is laid out partitioned by day (the layout a 100-TB
+    // event store ships with); the dim side — distinct days filtered to
+    // weekends — is only known at runtime, so static pruning can't help.
+    // Catalyst inserts a DynamicPruningExpression into the fact scan's
+    // partition filters (reusing the dim broadcast), so only weekend
+    // partitions are READ. QualityGatesSpec pins `dynamicpruning` in the
+    // scan; the oracle proves the pruned scan loses no rows vs a plain
+    // WHERE over the unpartitioned source. ----
+    QueryDef("q214_dpp_prune",
+      (s, dir) => graft.operators.ScanPruning.dppWeekendAgg(
+        s, Tables.events(s, dir), "q214_" + (dir.hashCode & 0x7fffffff)),
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM events
+             |WHERE isodow(CAST(ts AS DATE)) >= 6
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- runtime bloom-filter join pruning ------------------------------
+    // Row-level twin of q214: when the filtered side is too big to
+    // broadcast (sort-merge regime), Catalyst builds a bloom over the
+    // filtered orders' keys and drops non-matching lineitem rows BELOW
+    // lineitem's shuffle — at 100 TB the exchange carries the matching
+    // fraction, not the table. Thresholds are production defaults except
+    // the application-side floor, lowered inside the query's conf window
+    // (restored after) so the 100-TB plan is demonstrable at test scale;
+    // QualityGatesSpec pins `might_contain`+`bloom_filter_agg` in the
+    // plan (RuntimeFilterSpec pins the injection mechanism itself). ----
+    QueryDef("q215_bloom_join",
+      (s, dir) => graft.operators.ScanPruning.bloomFilteredJoin(s,
+        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders")),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- explicit salted join for power-law keys ------------------------
+    // The manual fallback when AQE's skew split isn't enough (a medium
+    // dim too big to broadcast on a power-law key): the large side gets
+    // a seeded salt, the dim replicates `factor` times, one hot key
+    // spreads across `factor` tasks. SkewJoinSpec proves row-for-row
+    // equality with the plain join at unit level; this row hash-gates
+    // the SAME claim against the independent engine — the oracle is the
+    // UNSALTED join, so any row the salting drops or duplicates fails
+    // the gate. ----
+    QueryDef("q216_salted_join",
+      (s, dir) => graft.operators.SkewJoin.saltedInnerJoin(
+          Tables.load(s, dir, "lineitem"),
+          Tables.load(s, dir, "supplier")
+            .withColumnRenamed("s_suppkey", "l_suppkey"),
+          "l_suppkey", factor = 8)
+        .groupBy(col("l_suppkey").as("suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty_sum"))
+        .select(col("suppkey"), col("s_name"), col("n"), col("qty_sum")),
+      Some("""SELECT l_suppkey AS suppkey, s_name, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1, 2""".stripMargin)))
 }

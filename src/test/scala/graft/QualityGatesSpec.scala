@@ -265,6 +265,48 @@ class QualityGatesSpec extends SparkSpec {
     assert(p208.contains("BroadcastHashJoin"), "q208 must join, broadcast-style")
   }
 
+  test("q214 fact scan carries dynamic partition pruning") {
+    // the whole point of the row: the day-partitioned fact scan must be
+    // pruned by the runtime dim, not statically or not at all. The
+    // executed plan's FileSourceScan prints the inserted
+    // dynamicpruningexpression in its PartitionFilters; if DPP stops
+    // firing (conf regression, layout change, dim no longer broadcast)
+    // the scan silently reads all partitions and this gate fails.
+    val plan = SparkEntry.queries("q214_dpp_prune")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"q214 fact scan lost dynamic partition pruning:\n$plan")
+  }
+
+  test("q215 application side carries the runtime bloom filter below its shuffle") {
+    // build the lazy join inside the same conf window the registry row
+    // uses; the bloom must appear as bloom_filter_might_contain on the
+    // lineitem (application) side. Gate on the PRE-checkpoint plan — the
+    // registry row returns the materialized result whose plan is an RDD
+    // scan by design.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val plan = graft.operators.ScanPruning.bloomJoinPlan(
+          Tables.load(spark, dir, "lineitem"), Tables.load(spark, dir, "orders"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"q215 lost the injected runtime bloom filter:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"q215: no bloom build on the creation side:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        "q215 must stay in the sort-merge regime (broadcast would make the bloom moot)")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("headline filters reach the parquet scan (PushedFilters)") {
     // a selective predicate that does not appear in the scan's
     // PushedFilters is a full-table read wearing a Filter node
