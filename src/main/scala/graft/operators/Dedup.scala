@@ -1326,6 +1326,9 @@ object Dedup {
     * combo_size, n_hashes, band_rows, raw_join_rows, cost, chosen). */
   def hammingPlanCosts(sh: DataFrame, hashCol: String, bits: Int,
       maxHamming: Int, blockCols: Seq[String], maxC: Int = 4): DataFrame = {
+    require(maxHamming + 1 <= bits,
+      s"hammingPlanCosts: no feasible combo plan — the tightest pigeonhole " +
+      s"family needs maxHamming + 1 <= bits blocks, got maxHamming=$maxHamming, bits=$bits")
     val hashes = sh.select((col(hashCol).as("h") +: blockCols.map(col)): _*)
       .distinct().localCheckpoint(false) // scanned once per candidate plan
     val perPlan = (1 to maxC).map(c => (maxHamming + c, c))
@@ -1349,7 +1352,16 @@ object Dedup {
       .withColumn("cost", col("band_rows") + col("raw_join_rows"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cost"), col("combo_size")) // ≤ maxC rows — config-sized
-    all.withColumn("chosen", row_number().over(w) === 1)
+    val out = all.withColumn("chosen", row_number().over(w) === 1)
+    // materialize the ≤ maxC result rows (bounded by construction), then
+    // RELEASE the checkpointed distinct-hash copy — without this every
+    // autotune call pins one full distinct-hash frame as persisted RDD
+    // blocks for the life of the session
+    val rows = out.collect()
+    graft.streaming.StreamOps.releaseCheckpoint(hashes)
+    val spark = sh.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.makeRDD(rows.toIndexedSeq, 1), out.schema)
   }
 
   /** Opt-in measured plan chooser: runs [[hammingPlanCosts]] (over a
@@ -1371,15 +1383,22 @@ object Dedup {
   def hammingBlockPlanMeasured(sh: DataFrame, hashCol: String, bits: Int,
       maxHamming: Int, blockCols: Seq[String],
       sampleCap: Long = 200000L): (Int, Int) = {
-    val distinctHashes = sh.select((col(hashCol) +: blockCols.map(col)): _*).distinct()
-    val n = distinctHashes.count()
-    val sampled =
-      if (n <= sampleCap) sh
-      else sh.filter(pmod(xxhash64(col(hashCol)), lit(n / sampleCap + 1)) === 0)
-    val chosen = hammingPlanCosts(sampled, hashCol, bits, maxHamming, blockCols)
-      .filter(col("chosen")).select(col("num_blocks"), col("combo_size"))
-      .head() // bounded: the costs frame holds ≤ maxC rows by construction
-    (chosen.getInt(0), chosen.getInt(1))
+    // ONE distinct pass, checkpointed so the size probe and the
+    // (possibly sampled) measuring pass share it instead of each
+    // re-shuffling the raw frame; released before returning
+    val distinctHashes = sh.select((col(hashCol) +: blockCols.map(col)): _*)
+      .distinct().localCheckpoint(false)
+    try {
+      val n = distinctHashes.count()
+      val sampled =
+        if (n <= sampleCap) distinctHashes
+        else distinctHashes.filter(
+          pmod(xxhash64(col(hashCol)), lit(n / sampleCap + 1)) === 0)
+      val chosen = hammingPlanCosts(sampled, hashCol, bits, maxHamming, blockCols)
+        .filter(col("chosen")).select(col("num_blocks"), col("combo_size"))
+        .head() // bounded: the costs frame holds ≤ maxC rows by construction
+      (chosen.getInt(0), chosen.getInt(1))
+    } finally graft.streaming.StreamOps.releaseCheckpoint(distinctHashes)
   }
 
   /** The pigeonhole hamming join in generic form, shared by

@@ -861,7 +861,7 @@ object StreamOps {
     * otherwise accumulate one full-copy per batch for the life of the
     * stream. Safe on the CURRENT snapshot only after its successor has
     * eagerly materialized; no-op on plans that are not checkpoints. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     try df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

@@ -86,19 +86,40 @@ class BenchLineSpec extends SparkSpec {
     assert(!line.contains(Bench.CanaryName))
   }
 
-  test("contention reference is machine-relative; absolute level rides as canary_min") {
-    // a legitimately slower-but-steady machine (every canary ~6x the
-    // builder's clean constant) must NOT flag — the reference is the
-    // run's own fastest canary, and the absolute level is exposed as
-    // canary_min for the reader to compare against CanaryRefSec
+  test("per-chunk flag is machine-relative; a uniformly slow RUN trips uniform_slow") {
+    // a slower-but-steady machine never flags individual chunks (the
+    // per-chunk reference is the run's own fastest canary) — but a run
+    // whose FASTEST canary is 6x the documented clean level is round 6's
+    // driver pattern end to end, and the flag consumers read must say
+    // so: uniform_slow carries the absolute comparison machine-readably
+    // and folds into contended (min_total stays the robust number).
     val steadySlow = Seq(2.4, 2.6, 2.5)
-    assert(Bench.contendedChunks(steadySlow) === 0)
+    assert(Bench.contendedChunks(steadySlow) === 0,
+      "no chunk stands out on a uniformly slow machine")
     val row = Bench.QueryResult("q_x", Seq(1.0, 1.1, 1.2), 0, 0)
     val line = Bench.compactLine(Seq(row), 3, 3, 24, "sf", steadySlow)
-    assert(line.contains("\"contended\":false"))
+    assert(line.contains("\"n_contended_chunks\":0"))
+    assert(line.contains("\"uniform_slow\":true"))
+    assert(line.contains("\"contended\":true"))
     assert(line.contains("\"canary_min\":2.400"))
+    // a merely somewhat-slower machine (under 5x clean) stays unflagged
+    val mildlySlow = Seq(1.2, 1.3, 1.25)
+    val mildLine = Bench.compactLine(Seq(row), 3, 3, 24, "sf", mildlySlow)
+    assert(mildLine.contains("\"uniform_slow\":false"))
+    assert(mildLine.contains("\"contended\":false"))
     // no canaries at all → null, not a crash
     assert(Bench.compactLine(Seq(row), 3, 1, 24, "sf").contains("\"canary_min\":null"))
+  }
+
+  test("a chunk slow at BOTH canaries counts as one contended chunk, not two") {
+    // pooling start+end canaries and counting canaries double-counted a
+    // chunk contended through its whole run; counting is per chunk
+    val starts = Seq(0.35, 2.50, 0.38)
+    val ends   = Seq(0.40, 2.60, 0.41)
+    assert(Bench.contendedChunks(starts, ends) === 1)
+    // and a chunk slow at only one end still counts once
+    assert(Bench.contendedChunks(Seq(0.35, 2.50, 0.38), Seq(0.40, 0.42, 0.41)) === 1)
+    assert(Bench.contendedChunks(Seq(0.35, 0.36, 0.38), Seq(0.40, 2.60, 0.41)) === 1)
   }
 
   test("end-of-chunk canary labels intra-chunk drift") {

@@ -279,19 +279,13 @@ class QualityGatesSpec extends SparkSpec {
   }
 
   test("q215 application side carries the runtime bloom filter below its shuffle") {
-    // build the lazy join inside the same conf window the registry row
-    // uses; the bloom must appear as bloom_filter_might_contain on the
-    // lineitem (application) side. Gate on the PRE-checkpoint plan — the
-    // registry row returns the materialized result whose plan is an RDD
-    // scan by design.
-    val conf = spark.conf
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
-    keys.foreach { case (k, v) => conf.set(k, v) }
-    try {
+    // build the lazy join inside the SAME conf window the registry row
+    // uses (ScanPruning.withBloomConfs — one definition, so this gate
+    // can't drift from the product's thresholds); the bloom must appear
+    // as might_contain on the lineitem (application) side. Gate on the
+    // PRE-checkpoint plan — the registry row returns the materialized
+    // result whose plan is an RDD scan by design.
+    graft.operators.ScanPruning.withBloomConfs(spark) {
       val plan = graft.operators.ScanPruning.bloomJoinPlan(
           Tables.load(spark, dir, "lineitem"), Tables.load(spark, dir, "orders"))
         .queryExecution.executedPlan.toString
@@ -301,9 +295,6 @@ class QualityGatesSpec extends SparkSpec {
         s"q215: no bloom build on the creation side:\n$plan")
       assert(plan.contains("SortMergeJoin"),
         "q215 must stay in the sort-merge regime (broadcast would make the bloom moot)")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
     }
   }
 
