@@ -118,20 +118,22 @@ object Bench {
     * constant; `min_total` remains the robust cross-machine number. */
   val CanaryRefSec: Double = 0.40
 
-  /** Chunks whose start OR end canary blew past 5× the FASTEST canary
-    * observed in this run (pooled reference) — uniform-within-a-chunk
-    * contention that median/min misses, measured machine-relative so a
-    * slow-but-steady machine doesn't false-positive. Counted per CHUNK
-    * (start/end zipped), not per canary: a chunk slow at both ends is
-    * one contended chunk, not two. The 0.05 s floor keeps micro-jitter
-    * on tiny scale factors from flagging. */
+  /** Chunks whose start OR end canary blew past 5× the fastest canary
+    * of ITS OWN population — uniform-within-a-chunk contention that
+    * median/min misses, measured machine-relative so a slow-but-steady
+    * machine doesn't false-positive. Counted per CHUNK (start/end
+    * zipped), not per canary: a chunk slow at both ends is one
+    * contended chunk, not two. Start and end canaries get SEPARATE
+    * references because their baselines differ systematically (the end
+    * canary runs in a fully warm chunk JVM, measured ~0.1 s vs ~0.3 s
+    * at start — one pooled minimum made every ordinary start canary
+    * read as 3-5× "contended"). The 0.05 s floor keeps micro-jitter on
+    * tiny scale factors from flagging. */
   def contendedChunks(starts: Seq[Double], ends: Seq[Double] = Nil): Int = {
-    val pooled = starts ++ ends
-    if (pooled.isEmpty) 0
-    else {
-      val ref = 5 * pooled.min.max(0.05)
-      starts.zipAll(ends, 0.0, 0.0).count { case (s, e) => s > ref || e > ref }
-    }
+    def ref(xs: Seq[Double]): Double =
+      if (xs.isEmpty) Double.PositiveInfinity else 5 * xs.min.max(0.05)
+    val (rs, re) = (ref(starts), ref(ends))
+    starts.zipAll(ends, 0.0, 0.0).count { case (s, e) => s > rs || e > re }
   }
 
   /** The case the run-relative flag is structurally blind to: EVERY

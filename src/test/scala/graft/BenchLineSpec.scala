@@ -122,6 +122,16 @@ class BenchLineSpec extends SparkSpec {
     assert(Bench.contendedChunks(Seq(0.35, 0.36, 0.38), Seq(0.40, 2.60, 0.41)) === 1)
   }
 
+  test("systematically faster end canaries do not poison the start reference") {
+    // measured shape of a clean run: end canaries ~0.1 s (warm chunk
+    // JVM) vs start canaries ~0.25-0.47 s. A single pooled minimum made
+    // a normal 0.47 s start read as >5x the 0.09 s end floor — the
+    // references must be per population
+    val starts = Seq(0.336, 0.243, 0.265, 0.323, 0.473, 0.442, 0.306)
+    val ends = Seq(0.116, 0.093, 0.107, 0.114, 0.137, 0.120, 0.121)
+    assert(Bench.contendedChunks(starts, ends) === 0)
+  }
+
   test("end-of-chunk canary labels intra-chunk drift") {
     // round 7's blind spot: start canaries all clean, but state built up
     // DURING the chunk (rep 3 runs ~20 min after its canary) — an end
