@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *  - '''Runtime bloom-filter join pruning''' (row-level): for shuffle
   *    joins too big to broadcast, Catalyst builds a bloom filter over the
   *    CREATION side's join keys (the filtered, small side) and applies
-  *    `bloom_filter_might_contain` on the APPLICATION side BELOW its
+  *    a `might_contain` probe on the APPLICATION side BELOW its
   *    shuffle — rows that cannot match are dropped before they are
   *    hashed, serialized, and exchanged. At 100 TB this turns a
   *    full-fact-table shuffle into a shuffle of the ~matching fraction.
