@@ -2072,6 +2072,26 @@ object PipelineQueries {
              |       min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents GROUP BY 1, 2""".stripMargin)),
 
+    // Schema evolution: a two-generation parquet dir (gen 1 = even
+    // doc_ids, (doc_id, lang); gen 2 = odd doc_ids, + a quality column)
+    // read with mergeSchema — the union-of-footers read with NULL
+    // backfill for old files. The oracle replays the SEMANTICS directly
+    // over `documents`, so the hash gate exercises exactly the merge
+    // mechanics: rows from both generations present once each,
+    // quality non-null only where generation 2 wrote it.
+    QueryDef("q217_schema_merge",
+      (s, dir) => graft.sources.ColumnarIO.schemaMergeDemo(s,
+          Tables.load(s, dir, "documents"),
+          "q217_" + (dir.hashCode & 0x7fffffff))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_scored"),
+          sum(col("quality")).as("quality_sum")),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_scored,
+             |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS quality_sum
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // ==== streaming shape (batch equivalent; stream path in StreamOps) =====
 
     QueryDef("q70_stream_hourly",

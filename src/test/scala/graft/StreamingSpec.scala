@@ -857,4 +857,57 @@ class StreamingSpec extends SparkSpec {
         s"CDC snapshots grew persistent RDDs from $after1 to $after7 — leak is back")
     } finally cdcQuery.stop()
   }
+
+  test("restart from checkpoint: offsets and aggregation state survive stop/start") {
+    // THE durability contract of a 100-TB streaming ingest: a query
+    // stopped mid-stream and restarted against the same
+    // checkpointLocation must (a) not reprocess committed input and
+    // (b) resume its aggregation state. Proven the strong way: the
+    // phase-1 source file is DELETED before the restart, so phase-1
+    // rows can only appear in the final answer via the restored state
+    // store — and the hour-1 window receives rows in BOTH phases, so
+    // restored state and fresh input must MERGE, not overwrite.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    def frame(rows: Seq[(Long, String, Long, String, Double)]) =
+      rows.map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = java.nio.file.Files.createTempDirectory("restart-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("restart-ckpt").toString
+    def addFile(rows: Seq[(Long, String, Long, String, Double)], name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("restart-stage")
+      frame(rows).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, src.resolve(name))
+    }
+    val schema = frame(events).schema
+    def run(name: String) = StreamOps.hourlyCountsStream(
+        spark.readStream.schema(schema).parquet(src.toString))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    def table(name: String) = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    def batch(rows: Seq[(Long, String, Long, String, Double)]) =
+      StreamOps.hourlyCounts(frame(rows)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val (phase1, phase2) = events.splitAt(3)
+    addFile(phase1, "a.parquet")
+    val q1 = run("restart_p1")
+    try q1.awaitTermination(120000) finally q1.stop()
+    assert(table("restart_p1") === batch(phase1))
+
+    // the committed file disappears; only the checkpoint remembers it
+    java.nio.file.Files.delete(src.resolve("a.parquet"))
+    addFile(phase2, "b.parquet")
+    val q2 = run("restart_p2")
+    try {
+      q2.awaitTermination(120000)
+      assert(table("restart_p2") === batch(events),
+        "restart must resume offsets + state: phase-1 rows from the state store only, phase-2 processed exactly once")
+    } finally q2.stop()
+  }
 }
