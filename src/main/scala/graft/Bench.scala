@@ -139,16 +139,17 @@ object Bench {
   /** The case the run-relative flag is structurally blind to: EVERY
     * canary slow by the same factor (round 6's driver pattern end to
     * end — a uniformly contended machine looks internally consistent).
-    * Backstopped absolutely: the run's fastest canary beyond 5× the
-    * documented clean-builder level is not a "different machine speed",
-    * it is a run whose medians should not be trusted (min_total remains
-    * the robust number either way; ADVICE r7 adjudicated that a
-    * uniformly slow machine flagging contended=true is the correct
-    * outcome as long as the reference is documented — it is, above). */
-  def uniformSlow(starts: Seq[Double], ends: Seq[Double]): Boolean = {
-    val pooled = starts ++ ends
-    pooled.nonEmpty && pooled.min > 5 * CanaryRefSec
-  }
+    * Backstopped absolutely: the run's fastest START canary beyond 5×
+    * the documented clean-builder level is not a "different machine
+    * speed", it is a run whose medians should not be trusted
+    * (min_total remains the robust number either way; ADVICE r7
+    * adjudicated that a uniformly slow machine flagging contended=true
+    * is the correct outcome as long as the reference is documented —
+    * it is, above). START canaries only: CanaryRefSec is calibrated at
+    * chunk start, and the systematically ~4× faster end canaries would
+    * otherwise raise the effective trip point to ~20× slowdown. */
+  def uniformSlow(starts: Seq[Double], ends: Seq[Double]): Boolean =
+    starts.nonEmpty && starts.min > 5 * CanaryRefSec
 
   /** Chunks whose END canary ran > 3× their START canary (and isn't
     * micro-jitter): state accumulated DURING the chunk — heap creep,

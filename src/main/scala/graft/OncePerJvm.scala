@@ -10,14 +10,15 @@ package graft
   * from another testdata generation can never satisfy a fresh process.
   */
 object OncePerJvm {
-  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val done =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Runs `setup` if `key` has not been claimed by this JVM yet.
-    * First caller wins the claim; a setup that THROWS releases it so a
-    * later call can retry instead of reading a half-written layout. */
+  /** Runs `setup` if `key` has not completed in this JVM yet. The setup
+    * executes inside `computeIfAbsent`'s per-key mapping, so a
+    * CONCURRENT caller for the same key BLOCKS until the winner's setup
+    * finishes — it can never proceed into a half-written layout. A
+    * setup that throws leaves the key unclaimed, so a later call
+    * retries instead of trusting a partial laydown. */
   def apply(key: String)(setup: => Unit): Unit =
-    if (done.add(key)) {
-      try setup
-      catch { case e: Throwable => done.remove(key); throw e }
-    }
+    done.computeIfAbsent(key, _ => { setup; java.lang.Boolean.TRUE })
 }

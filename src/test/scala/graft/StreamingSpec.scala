@@ -865,7 +865,8 @@ class StreamingSpec extends SparkSpec {
     // (b) resume its aggregation state. Proven the strong way: the
     // phase-1 source file is DELETED before the restart, so phase-1
     // rows can only appear in the final answer via the restored state
-    // store — and the hour-1 window receives rows in BOTH phases, so
+    // store — and phase 2 feeds an event into the EXACT (window,
+    // event_type) key phase 1 left in state (hour-0 click), so
     // restored state and fresh input must MERGE, not overwrite.
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
@@ -894,10 +895,15 @@ class StreamingSpec extends SparkSpec {
       StreamOps.hourlyCounts(frame(rows)).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
 
-    val (phase1, phase2) = events.splitAt(3)
+    val phase1 = events.take(3) // hour-0 click x2, hour-1 view
+    // phase 2 reuses phase 1's (hour-0, click) state key: the merge pin
+    val phase2 = events.drop(3) :+
+      (6L, "2024-01-01 00:50:00", 12L, "click", 1.0)
+    val all = phase1 ++ phase2
     addFile(phase1, "a.parquet")
     val q1 = run("restart_p1")
-    try q1.awaitTermination(120000) finally q1.stop()
+    try assert(q1.awaitTermination(120000), "phase-1 stream timed out")
+    finally q1.stop()
     assert(table("restart_p1") === batch(phase1))
 
     // the committed file disappears; only the checkpoint remembers it
@@ -905,9 +911,14 @@ class StreamingSpec extends SparkSpec {
     addFile(phase2, "b.parquet")
     val q2 = run("restart_p2")
     try {
-      q2.awaitTermination(120000)
-      assert(table("restart_p2") === batch(events),
+      assert(q2.awaitTermination(120000), "restarted stream timed out")
+      val got = table("restart_p2")
+      assert(got === batch(all),
         "restart must resume offsets + state: phase-1 rows from the state store only, phase-2 processed exactly once")
+      // the merge pin, explicit: hour-0 click = 2 restored + 1 fresh
+      val hour0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      assert(got.exists { case (w, ty, n, _) => w == hour0 && ty == "click" && n == 3L },
+        s"hour-0 click must merge restored state (2) with fresh input (1): $got")
     } finally q2.stop()
   }
 }
