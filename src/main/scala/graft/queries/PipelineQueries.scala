@@ -1684,6 +1684,39 @@ object PipelineQueries {
              |       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Variant (Spark 4) — schema-on-read for semi-structured payloads
+    // at scale: where q65 DECLARES a struct schema up front (from_json),
+    // the variant path parses once into the binary variant encoding and
+    // extracts typed fields at query time, tolerating heterogeneous
+    // shapes file-by-file. The payloads here are made deliberately
+    // heterogeneous (even events keep the flat {"k": n}; odd events
+    // nest it under "m" and add a "t" tag) by a deterministic rewrite
+    // the DuckDB oracle replays with json_extract over the same CASE —
+    // so the hash gate exercises exactly the variant mechanics:
+    // try_variant_get pathing into both shapes, typed extraction, and
+    // absent-path null for the flat rows' missing tag.
+    QueryDef("q218_variant_props",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("payload",
+          when(col("event_id") % 2 === 0, col("props"))
+            .otherwise(concat(lit("{\"m\": "), col("props"),
+              lit(", \"t\": \""), col("event_type"), lit("\"}"))))
+        .select(col("event_type"),
+          parse_json(col("payload")).as("v"))
+        .select(col("event_type"),
+          coalesce(
+            try_variant_get(col("v"), "$.k", "int"),
+            try_variant_get(col("v"), "$.m.k", "int")).as("k"),
+          try_variant_get(col("v"), "$.t", "string").as("t"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          count(col("t")).as("n_tagged")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             |       CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_tagged
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     QueryDef("q72_asof_join",
       (s, dir) => {
         val ev = Tables.events(s, dir)
