@@ -1697,10 +1697,16 @@ object PipelineQueries {
     // absent-path null for the flat rows' missing tag.
     QueryDef("q218_variant_props",
       (s, dir) => Tables.events(s, dir)
+        // odd rows rebuilt via to_json(struct(...)) — correct escaping by
+        // construction, no string surgery (m's tiny schema here is just
+        // the shape GENERATOR; the variant read side stays schemaless)
         .withColumn("payload",
           when(col("event_id") % 2 === 0, col("props"))
-            .otherwise(concat(lit("{\"m\": "), col("props"),
-              lit(", \"t\": \""), col("event_type"), lit("\"}"))))
+            .otherwise(to_json(struct(
+              from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.IntegerType)))).as("m"),
+              col("event_type").as("t")))))
         .select(col("event_type"),
           parse_json(col("payload")).as("v"))
         .select(col("event_type"),

@@ -28,7 +28,9 @@ class VariantSpec extends SparkSpec {
         try_variant_get(col("v"), "$.m.k", "int")).as("k"),
       try_variant_get(col("v"), "$.t", "string").as("t"))
     .collect()
-    .map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)).map(_.toString)))
+    .map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Int]), // null k = readable diff, not NPE
+      Option(r.get(2)).map(_.toString)))
     .toSet
 
   test("variant column survives a parquet round trip with identical extraction") {
@@ -38,15 +40,17 @@ class VariantSpec extends SparkSpec {
     val after = extracted(spark.read.parquet(dir))
     assert(after === before)
     assert(before === Set(
-      (1L, 10, None), (2L, 20, Some("click")),
-      (3L, 30, None), (4L, 40, Some("view"))))
+      (1L, Some(10), None), (2L, Some(20), Some("click")),
+      (3L, Some(30), None), (4L, Some(40), Some("view"))))
   }
 
   test("schema_of_variant_agg discovers the union of heterogeneous shapes") {
     val schema = shaped.select(schema_of_variant_agg(col("v")).as("s"))
       .head().getString(0)
-    // both generations' fields must surface, typed
-    assert(schema.contains("k") && schema.contains("m") && schema.contains("t"),
-      s"union schema must mention every observed field: $schema")
+    // the exact union, typed and nested — a regression that drops the
+    // flat generation's top-level k (or collapses the nesting) cannot
+    // hide behind a substring match
+    assert(schema === "OBJECT<k: BIGINT, m: OBJECT<k: BIGINT>, t: STRING>",
+      s"union schema drifted: $schema")
   }
 }
