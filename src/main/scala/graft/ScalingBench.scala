@@ -129,28 +129,43 @@ object ScalingBench {
     java.nio.file.Files.write(done, s"r=$r\n".getBytes("UTF-8"))
   }
 
-  final case class Point(query: String, scale: Int, sec: Double, rows: Long)
+  final case class Point(query: String, scale: Int, sec: Double, rows: Long,
+                         shuffleReadB: Long, shuffleWriteB: Long,
+                         diskSpillB: Long, memSpillB: Long)
 
   /** Times one query at one scale (noop-sink materialization, same
     * honesty contract as Bench) and counts its output rows — the
-    * "candidate count" for the pair generators. */
+    * "candidate count" for the pair generators. Each rep also snapshots
+    * run-wide task metrics (shuffle read/write, spill) through
+    * [[org.apache.spark.graftnative.TaskMetricsProbe]]; the reported
+    * metrics are the ones from the min-wall rep, so bytes and seconds
+    * describe the SAME execution. Shuffle volume is plan-determined, so
+    * reps agree to within retry noise — but wall time on local[32]
+    * barely feels shuffle bytes (page-cache reads), which is exactly
+    * why SCALING.md reports the bytes exponent next to the wall
+    * exponent: on a real cluster the network pays for those bytes. */
   def measure(spark: SparkSession, name: String, dir: String, scale: Int,
-              reps: Int): Point = {
+              reps: Int,
+              probe: org.apache.spark.graftnative.TaskMetricsProbe): Point = {
     val fn = Bench.registry.toMap.apply(name)
-    val secs = (1 to reps).map { _ =>
+    val runs = (1 to reps).map { _ =>
+      probe.reset()
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftnative.TaskMetricsProbe.drain(spark.sparkContext)
+      val m = probe.snapshot()
       // same untimed between-rep cleanup as Bench: iterative rows leave
       // dead lazy-checkpoint blocks that would evict each other
       val leaked = spark.sparkContext.getPersistentRDDs
       if (leaked.nonEmpty) { leaked.values.foreach(_.unpersist(true)); System.gc() }
-      t
+      (t, m)
     }
     val rows = fn(spark, dir).count()
     val leaked = spark.sparkContext.getPersistentRDDs
     if (leaked.nonEmpty) { leaked.values.foreach(_.unpersist(true)); System.gc() }
-    Point(name, scale, secs.min, rows)
+    val (sec, (sr, sw, ds, ms)) = runs.minBy(_._1)
+    Point(name, scale, sec, rows, sr, sw, ds, ms)
   }
 
   def main(args: Array[String]): Unit = {
@@ -186,14 +201,17 @@ object ScalingBench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    val probe = org.apache.spark.graftnative.TaskMetricsProbe.install(spark.sparkContext)
     val points = for (name <- names; r <- scales.sorted) yield {
-      val p = measure(spark, name, dirs(r), r, reps)
-      System.err.println(f"[scaling] ${p.query}%-24s x${p.scale}%-3d ${p.sec}%8.2f s  ${p.rows}%10d rows")
+      val p = measure(spark, name, dirs(r), r, reps, probe)
+      System.err.println(f"[scaling] ${p.query}%-24s x${p.scale}%-3d ${p.sec}%8.2f s  ${p.rows}%10d rows  shW=${p.shuffleWriteB / 1e6}%9.1f MB  spill=${p.diskSpillB / 1e6}%7.1f MB")
       p
     }
 
     val json = points.map(p =>
-        s"""{"query":"${p.query}","scale":${p.scale},"sec":${f"${p.sec}%.3f"},"rows":${p.rows}}""")
+        s"""{"query":"${p.query}","scale":${p.scale},"sec":${f"${p.sec}%.3f"},"rows":${p.rows},""" +
+        s""""shuffle_read_mb":${f"${p.shuffleReadB / 1e6}%.1f"},"shuffle_write_mb":${f"${p.shuffleWriteB / 1e6}%.1f"},""" +
+        s""""disk_spill_mb":${f"${p.diskSpillB / 1e6}%.1f"},"mem_spill_mb":${f"${p.memSpillB / 1e6}%.1f"}}""")
       .mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("scaling_result.json"),
       (json + "\n").getBytes("UTF-8"))
