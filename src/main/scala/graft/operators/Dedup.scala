@@ -318,7 +318,25 @@ object Dedup {
     jaccardVerifyFromSets(shingled(corpus).select(col("doc_id"),
       array_distinct(col("shs")).as("set")), cand, minJaccard)
 
-  /** The verify gate over a precomputed (doc_id, set) frame. */
+  /** The verify gate over a precomputed (doc_id, set) frame.
+    *
+    * Deliberately UNHINTED, and the ×64 sweep is why. Below the
+    * threshold the sets side broadcasts and verify is exchange-free;
+    * past it the planner sort-merges, and the ReusedExchange machinery
+    * ships the wide set arrays ONCE for both fetch joins (measured at
+    * q66 ×64: sets cross the wire one time inside 4.2 GB total written).
+    * A shuffle-hash pin on the sets side was measured and REJECTED —
+    * it tripled the bytes (11.8 GB: the hinted builds defeated exchange
+    * reuse) and the wall (141 s vs ~50-60 s unhinted at ×64), while
+    * ALSO blocking AQE's candidate-side broadcast conversion for the
+    * high-precision families whose candidate sets stay tiny. The
+    * residual ×64 cost here is honest and diagnosed, not a plan defect:
+    * low-precision families (winnow proposes ~0.2%-precision candidates
+    * on natural text — common low-hash shingles are selected as minima
+    * in every doc containing them) make the verify fetch exceed the
+    * broadcast threshold exactly when the sets side does too, and the
+    * sort-merge sorts spill on one box. The work itself is linear
+    * (candidate rows grow ×R exactly; see SCALING.md's bytes column). */
   private def jaccardVerifyFromSets(sets: DataFrame, cand: DataFrame,
       minJaccard: Double): DataFrame = {
     val inter = size(array_intersect(col("set_a"), col("set_b")))
@@ -380,13 +398,41 @@ object Dedup {
       explode(array_distinct(TextHash.winnowHashes(col("text"), w))).as("fp")),
       maxFpDf)
 
-  /** The winnow candidate join over pre-exploded (doc_id, fp) rows. */
+  /** The winnow candidate stage over pre-exploded (doc_id, fp) rows:
+    * the document-frequency cap and the fingerprint self-join share ONE
+    * fp-keyed exchange.
+    *
+    * The textbook chain (df aggregate → df-filter join → fp self-join →
+    * distinct) hid a scale cliff the ×64 sweep measured: below the
+    * broadcast threshold the df frame and one self-join side broadcast,
+    * but past it every stage went sort-merge — the exploded fps frame
+    * crossed the wire three times, the winnow hashes were recomputed
+    * once per join branch, and q66's shuffle grew ×47 for ×4 data
+    * (89 MB → 4.2 GB written, 9.2 GB spilled in the sorts). Here the df
+    * cap is a windowed count over `partition by fp`: the window's
+    * required distribution+ordering (hash by fp, sort by fp) is EXACTLY
+    * the self-join's requirement, so Catalyst plans one Exchange of the
+    * narrow (doc_id, fp) rows, a ReusedExchange for the other side, and
+    * zero standalone Sorts — df filter, join, everything rides that
+    * single shuffle, and the fingerprints are computed once.
+    *
+    * (A grouped collect-and-expand form via the bounded TopKAgg was
+    * measured and REJECTED: with ~one group per row, the serialized
+    * per-group aggregate buffers cost ~10× the raw row bytes and pushed
+    * ObjectHashAggregate into its sort-based fallback — ×64 wall 101 s
+    * / 11.8 GB written vs this form. Singleton-group aggregation is the
+    * wrong physical shape; a co-partitioned join is the right one.)
+    *
+    * An over-cap boilerplate fingerprint still lands its full posting
+    * run in one fp partition before the filter drops it — same bounded
+    * linear straggler as the aggregate forms, filtered before the
+    * quadratic expansion either way. */
   private def winnowCandidatesFrom(fps: DataFrame, maxFpDf: Int): DataFrame = {
-    // document frequency per fingerprint — vocabulary-sized aggregate with
-    // map-side partials, same pattern as jaccardPairs' canonical order
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("fdf"))
-      .filter(col("fdf") <= maxFpDf).select("fp")
-    val kept = fps.join(rare, "fp")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val kept = fps
+      .withColumn("fdf", count(lit(1)).over(w))
+      .filter(col("fdf") <= maxFpDf)
+      .select("doc_id", "fp")
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
