@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.graftnative.TaskMetricsProbe
+import org.apache.spark.sql.functions._
+
+/** The scaling harness's bytes column is committed evidence
+  * (SCALING.md's shW exponents), so the probe behind it gets the same
+  * treatment as any operator: a pin that it actually observes shuffle
+  * traffic, attributes it to the window between reset and snapshot,
+  * and reads zero when drained after a reset with no work. */
+class TaskMetricsProbeSpec extends SparkSpec {
+
+  test("probe accumulates shuffle bytes for a shuffling job and resets to zero") {
+    val sc = spark.sparkContext
+    val probe = TaskMetricsProbe.install(sc)
+
+    probe.reset()
+    // a groupBy over a generated range must exchange: non-zero write+read
+    spark.range(0, 100000)
+      .select((col("id") % 97).as("k"))
+      .groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
+    TaskMetricsProbe.drain(sc)
+    val (r1, w1, _, _) = probe.snapshot()
+    assert(w1 > 0, s"shuffle write must be observed, got $w1")
+    assert(r1 > 0, s"shuffle read must be observed, got $r1")
+
+    // reset isolates the next window: zero with no further jobs
+    probe.reset()
+    TaskMetricsProbe.drain(sc)
+    assert(probe.snapshot() === ((0L, 0L, 0L, 0L)))
+
+    // a shuffle-free job stays (near-)zero on the shuffle counters:
+    // scan -> noop has no exchange
+    probe.reset()
+    spark.range(0, 1000).write.format("noop").mode("overwrite").save()
+    TaskMetricsProbe.drain(sc)
+    val (r2, w2, _, _) = probe.snapshot()
+    assert(w2 === 0L && r2 === 0L,
+      s"no-exchange job must not register shuffle bytes, got read=$r2 write=$w2")
+  }
+}
