@@ -162,11 +162,21 @@ object ScalingBench {
       (t, m)
     }
     val rows = fn(spark, dir).count()
+    // fence the count job's task-end events too: without this drain
+    // they can still be queued when the NEXT query's reset() runs and
+    // would be attributed to its first rep
+    org.apache.spark.graftnative.TaskMetricsProbe.drain(spark.sparkContext)
     val leaked = spark.sparkContext.getPersistentRDDs
     if (leaked.nonEmpty) { leaked.values.foreach(_.unpersist(true)); System.gc() }
     val (sec, (sr, sw, ds, ms)) = runs.minBy(_._1)
     Point(name, scale, sec, rows, sr, sw, ds, ms)
   }
+
+  /** Locale-stable decimal rendering for the JSON artifact (the f
+    * interpolator honors the JVM default locale — a decimal-comma
+    * locale would emit invalid JSON). */
+  private def dstr(x: Double, nd: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${nd}f", Double.box(x))
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,9 +219,9 @@ object ScalingBench {
     }
 
     val json = points.map(p =>
-        s"""{"query":"${p.query}","scale":${p.scale},"sec":${f"${p.sec}%.3f"},"rows":${p.rows},""" +
-        s""""shuffle_read_mb":${f"${p.shuffleReadB / 1e6}%.1f"},"shuffle_write_mb":${f"${p.shuffleWriteB / 1e6}%.1f"},""" +
-        s""""disk_spill_mb":${f"${p.diskSpillB / 1e6}%.1f"},"mem_spill_mb":${f"${p.memSpillB / 1e6}%.1f"}}""")
+        s"""{"query":"${p.query}","scale":${p.scale},"sec":${dstr(p.sec, 3)},"rows":${p.rows},""" +
+        s""""shuffle_read_mb":${dstr(p.shuffleReadB / 1e6, 1)},"shuffle_write_mb":${dstr(p.shuffleWriteB / 1e6, 1)},""" +
+        s""""disk_spill_mb":${dstr(p.diskSpillB / 1e6, 1)},"mem_spill_mb":${dstr(p.memSpillB / 1e6, 1)}}""")
       .mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("scaling_result.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -121,6 +121,33 @@ class QualityGatesSpec extends SparkSpec {
       s"filtered region/nation must join before the fact table, got $order")
   }
 
+  test("winnow candidate plan pin: df cap and self-join ride one fp exchange, fingerprints computed once per side") {
+    import spark.implicits._
+    // The e1ed00d rewrite's whole point is physical shape: the windowed
+    // df count's required distribution+ordering equal the self-join's,
+    // so the plan must show (a) the winnow hash expression evaluated
+    // once per join side (the old df-aggregate chain evaluated it twice
+    // per side), (b) no aggregate grouped by fp (the old fdf form), and
+    // (c) no fp sort beyond the one each window itself requires. A
+    // future Catalyst that stops sharing the window's exchange/order
+    // with the join re-grows the measured ×47-bytes cliff — this gate
+    // fails first.
+    val toy = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s"),
+      (2L, "alpha beta gamma delta epsilon eta", "s"),
+      (3L, "theta iota kappa lambda mu nu", "s")).toDF("doc_id", "text", "source")
+    val plan = graft.operators.Dedup.winnowPairs(toy)
+      .queryExecution.sparkPlan.toString
+    val hashEvals = "graft_winnowhashes".r.findAllIn(plan).size
+    assert(hashEvals == 2,
+      s"winnow hashes must be computed once per join side, got $hashEvals evaluations")
+    assert(!plan.contains("HashAggregate(keys=[fp"),
+      "the df cap must ride the window, not a separate fp aggregate")
+    val fpSorts = "Sort \\[fp".r.findAllIn(plan).size
+    assert(fpSorts <= 2,
+      s"no fp sort beyond the two windows' own, got $fpSorts")
+  }
+
   test("band-join plan pins: self-join never broadcasts the exploded band frame; probe form broadcasts the bounded probe side") {
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}

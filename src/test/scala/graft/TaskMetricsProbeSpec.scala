@@ -13,7 +13,7 @@ class TaskMetricsProbeSpec extends SparkSpec {
   test("probe accumulates shuffle bytes for a shuffling job and resets to zero") {
     val sc = spark.sparkContext
     val probe = TaskMetricsProbe.install(sc)
-
+    try {
     probe.reset()
     // a groupBy over a generated range must exchange: non-zero write+read
     spark.range(0, 100000)
@@ -38,5 +38,7 @@ class TaskMetricsProbeSpec extends SparkSpec {
     val (r2, w2, _, _) = probe.snapshot()
     assert(w2 === 0L && r2 === 0L,
       s"no-exchange job must not register shuffle bytes, got read=$r2 write=$w2")
+    // the session is JVM-shared across suites: do not leak the listener
+    } finally sc.removeSparkListener(probe)
   }
 }

@@ -48,22 +48,28 @@ print("|---|---|---|---|---|---|---|---|---|---|---|---|")
 for q in [q for q in ORDER if q in MAIN] + sorted(set(MAIN) - set(ORDER)):
     p = by_q[q]
     scales = sorted(p)
-    top = scales[-1]
-    r1, rN = p.get(1), p.get(top)
+    base, top = scales[0], scales[-1]
+    # exponents fit over the widest span PRESENT — a partial matrix
+    # (e.g. SPARK_GRAFT_SCALES=4,16,64 or a merged re-run) must render,
+    # not crash
+    r1, rN = p[base], p[top]
+    span = top / base
     growth = (f"×{rN['rows'] / r1['rows']:.1f}"
-              if r1 and rN and r1["rows"] else "—")
-    we = exp(r1["sec"], rN["sec"], top)
-    se = exp(mb(r1), mb(rN), top) if mb(r1) and mb(rN) else None
+              if r1["rows"] and top > base else "—")
+    we = exp(r1["sec"], rN["sec"], span) if top > base else None
+    se = (exp(mb(r1), mb(rN), span)
+          if top > base and mb(r1) and mb(rN) else None)
     cells = [q,
-             f"{r1['rows']:,}".replace(",", " "),
+             f"{r1['rows']:,}".replace(",", " ") + ("" if base == 1 else f" (×{base})"),
              f"{rN['rows']:,}".replace(",", " ") if top >= 64 else "",
              growth,
-             fmt(p[1]["sec"]),
+             fmt(p[1]["sec"]) if 1 in p else "",
              fmt(p[4]["sec"]) if 4 in p else "",
              fmt(p[16]["sec"]) if 16 in p else "",
              fmt(p[64]["sec"], 1) if 64 in p else "",
-             f"**{we:.2f}**" if we else "",
-             fmt(mb(r1), 1), fmt(mb(rN), 1) if top >= 64 else "",
+             f"**{we:.2f}**" if we is not None else "",
+             fmt(mb(r1), 1) if mb(r1) is not None else "",
+             fmt(mb(rN), 1) if top >= 64 and mb(rN) is not None else "",
              f"**{se:.2f}**" if se is not None else ""]
     print("| " + " | ".join(cells) + " |")
 
