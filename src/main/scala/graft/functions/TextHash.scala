@@ -73,6 +73,21 @@ object TextHash {
       s"i -> (($whs[i]*131 + $whs[i+1]) % $P * 131 + $whs[i+2]) % $P) " +
       s"ELSE [] END"
 
+  /** Sorted DISTINCT shingle hashes as array<int> — lossless (hashes
+    * live in [0, P), P < 2³¹), half the exchange bytes of the long
+    * form, and a valid left/right input to [[sortedIntersectCount]].
+    * The representation pair exists for verify stages that ship sets
+    * through a shuffle and intersect them millions of times per task
+    * (the fused winnow verify, `Dedup.winnowPairs`). */
+  def shingleSetInts(c: Column): Column =
+    org.apache.spark.sql.graftnative.TextHashExpressions.shingleSetInts(c)
+
+  /** Exact |A ∩ B| of two [[shingleSetInts]] columns: one zero-allocation
+    * merge scan per row, semantics ≡ size(array_intersect(a, b)) on
+    * sorted distinct inputs. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.TextHashExpressions.sortedIntersectCount(a, b)
+
   // ---- winnowed fingerprints (MOSS) ---------------------------------------
 
   /** Winnowed fingerprints: the sorted DISTINCT minima of every `w`-wide

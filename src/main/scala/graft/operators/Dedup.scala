@@ -324,19 +324,21 @@ object Dedup {
     * threshold the sets side broadcasts and verify is exchange-free;
     * past it the planner sort-merges, and the ReusedExchange machinery
     * ships the wide set arrays ONCE for both fetch joins (measured at
-    * q66 ×64: sets cross the wire one time inside 4.2 GB total written).
-    * A shuffle-hash pin on the sets side was measured and REJECTED —
-    * it tripled the bytes (11.8 GB: the hinted builds defeated exchange
-    * reuse) and the wall (141 s vs ~50-60 s unhinted at ×64), while
-    * ALSO blocking AQE's candidate-side broadcast conversion for the
-    * high-precision families whose candidate sets stay tiny. The
-    * residual ×64 cost here is honest and diagnosed, not a plan defect:
-    * low-precision families (winnow proposes ~0.2%-precision candidates
-    * on natural text — common low-hash shingles are selected as minima
-    * in every doc containing them) make the verify fetch exceed the
-    * broadcast threshold exactly when the sets side does too, and the
-    * sort-merge sorts spill on one box. The work itself is linear
-    * (candidate rows grow ×R exactly; see SCALING.md's bytes column). */
+    * the round-8 q66 ×64 point: sets crossed the wire one time inside
+    * 4.2 GB total written). A shuffle-hash pin on the sets side was
+    * measured and REJECTED — it tripled the bytes (11.8 GB: the hinted
+    * builds defeated exchange reuse) and the wall (141 s vs ~50-60 s
+    * unhinted at ×64), while ALSO blocking AQE's candidate-side
+    * broadcast conversion for the high-precision families whose
+    * candidate sets stay tiny. For a HIGH-precision candidate family
+    * this fetch-join shape is the right one: candidates are few, the
+    * expensive sets attach once each. For the one low-precision family
+    * (winnow proposes ~0.2%-precision candidates on natural text), the
+    * wide intermediate this builds — a set array attached to every
+    * candidate row, then sorted for the second fetch — became q66's
+    * measured scale wall, and that family now verifies INSIDE its fp
+    * bucket instead ([[winnowPairs]], round 9); it still funnels here
+    * when riding [[ensembleDedupApply]]'s shared union verify. */
   private def jaccardVerifyFromSets(sets: DataFrame, cand: DataFrame,
       minJaccard: Double): DataFrame = {
     val inter = size(array_intersect(col("set_a"), col("set_b")))
@@ -384,10 +386,68 @@ object Dedup {
     * pairs sharing any run rarer than the cap keep their guarantee.
     * df is counted over per-doc DISTINCT fingerprints so a doc repeating
     * a fingerprint internally can't push it over the cap.
-    * Output: (id_a, id_b, jacc ≥ minJaccard). */
+    * Output: (id_a, id_b, jacc ≥ minJaccard).
+    *
+    * FUSED IN-BUCKET VERIFY (round 9). The generic candidates→verify
+    * chain (winnow candidates, then two set-fetch joins through
+    * [[jaccardVerifyFromSets]]) hid this family's scale wall: winnow
+    * proposes ~0.2%-precision candidates on natural text, so at ×64 the
+    * verify stage attached a shingle-set array to 26.8 M candidate rows
+    * and then SORTED that wide intermediate for the second fetch join —
+    * 4.2 GB shuffled, 9.2 GB disk spill, top-octave wall exp 1.22 (the
+    * round-8 sweep's one weak row; a shuffle-hash pin and a TopKAgg
+    * collect-and-expand were both measured WORSE, see
+    * [[jaccardVerifyFromSets]]). The census that justified the fix:
+    * this corpus's distinct-shingle sets average ~52 elements (~430 B),
+    * so a doc's whole set is barely wider than its (doc_id, fp) row —
+    * shipping the set WITH each fingerprint row costs ~fps-per-doc (~20)
+    * copies through the ONE fp-keyed exchange, and the exact Jaccard can
+    * then be computed inside the self-join's output projection, in the
+    * same whole-stage-codegen stage, with only (id_a, id_b, jacc)
+    * survivors ever shuffled again. No wide intermediate exists, no
+    * verify fetch joins run, nothing sorts but the fp exchange itself
+    * (whose per-partition slices shrink with cluster size). Same
+    * output, same oracle: a pair sharing k fingerprints yields k
+    * identical (id_a, id_b, jacc) rows that the final distinct
+    * collapses — jacc is a deterministic function of the two int sets,
+    * so the copies are bit-identical.
+    *
+    * The self-join is pinned `hint("merge")` for the same reason as the
+    * SimHash band join (SCALING.md, explode-underestimate): a Generate's
+    * sizeInBytes is blind to fan-out, so below the broadcast threshold
+    * Catalyst would broadcast millions of exploded set-carrying rows —
+    * and at 100-TB corpus sizes this frame is never broadcastable.
+    * Gated by QualityGatesSpec on a toy frame (toy scale IS the
+    * under-threshold regime). Measured at HEAD (quiet machine, min of
+    * 2): ×16 5.5→4.6 s, ×64 29.9→12.1 s; ×64 shuffle write
+    * 4156→1422 MB (bytes exponent 1.62→1.00 — exactly linear), spill
+    * 9.2→1.8 GB; top-octave wall exponent 1.22→0.69. The long-array /
+    * ArrayIntersect variant of this same shape was measured on the way
+    * (×64 40.5 s, 2.0 GB written): the int narrowing and the merge-scan
+    * count are each worth ~2× here, not micro-optimizations. */
   def winnowPairs(corpus: DataFrame, w: Int = 4,
-      minJaccard: Double = 0.5, maxFpDf: Int = DefaultMaxFpDf): DataFrame =
-    jaccardVerify(corpus, winnowCandidates(corpus, w, maxFpDf), minJaccard)
+      minJaccard: Double = 0.5, maxFpDf: Int = DefaultMaxFpDf): DataFrame = {
+    val fpSets = corpus.select(col("doc_id"),
+      TextHash.shingleSetInts(col("text")).as("set"),
+      explode(array_distinct(TextHash.winnowHashes(col("text"), w))).as("fp"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    // the df cap is a windowed count over the SAME distribution+ordering
+    // the self-join needs, so df filter + join ride one exchange (the
+    // round-8 one-exchange lesson, winnowCandidatesFrom) — now with the
+    // sets aboard
+    val kept = fpSets
+      .withColumn("fdf", count(lit(1)).over(win))
+      .filter(col("fdf") <= maxFpDf)
+      .select("doc_id", "fp", "set")
+    val inter = TextHash.sortedIntersectCount(col("a.set"), col("b.set"))
+    val uni = size(col("a.set")) + size(col("b.set")) - inter
+    kept.as("a").join(kept.as("b").hint("merge"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (inter.cast("double") / uni.cast("double")).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+      .distinct()
+  }
 
   /** The winnow family's candidate stage alone (shared-fingerprint
     * pairs under the df cap) — exposed so [[ensembleDedupApply]] can

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -105,6 +105,49 @@ object TextHashOps {
     val it = sel.iterator(); var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Sorted DISTINCT shingle hashes narrowed to int — every hash lives
+    * in [0, P) with P < 2³¹, so the narrowing is lossless (the same
+    * bound the 48-bit SimHash construction relies on). The int form
+    * halves the bytes a set-carrying exchange ships, and the sort makes
+    * per-pair exact intersection a zero-allocation merge scan
+    * ([[sortedIntersectCount]]) instead of ArrayIntersect's per-row
+    * hash set — the difference between the verify arithmetic living
+    * inside a join's output projection and dominating it. */
+  def shingleSetInts(s: UTF8String): ArrayData = {
+    val h = shingleHashArray(s)
+    if (h.length == 0) return new GenericArrayData(Array.empty[Int])
+    java.util.Arrays.sort(h)
+    val out = new Array[Int](h.length)
+    var n = 0
+    var i = 0
+    while (i < h.length) {
+      val v = h(i).toInt
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (n == h.length) out else java.util.Arrays.copyOf(out, n))
+  }
+
+  /** |A ∩ B| of two SORTED distinct int arrays in O(|A|+|B|) with zero
+    * allocation. Exactly ArrayIntersect-then-size semantics on sorted
+    * distinct inputs, minus the per-row OpenHashSet build and the
+    * materialized intersection array neither caller needs. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** 13-gram hashes (decontamination unit): gram i = fold over word
@@ -242,6 +285,34 @@ case class WinnowHashes(child: Expression, w: Int) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
 }
 
+/** Sorted distinct shingle hashes as array<int> (lossless: hashes < P < 2³¹). */
+case class ShingleSetInts(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_shinglesetints"
+  override protected def staticCall: String = "shingleSetInts"
+  override def nullSafeEval(s: Any): Any =
+    TextHashOps.shingleSetInts(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): ShingleSetInts = copy(child = c)
+}
+
+/** Exact |A ∩ B| over two sorted distinct int arrays — one merge scan,
+  * no per-row allocation; codegen is a static call so the surrounding
+  * join projection stays in whole-stage codegen. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sortedintersectcount"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.TextHashOps.sortedIntersectCount($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** Content-defined chunk hashes packed as hash·131072 + min(len, 131071):
   * one linear pass computing tokenization, the rolling boundary shingle,
   * and the per-chunk fold together (no materialized intermediate arrays). */
@@ -269,6 +340,11 @@ object TextHashExpressions {
     ExpressionUtils.column(Gram13Hashes(ExpressionUtils.expression(c)))
   def winnowHashes(c: Column, w: Int): Column =
     ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(c), w))
+  def shingleSetInts(c: Column): Column =
+    ExpressionUtils.column(ShingleSetInts(ExpressionUtils.expression(c)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def cdcChunkHashes(c: Column, divisor: Int): Column =
     ExpressionUtils.column(CdcChunkHashes(ExpressionUtils.expression(c), divisor))
 }

@@ -121,17 +121,19 @@ class QualityGatesSpec extends SparkSpec {
       s"filtered region/nation must join before the fact table, got $order")
   }
 
-  test("winnow candidate plan pin: df cap and self-join ride one fp exchange, fingerprints computed once per side") {
+  test("winnow fused-verify plan pin: one fp exchange, verify inside the self-join, no fetch joins, no broadcast") {
     import spark.implicits._
-    // The e1ed00d rewrite's whole point is physical shape: the windowed
-    // df count's required distribution+ordering equal the self-join's,
-    // so the plan must show (a) the winnow hash expression evaluated
-    // once per join side (the old df-aggregate chain evaluated it twice
-    // per side), (b) no aggregate grouped by fp (the old fdf form), and
-    // (c) no fp sort beyond the one each window itself requires. A
-    // future Catalyst that stops sharing the window's exchange/order
-    // with the join re-grows the measured ×47-bytes cliff — this gate
-    // fails first.
+    // The round-9 fused form's whole point is physical shape: the sets
+    // ride the fp-keyed exchange WITH the fingerprints and the exact
+    // Jaccard happens in the self-join's output projection, so the plan
+    // must show (a) the winnow hashes and the int shingle sets each
+    // computed once per join side, (b) exactly ONE join — no verify
+    // fetch joins and no wide intermediate to re-sort (the round-8
+    // 9.2 GB spill), (c) the merge-scan intersect in that join's
+    // projection, (d) no broadcast of the exploded set-carrying frame
+    // (the explode-underestimate trap: at toy scale the leaf estimate
+    // sits under the threshold, so without the merge pin this gate
+    // fails), and (e) no fp sort beyond the one each window requires.
     val toy = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "s"),
       (2L, "alpha beta gamma delta epsilon eta", "s"),
@@ -141,6 +143,16 @@ class QualityGatesSpec extends SparkSpec {
     val hashEvals = "graft_winnowhashes".r.findAllIn(plan).size
     assert(hashEvals == 2,
       s"winnow hashes must be computed once per join side, got $hashEvals evaluations")
+    val setEvals = "graft_shinglesetints".r.findAllIn(plan).size
+    assert(setEvals == 2,
+      s"int shingle sets must be computed once per join side, got $setEvals evaluations")
+    assert(plan.contains("graft_sortedintersectcount"),
+      "exact Jaccard must be the zero-allocation merge scan inside the join projection")
+    val joins = "Join".r.findAllIn(plan).size
+    assert("SortMergeJoin".r.findAllIn(plan).size == 1 && joins == 1,
+      s"exactly one sort-merge self-join, no verify fetch joins — plan has $joins joins")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the exploded set-carrying frame must never broadcast (explode-underestimate trap)")
     assert(!plan.contains("HashAggregate(keys=[fp"),
       "the df cap must ride the window, not a separate fp aggregate")
     val fpSorts = "Sort \\[fp".r.findAllIn(plan).size
