@@ -66,10 +66,16 @@ object Bench {
 
   /** One measured query: name, per-rep seconds (sorted), code-cache
     * occupancy after the last rep (MB), cumulative-GC delta across the
-    * reps (s). The latter two make a degraded run self-diagnosing: churn
-    * shows as cc_mb pinned at the reserve and gc_sec spiking together. */
+    * reps (s), and the shuffle read/write bytes of the MIN-WALL rep
+    * (bytes and seconds describe the same execution, the ScalingBench
+    * convention). The diagnostics make a degraded run self-diagnosing:
+    * churn shows as cc_mb pinned at the reserve and gc_sec spiking
+    * together, and byte-identical rows with divergent walls self-label
+    * as environment (shuffle volume is plan-determined and
+    * host-load-invariant — the cross-run comparator wall time isn't). */
   final case class QueryResult(name: String, runs: Seq[Double],
-                               ccMb: Double, gcSec: Double) {
+                               ccMb: Double, gcSec: Double,
+                               shuffleReadB: Long = 0L, shuffleWriteB: Long = 0L) {
     def median: Double = runs(runs.size / 2)
     def min: Double = runs.head
   }
@@ -102,6 +108,60 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftRuntime.enable(spark)
     spark
+  }
+
+  /** One task-metrics listener per live session (repeated [[runQueries]]
+    * calls on the parent's inline-fallback session must not stack
+    * duplicate listeners). */
+  private val probes =
+    collection.mutable.Map.empty[SparkSession, org.apache.spark.graftnative.TaskMetricsProbe]
+  private def probeFor(spark: SparkSession): org.apache.spark.graftnative.TaskMetricsProbe =
+    probes.synchronized {
+      probes.getOrElseUpdate(spark,
+        org.apache.spark.graftnative.TaskMetricsProbe.install(spark.sparkContext))
+    }
+
+  /** Clean-builder seconds for [[machineProbeSec]] (calibrated on the
+    * quiet builder across 4 fresh JVMs: 0.83-0.89 s; run it yourself
+    * with SPARK_GRAFT_MACHINE_PROBE_ONLY=1). Like [[CanaryRefSec]] this
+    * is a DOCUMENTED CONSTANT, not a trip wire: `machine_factor` =
+    * machine_sec / this, so 1.0 means "as fast as the clean builder"
+    * and the driver's historical 1.2-1.3× windows read as exactly
+    * that. Σ/median comparisons ACROSS runs must divide by the run's
+    * machine_factor first — round 8's 347 s driver vs 283 s builder on
+    * identical code was a uniform 1.22× host window that no per-chunk
+    * label could see (both runs internally consistent), which is the
+    * measured reason this probe exists. */
+  val MachineRefSec: Double = 0.85
+
+  /** Fixed, deterministic, single-threaded CPU-bound reference
+    * workload: FNV-1a-style mixing over a fixed iteration count — no
+    * Spark, no I/O, no allocation, so its wall time moves ONLY with
+    * host speed/contention (CPU steal, frequency, noisy neighbors).
+    * Timed after an untimed 1/8-size JIT warm pass; the checksum is
+    * consumed (returned impossible-to-fold) so the loop cannot be
+    * dead-code-eliminated. Run at bench start AND end by the parent
+    * process; the Spark-side complement (scheduling overhead) is the
+    * existing per-chunk canary. */
+  def machineProbeSec(): Double = {
+    def pass(iters: Long): Long = {
+      var acc = 0xcbf29ce484222325L
+      var i = 0L
+      while (i < iters) {
+        acc ^= i
+        acc *= 0x100000001b3L
+        acc ^= (acc >>> 29)
+        i += 1
+      }
+      acc
+    }
+    val n = 400000000L
+    val warm = pass(n / 8)
+    val t0 = System.nanoTime()
+    val full = pass(n)
+    val t = (System.nanoTime() - t0) / 1e9
+    if (warm == 42L && full == 43L) System.err.println("[bench] (unreachable)")
+    t
   }
 
   /** Clean reference time for [[canary]] at the driver's bench
@@ -213,11 +273,18 @@ object Bench {
         Seq(QueryResult(CanaryName, Seq(t), 0.0, 0.0))
       } else Nil
 
-    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    val probe = probeFor(spark)
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): (Double, Long, Long) = {
+      probe.reset()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
       val t = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus so the snapshot covers ALL of this
+      // rep's tasks and none leak into the next query's window
+      try org.apache.spark.graftnative.TaskMetricsProbe.drain(spark.sparkContext)
+      catch { case _: Throwable => () }
+      val (sr, sw, _, _) = probe.snapshot()
       // UNTIMED cleanup: iterative queries (CC loops, k-medoids) leave
       // lazy-localCheckpoint RDD blocks behind that belong to the now-dead
       // invocation; accumulated across reps they evict each other into
@@ -251,17 +318,23 @@ object Bench {
             sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "2500").toLong)
         }
       } catch { case _: Throwable => () }
-      t
+      (t, sr, sw)
     }
 
-    val known = names.flatMap { name =>
+    // duplicate names would accumulate 2×reps runs under ONE key and be
+    // emitted twice (double-counting Σ); dedupe up front and say so
+    val uniqueNames = names.distinct
+    if (uniqueNames.size != names.size)
+      System.err.println(s"[bench] duplicate query names dropped: " +
+        names.diff(uniqueNames).distinct.mkString(","))
+    val known = uniqueNames.flatMap { name =>
       val fn = byName.get(name)
       if (fn.isEmpty) System.err.println(s"[bench] unknown query $name — skipped")
       fn.map(name -> _)
     }
     // pass-major execution; per-query GC deltas are summed over that
     // query's individual runs so attribution survives the interleave
-    val times = collection.mutable.Map.empty[String, Vector[Double]]
+    val times = collection.mutable.Map.empty[String, Vector[(Double, Long, Long)]]
     val gcSecs = collection.mutable.Map.empty[String, Double]
     // the ccMb sample must be taken at the query's LAST pass, not at
     // end-of-chunk: sampled later, every query in the chunk reports the
@@ -270,13 +343,18 @@ object Bench {
     val finals = collection.mutable.Map.empty[String, QueryResult]
     for (pass <- 1 to reps; (name, fn) <- known) {
       val gc0 = gcTotalSec()
-      val t = timeOnce(name, fn)
-      times(name) = times.getOrElse(name, Vector.empty) :+ t
+      val run = timeOnce(name, fn)
+      times(name) = times.getOrElse(name, Vector.empty) :+ run
       gcSecs(name) = gcSecs.getOrElse(name, 0.0) + (gcTotalSec() - gc0)
       if (pass == reps) {
-        val r = QueryResult(name, times(name).sorted, codeCacheUsedMb(), gcSecs(name))
+        // bytes come from the min-wall rep so bytes and seconds describe
+        // the same execution (shuffle volume is plan-determined; reps
+        // agree to retry noise, so any rep is representative)
+        val (_, minSr, minSw) = times(name).minBy(_._1)
+        val r = QueryResult(name, times(name).map(_._1).sorted,
+          codeCacheUsedMb(), gcSecs(name), minSr, minSw)
         finals(name) = r
-        System.err.println(f"[bench] $name median ${r.median}%.2f s  runs ${times(name).map(x => f"$x%.2f").mkString("/")}  cc ${r.ccMb}%.0f MB  gc ${r.gcSec}%.2f s")
+        System.err.println(f"[bench] $name median ${r.median}%.2f s  runs ${times(name).map(x => f"${x._1}%.2f").mkString("/")}  shW ${r.shuffleWriteB / 1e6}%.1f MB  cc ${r.ccMb}%.0f MB  gc ${r.gcSec}%.2f s")
       }
     }
     val endCanaryRow =
@@ -290,12 +368,14 @@ object Bench {
 
   // ---- child protocol: tab-separated rows, no JSON parser needed ----
   private def encodeRow(r: QueryResult): String =
-    s"${r.name}\t${r.runs.mkString(",")}\t${r.ccMb}\t${r.gcSec}"
+    s"${r.name}\t${r.runs.mkString(",")}\t${r.ccMb}\t${r.gcSec}\t${r.shuffleReadB}\t${r.shuffleWriteB}"
 
   private def decodeRow(line: String): QueryResult = {
     val parts = line.split('\t')
     QueryResult(parts(0), parts(1).split(',').map(_.toDouble).toSeq.sorted,
-      parts(2).toDouble, parts(3).toDouble)
+      parts(2).toDouble, parts(3).toDouble,
+      if (parts.length > 4) parts(4).toLong else 0L,
+      if (parts.length > 5) parts(5).toLong else 0L)
   }
 
   /** Child-JVM entry: runs the chunk named (exactly) in
@@ -350,6 +430,13 @@ object Bench {
       case None => 3
     }
 
+    // calibration / quick host check: print two probe passes and exit
+    // (how MachineRefSec was measured; no Spark session is created)
+    if (sys.env.contains("SPARK_GRAFT_MACHINE_PROBE_ONLY")) {
+      println(f"machine_probe_sec ${machineProbeSec()}%.3f ${machineProbeSec()}%.3f ref $MachineRefSec")
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) return childMain(sfDir, cpus, reps)
 
     // optional comma-separated prefix filter for local iteration, e.g.
@@ -358,6 +445,12 @@ object Bench {
     val names = registry.map(_._1).filter(n => only.forall(_.exists(n.startsWith)))
     val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "24").toInt.max(1)
     val chunks = names.grouped(chunkSize).toSeq
+
+    // host-speed reference, bracketing the whole run (fixed CPU-bound
+    // workload — see machineProbeSec): the factor that makes Σ/median
+    // comparable ACROSS runs on drifting shared hosts
+    val machineStart = machineProbeSec()
+    System.err.println(f"[bench] machine probe (start) $machineStart%.3f s (clean ref $MachineRefSec)")
 
     // lazily created only if a child spawn fails and a chunk runs inline
     lazy val inlineSpark = newSession(cpus)
@@ -372,19 +465,32 @@ object Bench {
     val canaryEnds = allRows.filter(_.name == CanaryEndName).map(_.runs.head)
     val results = allRows.filterNot(r => r.name == CanaryName || r.name == CanaryEndName)
 
+    val machineEnd = machineProbeSec()
+    System.err.println(f"[bench] machine probe (end) $machineEnd%.3f s")
+    val machine = MachineProbe(machineStart, machineEnd)
+
     // durability against log-tail truncation (round 2 lost q00-q03 from the
     // captured artifact): persist the FULL object to a file first, stop Spark
     // so its shutdown chatter precedes the payload, then print the compact
     // JSON as the very last line of both stdout and stderr
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (fullLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds) + "\n").getBytes("UTF-8"))
+      (fullLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds, machine) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     try { SparkSession.getActiveSession.foreach(_.stop()) } catch { case _: Throwable => () }
-    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds)
+    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds, machine)
     println(compact)
     System.out.flush()
     System.err.println(compact)
+  }
+
+  /** Start/end machine-probe readings. `factor` uses the MIN of the two
+    * (the least-contended estimate of the host's intrinsic speed this
+    * run; a start-only reading would mislabel a run whose contention
+    * ended after startup). A factor near 1.0 = clean-builder speed; the
+    * round-8 driver window would have read ~1.2. */
+  final case class MachineProbe(startSec: Double, endSec: Double) {
+    def factor: Double = math.min(startSec, endSec) / MachineRefSec
   }
 
   private def num(d: Double): String = f"$d%.3f"
@@ -412,25 +518,37 @@ object Bench {
     * when `contended` is true, read min_total, not value. `contended`
     * trips on EITHER per-row median/min blowouts or per-chunk canary
     * blowouts (`n_contended_chunks` — uniform contention across a whole
-    * chunk leaves median/min ≈ 1, which round 6's driver run proved). */
+    * chunk leaves median/min ≈ 1, which round 6's driver run proved).
+    * `machine_factor` (run's CPU-probe seconds / clean-builder ref) is
+    * the CROSS-RUN normalizer: Σ/median comparisons between runs — this
+    * round vs last round, driver vs builder — must divide each side by
+    * its machine_factor first, because a uniform host window (round 8
+    * measured 1.22× between two runs of identical code) moves every
+    * wall number while leaving all run-relative labels silent. */
   def compactLine(results: Seq[QueryResult], reps: Int, nChunks: Int,
                   chunkSize: Int, sfDir: String,
                   canaries: Seq[Double] = Nil,
-                  canaryEnds: Seq[Double] = Nil): String = {
+                  canaryEnds: Seq[Double] = Nil,
+                  machine: MachineProbe = MachineProbe(0.0, 0.0)): String = {
     val flagship = results.filter(_.name == "q00_flagship_kmedoids")
     val shown = (flagship ++ results.sortBy(-_.median).take(3)).distinct
     val contended = contendedRows(results)
-    val pooled = canaries ++ canaryEnds
     val slowChunks = contendedChunks(canaries, canaryEnds)
     val uniform = uniformSlow(canaries, canaryEnds)
     val drifted = driftedChunks(canaries, canaryEnds)
     // canary_min is the absolute level a reader compares against the
     // documented clean builder range (CanaryRefSec); uniform_slow is
     // that comparison made machine-readable — the uniformly-slow-run
-    // case the run-relative chunk flag cannot see from inside
-    val canaryMin = if (pooled.isEmpty) "null" else num(pooled.min)
+    // case the run-relative chunk flag cannot see from inside. START
+    // canaries only: CanaryRefSec is calibrated at chunk start, and end
+    // canaries run ~3-4× faster in a fully warm chunk JVM — a pooled
+    // min would systematically read "faster than the clean builder"
+    // (ADVICE r8 #1); canary_end_min lives in the full JSON.
+    val canaryMin = if (canaries.isEmpty) "null" else num(canaries.min)
+    val mf = if (machine.startSec <= 0) "null" else num(machine.factor)
     s"""{"metric":"total","value":${num(results.map(_.median).sum)},"unit":"sec",""" +
       s""""min_total":${num(results.map(_.min).sum)},"reps":$reps,""" +
+      s""""machine_factor":$mf,""" +
       s""""chunks":$nChunks,"chunk_size":$chunkSize,"n_queries":${results.size},""" +
       s""""contended":${contended.nonEmpty || slowChunks > 0 || uniform},""" +
       s""""uniform_slow":$uniform,""" +
@@ -441,20 +559,32 @@ object Bench {
   }
 
   /** The full diagnostics object written to bench_result.json: every
-    * per-query median, per-rep runs, code-cache peaks, GC deltas, and the
-    * contended-row list. ~30 KB at 230+ queries — more than the driver's
-    * log-tail capture holds, so this object must NEVER be the stdout line. */
+    * per-query median, per-rep runs, shuffle read/write bytes (min-wall
+    * rep), code-cache peaks, GC deltas, the contended-row list, and the
+    * machine probe (start/end/factor). ~40 KB at 230+ queries — more
+    * than the driver's log-tail capture holds, so this object must
+    * NEVER be the stdout line. Reading convention: wall Σ/medians are
+    * comparable across runs only after dividing by machine_factor;
+    * the per-query byte columns are host-load-INVARIANT (plan-
+    * determined), so byte-identical rows with divergent walls identify
+    * an environment difference, not a code change. */
   def fullLine(results: Seq[QueryResult], reps: Int, nChunks: Int,
                chunkSize: Int, sfDir: String,
                canaries: Seq[Double] = Nil,
-               canaryEnds: Seq[Double] = Nil): String = {
+               canaryEnds: Seq[Double] = Nil,
+               machine: MachineProbe = MachineProbe(0.0, 0.0)): String = {
     def jmap(f: QueryResult => String): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val contended = contendedRows(results)
     val slowChunks = contendedChunks(canaries, canaryEnds)
     val uniform = uniformSlow(canaries, canaryEnds)
+    val mf = if (machine.startSec <= 0) "null" else num(machine.factor)
+    val ms = if (machine.startSec <= 0) "null" else num(machine.startSec)
+    val me = if (machine.startSec <= 0) "null" else num(machine.endSec)
     s"""{"metric":"total","value":${results.map(_.median).sum},"unit":"sec",""" +
       s""""min_total":${results.map(_.min).sum},"reps":$reps,""" +
+      s""""machine_factor":$mf,"machine_sec_start":$ms,"machine_sec_end":$me,""" +
+      s""""machine_ref_sec":$MachineRefSec,""" +
       s""""chunks":$nChunks,"chunk_size":$chunkSize,"n_queries":${results.size},""" +
       s""""contended":${contended.nonEmpty || slowChunks > 0 || uniform},""" +
       s""""uniform_slow":$uniform,""" +
@@ -462,9 +592,12 @@ object Bench {
       s""""n_drifted_chunks":${driftedChunks(canaries, canaryEnds)},""" +
       s""""canary_sec":${canaries.map(num).mkString("[", ",", "]")},""" +
       s""""canary_end_sec":${canaryEnds.map(num).mkString("[", ",", "]")},""" +
+      s""""canary_end_min":${if (canaryEnds.isEmpty) "null" else num(canaryEnds.min)},""" +
       s""""contended_rows":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${jmap(_.median.toString)},""" +
       s""""runs":${jmap(_.runs.mkString("[", ",", "]"))},""" +
+      s""""shuffle_write_b":${jmap(_.shuffleWriteB.toString)},""" +
+      s""""shuffle_read_b":${jmap(_.shuffleReadB.toString)},""" +
       s""""codecache_mb":${jmap(r => f"${r.ccMb}%.1f")},""" +
       s""""gc_sec":${jmap(r => f"${r.gcSec}%.2f")},""" +
       s""""sf":"$sfDir"}"""

@@ -753,11 +753,14 @@ object QualityChecks {
     * re-folding an older version is free correctness, and it means a
     * file in vK is only deleted by a compact that re-read vK at that
     * later time; (b) each old directory is re-listed TO A FIXPOINT
-    * immediately before its deletion — any parquet file the merge did
-    * not see is appended into v(N+1) and the listing repeats until
-    * clean, so a directory is only removed when its file set equals
-    * what was merged as of the final look (duplicate (g, j) rows
-    * across files are harmless — readers merge by max, exactly
+    * (bounded at a few rounds — a writer that keeps appending to the
+    * stale directory must not spin the compact forever; on exhaustion
+    * the directory is RETAINED, loudly, for the next compact to
+    * reclaim) immediately before its deletion — any parquet file the
+    * merge did not see is appended into v(N+1) and the listing repeats
+    * until clean, so a directory is only removed when its file set
+    * equals what was merged as of the final look (duplicate (g, j)
+    * rows across files are harmless — readers merge by max, exactly
     * [[hllStoreAppend]]'s own contract); the retained vN's late files
     * are folded forward too. Compacts themselves remain single-writer by contract
     * (one maintenance job owns version creation), but a stream
@@ -790,17 +793,35 @@ object QualityChecks {
     versions.dropRight(1).foreach { case (_, f) =>
       var seen = mergedFiles.getOrElse(f, Set.empty)
       var late = parquetFiles(f).filterNot(seen)
-      while (late.nonEmpty) {
+      // BOUNDED fixpoint (ADVICE r8): a writer stuck appending to this
+      // stale directory (the exact overlap the mechanism tolerates)
+      // must not spin the compact forever. Each round folds what
+      // landed, so after the cap everything listed so far IS in
+      // v(N+1); on exhaustion we keep the directory instead of
+      // deleting it — mechanism (a)'s all-versions merge makes a
+      // retained directory correct (max-merge is idempotent), just
+      // unreclaimed until a later compact finds it quiet.
+      var rounds = 0
+      val maxRounds = 5
+      while (late.nonEmpty && rounds < maxRounds) {
         spark.read.parquet(late: _*).select(col("g"), col("j"), col("mj"))
           .write.mode("append").parquet(s"$dir/v${n + 1}")
         seen ++= late
         late = parquetFiles(f).filterNot(seen)
+        rounds += 1
       }
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        x.delete(); ()
+      if (late.nonEmpty) {
+        System.err.println(s"[hll-store] compact of $dir: ${f.getName} still " +
+          s"receiving appends after $maxRounds re-list rounds (${late.size} " +
+          "unfolded files) — retaining the directory; the next compact's " +
+          "all-versions merge reclaims it once quiet")
+      } else {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f)
       }
-      rm(f)
     }
     // vN (the just-superseded version) keeps its one-cycle retention;
     // files landing there post-commit are swept by the NEXT compact's

@@ -23,12 +23,52 @@ class BenchLineSpec extends SparkSpec {
   test("compact line stays under the 1400-byte driver-tail budget") {
     val line = Bench.compactLine(syntheticResults(300), reps = 3, nChunks = 13,
       chunkSize = 24, sfDir = "/root/testdata/sf0.1",
-      canaries = Seq.fill(13)(12.345))
+      canaries = Seq.fill(13)(12.345),
+      machine = Bench.MachineProbe(123.456, 123.456))
     assert(line.getBytes("UTF-8").length < 1400,
       s"compact bench line is ${line.length} bytes; the driver keeps only the " +
         "last 2000 chars of stdout and sbt appends a trailer, so this must stay " +
         s"under 1400 or BENCH_rN.json parses null again:\n$line")
     assert(!line.contains("\n"))
+  }
+
+  test("machine probe: factor is min(start,end)/ref; compact carries it; absent probe reads null") {
+    val m = Bench.MachineProbe(1.7, 0.85 * 1.3)
+    assert(math.abs(m.factor - (0.85 * 1.3) / Bench.MachineRefSec) < 1e-9)
+    val line = Bench.compactLine(syntheticResults(5), 3, 1, 24, "sf",
+      machine = m)
+    assert(line.contains("\"machine_factor\":1.300"), line)
+    val absent = Bench.compactLine(syntheticResults(5), 3, 1, 24, "sf")
+    assert(absent.contains("\"machine_factor\":null"), absent)
+    // the probe itself: deterministic CPU loop, sane magnitude (sub-10s
+    // even on a badly contended host, non-trivial even on a fast one)
+    val sec = Bench.machineProbeSec()
+    assert(sec > 0.1 && sec < 10.0, s"machine probe read $sec s")
+  }
+
+  test("canary_min is start-calibrated: warm end canaries cannot drag it down (ADVICE r8)") {
+    // end canaries run ~3-4x faster in a warm chunk JVM; a pooled min
+    // would read "faster than the clean builder" on every ordinary run
+    val starts = Seq(0.40, 0.45, 0.38)
+    val ends = Seq(0.11, 0.12, 0.10)
+    val line = Bench.compactLine(syntheticResults(5), 3, 3, 24, "sf", starts, ends)
+    assert(line.contains("\"canary_min\":0.380"), line)
+    val full = Bench.fullLine(syntheticResults(5), 3, 3, 24, "sf", starts, ends)
+    assert(full.contains("\"canary_end_min\":0.100"), full)
+  }
+
+  test("full line carries per-query shuffle bytes keyed like the medians") {
+    import spark.implicits._
+    val rows = Seq(
+      Bench.QueryResult("q_a", Seq(1.0, 1.1, 1.2), 10.0, 0.1, 1234L, 5678L),
+      Bench.QueryResult("q_b", Seq(2.0, 2.1, 2.2), 10.0, 0.1, 0L, 0L))
+    val full = Bench.fullLine(rows, 3, 1, 24, "sf",
+      machine = Bench.MachineProbe(0.9, 0.9))
+    val df = spark.read.json(Seq(full).toDS)
+    assert(!df.columns.contains("_corrupt_record"), s"unparseable: $full")
+    assert(df.select("shuffle_write_b.q_a").collect().head.getLong(0) === 5678L)
+    assert(df.select("shuffle_read_b.q_a").collect().head.getLong(0) === 1234L)
+    assert(df.select("machine_sec_start").collect().head.getDouble(0) === 0.9)
   }
 
   test("compact line is valid JSON with the flagship row and totals present") {
