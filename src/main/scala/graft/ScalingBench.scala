@@ -52,6 +52,8 @@ object ScalingBench {
     "q53_embed_neardup",    // hyperplane-LSH cosine pairs
     "q66_winnow_pairs",     // winnowing fingerprint pairs
     "q67_semantic_dedup",   // SemDeDup end-to-end
+    "q219_embed_autotune",  // bands-vs-IVF chooser (measured cost curves)
+    "q220_ivf_decon",       // IVF-probe decon (the index-tier runnable form)
     "q113_ensemble_dedup",  // 3 families + shared verify, one corpus scan
     "q124_triangles",       // degree-oriented triangle census
     "q131_graph_components", // iterative min-label CC
@@ -108,24 +110,43 @@ object ScalingBench {
       .withColumn("user_id", col("user_id") + lit(k * IdOffset))
 
   /** Builds the ×r corpus under `outDir` (documents, embeddings,
-    * lineitem — the only tables the headline rows read). Idempotent. */
-  def buildScale(spark: SparkSession, baseDir: String, outDir: String, r: Int): Unit = {
+    * lineitem, events — the tables the headline rows read), or a subset
+    * via `tables` (SPARK_GRAFT_SCALE_TABLES, e.g. "embeddings" for the
+    * vectors-only ×512 regime point — a full ×512 corpus would be GBs
+    * of documents no embedding row reads). Idempotent per table set.
+    * Replicas are written in slices of ≤ 64 per union so a ×512 build
+    * doesn't hand Catalyst one 512-branch union plan. */
+  def buildScale(spark: SparkSession, baseDir: String, outDir: String, r: Int,
+      tables: Set[String] = Set("documents", "embeddings", "lineitem", "events")): Unit = {
     // v2: events.parquet joined the replica set (window-vs-aggregate rows)
-    val done = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK_V2")
+    val done = java.nio.file.Paths.get(outDir,
+      s"_GRAFT_SCALE_OK_V2_${tables.toSeq.sorted.mkString("_")}")
     if (java.nio.file.Files.exists(done)) return
-    val docs = Tables.load(spark, baseDir, "documents")
-    val emb = Tables.load(spark, baseDir, "embeddings")
-    val li = Tables.load(spark, baseDir, "lineitem")
-    val d = emb.select(size(col("embedding"))).head().getInt(0)
-    (0 until r).map(replicaDocs(docs, _)).reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    (0 until r).map(replicaEmb(emb, _, d)).reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    (0 until r).map(replicaLineitem(li, _)).reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    val ev = Tables.events(spark, baseDir) // ts normalized before rewrite
-    (0 until r).map(replicaEvents(ev, _)).reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // pre-subset builds wrote one unsuffixed marker for the full set
+    if (tables.size == 4 &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK_V2"))) return
+    def writeSliced(mk: Int => DataFrame, path: String): Unit =
+      (0 until r).grouped(64).zipWithIndex.foreach { case (ks, i) =>
+        val mode = if (i == 0) "overwrite" else "append"
+        ks.map(mk).reduce(_ unionAll _).write.mode(mode).parquet(path)
+      }
+    if (tables("documents")) {
+      val docs = Tables.load(spark, baseDir, "documents")
+      writeSliced(replicaDocs(docs, _), s"$outDir/documents.parquet")
+    }
+    if (tables("embeddings")) {
+      val emb = Tables.load(spark, baseDir, "embeddings")
+      val d = emb.select(size(col("embedding"))).head().getInt(0)
+      writeSliced(replicaEmb(emb, _, d), s"$outDir/embeddings.parquet")
+    }
+    if (tables("lineitem")) {
+      val li = Tables.load(spark, baseDir, "lineitem")
+      writeSliced(replicaLineitem(li, _), s"$outDir/lineitem.parquet")
+    }
+    if (tables("events")) {
+      val ev = Tables.events(spark, baseDir) // ts normalized before rewrite
+      writeSliced(replicaEvents(ev, _), s"$outDir/events.parquet")
+    }
     java.nio.file.Files.write(done, s"r=$r\n".getBytes("UTF-8"))
   }
 
@@ -196,12 +217,15 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftRuntime.enable(spark)
 
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("documents", "embeddings", "lineitem", "events"))
     val dirs: Map[Int, String] = scales.map { r =>
       if (r == 1) r -> baseDir
       else {
         val dir = s"$workDir/x$r"
-        System.err.println(s"[scaling] building x$r corpus at $dir")
-        buildScale(spark, baseDir, dir, r)
+        System.err.println(s"[scaling] building x$r corpus at $dir (${tables.mkString(",")})")
+        buildScale(spark, baseDir, dir, r, tables)
         r -> dir
       }
     }.toMap

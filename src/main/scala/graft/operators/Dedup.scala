@@ -1364,6 +1364,96 @@ object Dedup {
         coalesce(col("canonical_id"), col("rep")).as("canonical_id"))
   }
 
+  /** Upper bound on the DOC-level pair rows [[simhashPairs]] can emit —
+    * one aggregation over the banded buckets, no join, no pair
+    * materialization (the q212 `hammingPlanCosts` census surfaced as a
+    * user-facing budget number, per the round-8 verdict: a user calling
+    * the pair form on a 100-TB corpus previously got a 210 M-row output
+    * explosion with no warning). Two parts, both from the same bucket
+    * aggregation over the plan [[simhashPairs]] itself would run:
+    *
+    *   - identical-fingerprint pairs Σ_h C(mult_h, 2) — EXACT, counted
+    *     once (a distinct-hash census is blind to these, and on
+    *     clustered corpora they ARE the explosion: a 75-doc fingerprint
+    *     group alone emits 2 775 rows);
+    *   - cross-hash candidates Σ_bucket (C(W, 2) − Σ_i C(w_i, 2)) with
+    *     W = Σ doc multiplicities in the bucket — every true pair
+    *     shares ≥ 1 bucket (pigeonhole), so this bounds the rest from
+    *     above; a pair agreeing on several bands is counted once per
+    *     shared bucket (discovery multiplicity), which keeps the bound
+    *     a bound.
+    *
+    * DedupSpec pins estimate ≥ true output on the near-dup corpus and
+    * records the measured overcount factor. */
+  def simhashPairBudget(corpus: DataFrame, maxHamming: Int = 6,
+      bits: Int = 24): Long = {
+    val sh = simhash(corpus, bits)
+      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    val (numBlocks, comboSize) = hammingBlockPlan(bits, maxHamming)
+    val blockDefs = blockDefsFor(bits, numBlocks)
+    val comboDefs = (0 until numBlocks).combinations(comboSize).toSeq
+    val weighted = sh.groupBy(col("source"), col("simhash"))
+      .agg(count(lit(1)).as("w"))
+      .select(col("simhash").as("h"), col("source"), col("w"))
+    val perBucket = comboBandRows(weighted, blockDefs, comboDefs, Seq("source", "w"))
+      .groupBy(col("b"), col("v"), col("source"))
+      .agg(sum(col("w")).as("bw"), sum(expr("w * (w - 1) div 2")).as("samehash"))
+    val cross = perBucket
+      .agg(coalesce(sum(expr("bw * (bw - 1) div 2 - samehash")), lit(0L)).as("x"))
+      .head().getLong(0)
+    val same = weighted.agg(coalesce(sum(expr("w * (w - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    same + cross
+  }
+
+  /** [[simhashPairs]] behind a pair budget: refuses (loudly, with the
+    * estimate and the steer) when the measured bound exceeds
+    * `maxPairs`. Pair ENUMERATION is quadratic in cluster size by
+    * definition — no candidate generator can beat its own output — so
+    * past the budget the correct operator is [[simhashAssignments]]
+    * (one row per doc at any cluster density), not a bigger cluster. */
+  def simhashPairsBudgeted(corpus: DataFrame, maxHamming: Int = 6,
+      bits: Int = 24, maxPairs: Long = 10000000L): DataFrame = {
+    val est = simhashPairBudget(corpus, maxHamming, bits)
+    require(est <= maxPairs,
+      s"simhashPairs would materialize up to ~$est doc pairs (> budget $maxPairs): " +
+        "pair enumeration is quadratic in cluster size by definition - use " +
+        "simhashAssignments (one output row per doc) for dedup at this scale, " +
+        "or raise maxPairs if the pair list itself is the product")
+    simhashPairs(corpus, maxHamming, bits)
+  }
+
+  /** Incremental SimHash near-dup pairs: FRESH docs probe the
+    * accumulated corpus through the banded index shape (probe × base —
+    * never base × base), the batch registry twin of the streaming
+    * fold's [[bandedHammingProbeEdges]] (round-8 verdict #6: the probe
+    * form was spec-pinned but had no oracle row; q221 gives it the
+    * q49b treatment — DuckDB recomputes the EXHAUSTIVE cross-split
+    * hamming join, so the gate proves the probe banding loses no
+    * pair). The probe side broadcasts (bounded batch, the
+    * stream-static asymmetry); identical fingerprints across the split
+    * are hamming-0 near-dups recovered by one equi-join — the probe
+    * join's `h ≠ h` guard exists for the fold contract where the base
+    * already contains the probe's own hashes. Output:
+    * (id_a = new doc, id_b = corpus doc, hamming ≤ maxHamming). */
+  def incrementalSimhashPairs(newDocs: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 6, bits: Int = 48): DataFrame = {
+    val pn = simhash(newDocs, bits)
+      .join(newDocs.select(col("doc_id"), col("source")), "doc_id")
+    val po = simhash(corpus, bits)
+      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    val probeEdges = bandedHammingProbeEdges(
+      pn, po.withColumn("isNew", lit(false)),
+      "doc_id", "simhash", bits, maxHamming, Seq("source"))
+    val equal = pn.select(col("doc_id").as("id_a"), col("simhash"), col("source"))
+      .join(po.select(col("doc_id").as("id_b"), col("simhash"), col("source")),
+        Seq("source", "simhash"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("hamming"))
+    probeEdges.select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .unionByName(equal)
+  }
+
   /** (numBlocks m, comboSize c) for the generalized pigeonhole hamming
     * join: two hashes within Hamming ≤ k differ in at most k of m bit
     * blocks, so they AGREE on ≥ m−k blocks; with c ≤ m−k every such

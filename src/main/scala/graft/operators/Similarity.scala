@@ -147,16 +147,19 @@ object Similarity {
   }
 
   /** (corpus columns…, cell) — nearest learned cell per vector, ties to
-    * the lower cell id. kCells literal-centroid distance folds per row;
-    * argmin via `least`-free explicit fold keeps it one projection. */
-  private[graft] def assignCells(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
-    val dists = centroids.zipWithIndex.map { case (c, idx) =>
-      struct(d2ToCentroid(col("embedding"), c).as("d"), lit(idx).as("cell"))
-    }
-    // array_min on (d, cell) structs: lexicographic = min distance, ties
-    // to the smaller cell id — the documented tie-break
-    vecs.withColumn("cell", array_min(array(dists: _*)).getField("cell"))
-  }
+    * the lower cell id. One codegen'd argmin loop over the constant
+    * centroid matrix (`graftnative.NearestCell`); arithmetic and
+    * tie-break are bit-identical to the previous k-fold `array_min`
+    * form ([[d2ToCentroid]] per cell — the oracles replay that form and
+    * still hash-match), but generated-code size is constant in k, so
+    * routing works at the hundreds-of-cells sizes that keep IVF cell
+    * populations bounded on big corpora — the previous form emitted k
+    * interpreted HigherOrderFunction folds per row and stopped being
+    * viable past k ≈ tens. */
+  private[graft] def assignCells(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    vecs.withColumn("cell",
+      org.apache.spark.sql.graftnative.VectorExpressions.nearestCell(
+        col("embedding"), centroids))
 
   /** IVF top-k over a LEARNED coarse quantizer — [[ivfTopK]] with the
     * stand-in `label` cells replaced by [[learnCells]] k-medians cells,
@@ -356,21 +359,22 @@ object Similarity {
   }
 
   /** Sign-sketch band rows (vec_id, embedding, norm, b, v) — shared by
-    * the in-memory pair generator and the persisted index below. */
+    * the in-memory pair generator and the persisted index below.
+    * Banding runs through the native [[SignBandPacked]] loop: the
+    * previous form nested numBands·bitsPerBand literal-plane dots
+    * inside one explode expression, whose single generated method blew
+    * the JVM's HugeMethodLimit and dropped the whole projection to the
+    * bytecode interpreter (~4 µs/dot measured at ×64 — the hidden
+    * majority of q53/q67/q159's corpus-side cost). Bit semantics are
+    * unchanged (same fold, same strict sign test), so every oracle
+    * hash-matches through it. */
   private def signBandRows(e: DataFrame, numBands: Int, bitsPerBand: Int,
       dim: Int): DataFrame = {
-    val bandCols: Seq[Column] = (0 until numBands).map { b =>
-      val bits = (0 until bitsPerBand).map { j =>
-        val p = b * bitsPerBand + j
-        val plane = array((0 until dim).map(d => lit(planeSign(p, d))): _*)
-        when(fdot(col("embedding"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(b).as("b"), bits.reduce(_ + _).as("v"))
-    }
+    val planes = (0 until numBands * bitsPerBand).map(p =>
+      (0 until dim).map(d => planeSign(p, d)))
     e.select(col("vec_id"), col("embedding"), col("norm"),
-        explode(array(bandCols: _*)).as("bd"))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("bd.b").as("b"), col("bd.v").as("v"))
+      posexplode(org.apache.spark.sql.graftnative.VectorExpressions.signBandPacked(
+        col("embedding"), planes, numBands, bitsPerBand)).as(Seq("b", "v")))
   }
 
   def hyperplaneLshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
@@ -389,6 +393,136 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("cos")).as("cos"))
+  }
+
+  /** [[learnCells]] over a deterministic sample when the corpus is
+    * huge: coarse-quantizer training only needs the density shape, and
+    * O(iters · n · k) full-corpus Lloyd rounds would dominate the
+    * pipeline they serve (standard IVF practice trains the quantizer
+    * on a sample; the FULL corpus is still routed through the final
+    * assignment). The vec_id-hash gate is deterministic, so the
+    * learned centroids are a pure function of the corpus; below the
+    * cap this is exactly [[learnCells]] — which is why the sf0.01/0.1
+    * oracles (n ≪ cap) replay the unsampled recipe verbatim. */
+  def learnCellsSampled(corpus: DataFrame, kCells: Int, iters: Int,
+      cap: Long = 65536L): Seq[Seq[Double]] = {
+    val n = corpus.count()
+    val train =
+      if (n <= cap) corpus
+      else corpus.filter(pmod(xxhash64(col("vec_id")), lit(n / cap + 1)) === 0)
+    learnCells(train, kCells, iters)
+  }
+
+  /** SEMANTIC decontamination through the IVF cell index — the
+    * index-tier twin of [[semanticDecontaminate]] (whose sign-band
+    * buckets hold 1/256 of the corpus PER BAND, so each probe's
+    * candidate set grows linearly with corpus size — the q53/q159
+    * regime [[embedPlanCosts]] measures). Cells follow
+    * [[defaultCellCount]] (population pinned near [[CellTargetPop]]
+    * regardless of corpus size), the quantizer trains on a
+    * deterministic sample ([[learnCellsSampled]]), the corpus routes
+    * once through the codegen'd [[assignCells]], and each held-out
+    * probe meets only its `nprobe` nearest cells' members. Train rows
+    * within cos ≥ threshold of any probe are dropped. Recall trade:
+    * a true near-dup pair lands in the same nearest cell unless the
+    * pair straddles a cell boundary; nprobe=2 covers the
+    * first-runner-up case, and SimilaritySpec pins recall 1.0 against
+    * the exact cross-split form on the testdata (the q220 oracle is
+    * that exact form, so the hash gate re-proves it end to end).
+    * Output: surviving (vec_id, label). */
+  def ivfSemanticDecontaminate(train: DataFrame, heldout: DataFrame,
+      threshold: Double = 0.9, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val kCells = defaultCellCount(train.count())
+    val centroids = learnCellsSampled(
+      train.select(col("vec_id"), col("embedding")), kCells, iters)
+    val tb = assignCells(withNorm(train), centroids)
+    val hb = withNorm(heldout).select(
+      col("embedding").as("q_emb"), col("norm").as("q_norm"),
+      explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
+        col("embedding"), centroids, nprobe)).as("cell"))
+    val contaminated = tb.join(hb, "cell")
+      .filter(fdot(col("embedding"), col("q_emb"))
+        / (col("norm") * col("q_norm")) >= threshold)
+      .select(col("vec_id")).distinct()
+    train.join(contaminated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** Corpus-adaptive IVF cell count: cells scale with the corpus so
+    * cell POPULATIONS stay bounded (~[[CellTargetPop]] vectors each) —
+    * the property that keeps within-cell verify streams linear where
+    * fixed-width sign bands go quadratic (bucket population ∝ N at 256
+    * buckets/band). Floor of 8 keeps toy/test corpora at the q52b
+    * shape the oracles replay. */
+  val CellTargetPop: Int = 4096
+  def defaultCellCount(nVectors: Long): Int =
+    math.max(8L, nVectors / CellTargetPop).toInt
+
+  /** MEASURED plan costs for the embedding near-dup/probe family — the
+    * embedding twin of `Dedup.hammingPlanCosts` (q212), deciding the
+    * regime handoff SCALING.md previously only asserted: fixed-width
+    * sign-sketch BANDS are the exact-recall choice while buckets are
+    * sparse, and the IVF cell index is the scale path once bucket
+    * density makes the band verify stream quadratic (~10⁶ vectors/box
+    * for 8×8 bands — the measured q53 boundary).
+    *
+    * For each candidate plan it computes, from the ACTUAL corpus
+    * distribution, the two quantities the handoff trades off, both in
+    * units of one O(dim) vector operation:
+    *
+    *   - `routing_ops` — work to route every vector to its buckets:
+    *     bands: n·numBands·bitsPerBand plane dots; IVF: n·kCells
+    *     distance folds (the [[NearestCell]]-backed assignment), with
+    *     kCells = [[defaultCellCount]](n) so cells track corpus size;
+    *   - `verify_pairs` — the candidate stream the buckets emit:
+    *     Σ_bucket C(population, 2) exact cosines (for bands, summed
+    *     over every band's buckets; for IVF, over the learned cells —
+    *     the SemDeDup within-cluster pairing).
+    *
+    * `chosen` = argmin(routing_ops + verify_pairs), ties to the
+    * lexicographically first plan name. Like q212, measuring costs one
+    * aggregation per plan — no join, no pair materialization. The
+    * DuckDB oracle (q219) replays the sign planes, the k-medians
+    * training rounds, the bucket counting, and the argmin, so the hash
+    * gate covers the measurement AND the choice. Caveat recorded where
+    * the chooser is used: band plans differ in RECALL as well as cost
+    * (SCALING.md measured 8×16 losing boundary pairs), so the chooser
+    * arbitrates bands-vs-index; width changes within the band family
+    * are a recall decision, not a cost decision. */
+  def embedPlanCosts(embeddings: DataFrame,
+      bandPlans: Seq[(Int, Int)] = Seq((8, 8), (8, 16)),
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    // scanned once per plan: checkpoint, then release before returning
+    val e = embeddings.select(col("vec_id"), col("embedding")).localCheckpoint(false)
+    try {
+      val n = e.count()
+      val kCells = defaultCellCount(n)
+      def bucketCosts(buckets: DataFrame, plan: String, routingOps: Long): DataFrame =
+        buckets.agg(
+            coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).cast("long").as("verify_pairs"))
+          .select(lit(plan).as("plan"), lit(n).as("n_vectors"),
+            lit(routingOps).as("routing_ops"), col("verify_pairs"))
+      val bandCosts = bandPlans.map { case (nb, bpb) =>
+        bucketCosts(
+          signBandRows(withNorm(e), nb, bpb, dim)
+            .groupBy(col("b"), col("v")).agg(count(lit(1)).as("n")),
+          s"bands_${nb}x$bpb", n * nb * bpb)
+      }
+      // sample-trained like the production path (below the cap — every
+      // oracle scale — this is exactly learnCells, so q219 replays it)
+      val centroids = learnCellsSampled(e, kCells, iters)
+      val ivf = bucketCosts(
+        assignCells(e, centroids).groupBy(col("cell")).agg(count(lit(1)).as("n")),
+        s"ivf_k$kCells", n * kCells)
+      val all = (bandCosts :+ ivf).reduce(_ unionAll _)
+        .withColumn("cost", col("routing_ops") + col("verify_pairs"))
+      val w = Window.orderBy(col("cost"), col("plan")) // ≤ |plans| rows — config-sized
+      val out = all.withColumn("chosen", row_number().over(w) === 1)
+      // materialize the ≤ |plans| result rows, then release the checkpoint
+      val rows = out.collect()
+      spark.createDataFrame(spark.sparkContext.makeRDD(rows.toIndexedSeq, 1), out.schema)
+    } finally graft.streaming.StreamOps.releaseCheckpoint(e)
   }
 
   // ---- persisted embedding band index (incremental SemDeDup) --------------

@@ -145,7 +145,11 @@ object PipelineQueries {
     * average — the exact arithmetic the Scala driver loop runs), final
     * assignment, nprobe probe, exact-cosine top-k. The hash gate
     * therefore covers the LEARNING rounds, not just the final join. */
-  private def ivfLearnedOracleSql(kCells: Int, nprobe: Int, k: Int, iters: Int): String = {
+  /** The k-medians training replay (init, per-round assign/recenter,
+    * final all-vector assignment `af`) as a CTE chain — `Similarity.
+    * learnCells` + `assignCells` unrolled round for round, shared by
+    * the q52b and q219 oracles. The final centroid CTE is `c<iters>`. */
+  private def kMediansAssignCtes(kCells: Int, iters: Int): String = {
     def d2(x: String, c: String) = Similarity.d2Sql(x, c)
     def assign(name: String, cSrc: String) =
       s"""$name AS (
@@ -172,13 +176,18 @@ object PipelineQueries {
       val prevC = if (r == 1) "init" else s"c${r - 1}"
       s"${assign(s"a$r", prevC)},\n${recenter(r, s"a$r", prevC, s"c$r")}"
     }.mkString(",\n")
-    val cFinal = s"c$iters"
-    s"""WITH init AS (
+    s"""init AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kCells)),
        |$rounds,
-       |${assign("af", cFinal)},
+       |${assign("af", s"c$iters")}"""
+  }
+
+  private def ivfLearnedOracleSql(kCells: Int, nprobe: Int, k: Int, iters: Int): String = {
+    def d2(x: String, c: String) = Similarity.d2Sql(x, c)
+    val cFinal = s"c$iters"
+    s"""WITH ${kMediansAssignCtes(kCells, iters)},
        |qp AS (
        |  SELECT query_id, q_emb, q_norm, cell FROM (
        |    SELECT e.vec_id AS query_id, e.embedding AS q_emb,
@@ -3548,6 +3557,123 @@ object PipelineQueries {
            |       row_number() OVER (ORDER BY band_rows + raw_join_rows ASC,
            |                          combo_size ASC) = 1 AS chosen
            |FROM allc""".stripMargin
+      }),
+
+    // Embedding-plan autotune: the regime handoff between fixed-width
+    // sign bands and the IVF cell index, measured from the ACTUAL
+    // embedding distribution instead of asserted (the embedding twin of
+    // q212). Per plan: routing_ops (plane dots / cell-assignment folds,
+    // each one O(dim) vector op) and verify_pairs (Σ C(bucket, 2)
+    // cosines the buckets emit). The oracle replays the sign planes
+    // (literal ±1 arrays from the same planeSign arithmetic), the
+    // k-medians training rounds, the bucket counting, and the argmin —
+    // so the hash gate covers the measurement AND the choice. kCells
+    // follows defaultCellCount(n) = max(8, n/4096); at the oracle's
+    // sf0.01 (and sf0.1) that is the floor 8, matching the literal
+    // kCells this static SQL replays.
+    QueryDef("q219_embed_autotune",
+      (s, dir) => Similarity.embedPlanCosts(Tables.load(s, dir, "embeddings")),
+      Some {
+        val dim = 64
+        def bandPlanCtes(idx: Int, nb: Int, bpb: Int): String = {
+          val perBand = (0 until nb).map { b =>
+            val v = (0 until bpb).map { j =>
+              val p = b * bpb + j
+              val plane = (0 until dim).map(d =>
+                if (Similarity.planeSign(p, d) > 0) "1.0" else "-1.0")
+                .mkString("[", ", ", "]")
+              s"(CASE WHEN ${Similarity.fdotSql("embedding", plane)} > 0 " +
+                s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            }.mkString(" + ")
+            s"SELECT $b AS b, ($v) AS v FROM embeddings"
+          }.mkString(" UNION ALL ")
+          s"""bp$idx AS ($perBand),
+             |bg$idx AS (SELECT b, v, count(*) AS n FROM bp$idx GROUP BY 1, 2),
+             |cfg$idx AS (SELECT 'bands_${nb}x$bpb' AS plan,
+             |                   (SELECT count(*) FROM embeddings) AS n_vectors,
+             |                   (SELECT count(*) FROM embeddings) * ${nb * bpb} AS routing_ops,
+             |                   COALESCE(sum(n * (n - 1) // 2), 0) AS verify_pairs
+             |            FROM bg$idx)""".stripMargin
+        }
+        val kCells = 8
+        s"""WITH ${bandPlanCtes(0, 8, 8)},
+           |${bandPlanCtes(1, 8, 16)},
+           |${kMediansAssignCtes(kCells, 2)},
+           |ivfb AS (SELECT cell, count(*) AS n FROM af GROUP BY 1),
+           |cfgivf AS (SELECT 'ivf_k$kCells' AS plan,
+           |                  (SELECT count(*) FROM embeddings) AS n_vectors,
+           |                  (SELECT count(*) FROM embeddings) * $kCells AS routing_ops,
+           |                  COALESCE(sum(n * (n - 1) // 2), 0) AS verify_pairs
+           |           FROM ivfb),
+           |allc AS (SELECT * FROM cfg0 UNION ALL SELECT * FROM cfg1
+           |         UNION ALL SELECT * FROM cfgivf)
+           |SELECT plan, CAST(n_vectors AS BIGINT) AS n_vectors,
+           |       CAST(routing_ops AS BIGINT) AS routing_ops,
+           |       CAST(verify_pairs AS BIGINT) AS verify_pairs,
+           |       CAST(routing_ops + verify_pairs AS BIGINT) AS cost,
+           |       row_number() OVER (ORDER BY routing_ops + verify_pairs ASC, plan ASC) = 1 AS chosen
+           |FROM allc""".stripMargin
+      }),
+
+    // IVF-probe semantic decontamination: the INDEX-TIER twin of q159 —
+    // cells sized to the corpus (defaultCellCount), quantizer trained on
+    // a deterministic sample, corpus routed once through the codegen'd
+    // NearestCell assignment, probes meeting only their nprobe nearest
+    // cells. The oracle is the EXACT cross-split all-pairs form (q159's
+    // gate), so the hash gate proves the cell blocking loses no
+    // contaminated row on this corpus — recall measured, not assumed.
+    QueryDef("q220_ivf_decon",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.ivfSemanticDecontaminate(emb, Similarity.nearDupBatch(emb), 0.9)
+      },
+      Some(s"""WITH $augEmbCte,
+             |tr AS (SELECT vec_id, label, embedding, ${Similarity.fnormSql("embedding")} AS norm
+             |       FROM embeddings),
+             |hd AS (SELECT vec_id, embedding, ${Similarity.fnormSql("embedding")} AS norm
+             |       FROM aug WHERE vec_id >= 1000000),
+             |bad AS (SELECT DISTINCT t.vec_id
+             |        FROM tr t, hd h
+             |        WHERE ${Similarity.fdotSql("t.embedding", "h.embedding")} / (t.norm * h.norm) >= 0.9)
+             |SELECT vec_id, label FROM tr
+             |WHERE vec_id NOT IN (SELECT vec_id FROM bad)""".stripMargin)),
+
+    // Incremental probe-form SimHash: a fresh batch probes the
+    // accumulated corpus (probe x base, never base x base) through the
+    // banded-index shape the streaming fold uses. The oracle is the
+    // EXHAUSTIVE cross-split 48-bit hamming join, so the hash gate
+    // proves the probe banding (and its hamming-0 equi-join recovery)
+    // loses no pair — the q49b treatment for the hamming family.
+    QueryDef("q221_incremental_simhash",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text"),
+            col("source"))
+        Dedup.incrementalSimhashPairs(batch, docs)
+      },
+      Some {
+        val bits = 48
+        val sums = (0 until bits).map(b => simhashBitSql(b)).mkString(", ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        s"""WITH orig AS (SELECT doc_id, text, source FROM documents),
+           |batch AS (SELECT doc_id + 1000000 AS doc_id,
+           |                 substr(text, strpos(text, ' ') + 1) AS text, source
+           |          FROM documents WHERE doc_id % 10 = 0),
+           |ex1 AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM orig),
+           |sums1 AS (SELECT doc_id, $sums FROM ex1 GROUP BY 1),
+           |sh1 AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+           |        FROM sums1 s JOIN orig c ON c.doc_id = s.doc_id),
+           |ex2 AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM batch),
+           |sums2 AS (SELECT doc_id, $sums FROM ex2 GROUP BY 1),
+           |sh2 AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+           |        FROM sums2 s JOIN batch c ON c.doc_id = s.doc_id)
+           |SELECT n.doc_id AS id_a, o.doc_id AS id_b,
+           |       CAST(bit_count(xor(n.simhash, o.simhash)) AS INTEGER) AS hamming
+           |FROM sh2 n JOIN sh1 o ON n.source = o.source
+           |WHERE bit_count(xor(n.simhash, o.simhash)) <= 6""".stripMargin
       }),
 
     // KS drift matrix: one collapsed histogram with per-group counts,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -72,8 +72,214 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment against a CONSTANT centroid matrix: the
+  * IVF coarse-quantizer routing step as one codegen'd argmin loop.
+  *
+  * Why custom: the composable form (one `aggregate(zip_with(...))` fold
+  * per centroid, argmin via `array_min` over k structs) is k interpreted
+  * HigherOrderFunction chains per row — fine at k = 8 (the q52b shape),
+  * but routing 10⁶ vectors across hundreds of cells (k ∝ corpus is what
+  * keeps IVF cell populations bounded) needs the k×dim loop compiled.
+  * The matrix rides along as a codegen reference object, not literals,
+  * so generated-code size is constant in k.
+  *
+  * Semantics are IDENTICAL to the fold form `Similarity.d2ToCentroid` +
+  * lexicographic `array_min` tie-break: per centroid, Σ (xᵢ − cᵢ)² as a
+  * left-to-right double fold (cast-to-double, subtract, square, add —
+  * same IEEE op sequence), argmin keeps the LOWEST cell id on exact
+  * ties (strict `<` comparison). The q52b/q219/q220 DuckDB oracles
+  * replay the fold form and hash-match through this expression. */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearestcell"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    NearestCell.eval(x, centroids)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.NearestCell.eval($a, $m);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCell =
+    copy(child = c)
+}
+
+object NearestCell {
+  /** Shared by interpreted and generated paths: argmin over k cells of
+    * the left-fold squared L2 distance; ties keep the lower cell id. */
+  def eval(x: ArrayData, centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var cell = 0
+    while (cell < centroids.length) {
+      val c = centroids(cell)
+      val n = math.min(x.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = cell }
+      cell += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest cells by (distance, cell id) ascending — the
+    * multi-probe routing step, same ordering contract as sorting the
+    * per-cell distance structs (`row_number ... ORDER BY d2, cell`
+    * in the oracle replay). Small fixed-size insertion keeps it
+    * allocation-light; nprobe is clamped to k. */
+  def evalProbe(x: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val k = centroids.length
+    val p = math.min(nprobe, k)
+    val bestD = Array.fill(p)(Double.PositiveInfinity)
+    val bestC = Array.fill(p)(Int.MaxValue)
+    var cell = 0
+    while (cell < k) {
+      val c = centroids(cell)
+      val n = math.min(x.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - c(i)
+        acc += d * d
+        i += 1
+      }
+      // insertion by (d, cell) asc; strict < on d keeps the lower cell
+      // id on exact ties because cells arrive in ascending id order
+      var pos = p
+      while (pos > 0 && acc < bestD(pos - 1)) pos -= 1
+      if (pos < p) {
+        var m = p - 1
+        while (m > pos) { bestD(m) = bestD(m - 1); bestC(m) = bestC(m - 1); m -= 1 }
+        bestD(pos) = acc
+        bestC(pos) = cell
+      }
+      cell += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestC, p))
+  }
+}
+
+/** The `nprobe` nearest cells of a constant centroid matrix, as
+  * array<int> ordered by (distance, cell id) — [[NearestCell]]'s
+  * multi-probe sibling for query-side IVF routing. */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nprobe >= 1, "nprobe must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearestcells"
+
+  override def nullSafeEval(a: Any): Any =
+    NearestCell.evalProbe(a.asInstanceOf[ArrayData], centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.NearestCell.evalProbe($a, $m, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
+/** All sign-sketch band keys of one vector, packed: element b =
+  * Σ_j (⟨x, plane_{b·bitsPerBand+j}⟩ > 0 ? 1L<<j : 0) for
+  * b ∈ [0, numBands) — the hyperplane-LSH banding step as ONE compiled
+  * loop with the plane matrix riding as a codegen reference object.
+  *
+  * Why custom: the composable form (numBands·bitsPerBand `fdot`s
+  * against literal plane arrays nested inside one
+  * `explode(array(struct...))`) is a single Catalyst expression tree,
+  * which whole-stage codegen emits as ONE generated method —
+  * 192 nested dot loops blow the JVM's HugeMethodLimit and the whole
+  * projection drops to the BYTECODE interpreter (measured at the ×64
+  * embedding corpus: ~4 µs per 64-dim dot, 53 s just to bucket-count
+  * one band plan; this loop does the same work in well under a
+  * second). Per-bit arithmetic is IDENTICAL to `FloatVectorDot`
+  * against the same plane (left-to-right double fold of
+  * float×float-in-double products, strict `> 0` sign test), so every
+  * oracle that replays the plane dots still hash-matches. */
+case class SignBandPacked(child: Expression, planes: Array[Array[Float]],
+    numBands: Int, bitsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numBands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 62,
+    "signBandPacked needs 1..62 bits per band")
+  require(planes.length == numBands * bitsPerBand,
+    s"signBandPacked: ${planes.length} planes for $numBands x $bitsPerBand bands")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_signbands"
+
+  override def nullSafeEval(a: Any): Any =
+    SignBandPacked.eval(a.asInstanceOf[ArrayData], planes, numBands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.SignBandPacked.eval($a, $m, $numBands, $bitsPerBand);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignBandPacked =
+    copy(child = c)
+}
+
+object SignBandPacked {
+  def eval(x: ArrayData, planes: Array[Array[Float]],
+      numBands: Int, bitsPerBand: Int): ArrayData = {
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var v = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val plane = planes(b * bitsPerBand + j)
+        val n = math.min(x.numElements(), plane.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += x.getFloat(i).toDouble * plane(i).toDouble
+          i += 1
+        }
+        if (acc > 0) v += (1L << j)
+        j += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** sql-namespace bridge for the public wrapper in `graft.functions`. */
 object VectorExpressions {
+
+  def signBandPacked(x: Column, planes: Seq[Seq[Float]],
+      numBands: Int, bitsPerBand: Int): Column =
+    ExpressionUtils.column(SignBandPacked(ExpressionUtils.expression(x),
+      planes.map(_.toArray).toArray, numBands, bitsPerBand))
+
+  def nearestCell(x: Column, centroids: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(NearestCell(ExpressionUtils.expression(x),
+      centroids.map(_.toArray).toArray))
+
+  def nearestCells(x: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(NearestCells(ExpressionUtils.expression(x),
+      centroids.map(_.toArray).toArray, nprobe))
 
   def fdot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(

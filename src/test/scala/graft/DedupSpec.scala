@@ -366,4 +366,49 @@ class DedupSpec extends SparkSpec {
     assert(rates(1L) === 1.0 && rates(2L) === 1.0, s"exact copies: $rates")
     assert(rates(3L) === 0.0, s"unrelated doc: $rates")
   }
+
+  test("simhashPairBudget bounds the true pair output; budgeted form refuses and steers") {
+    val corpus = Dedup.withNearDuplicates(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    for (bits <- Seq(24, 48)) {
+      val truth = Dedup.simhashPairs(corpus, bits = bits).count()
+      val est = Dedup.simhashPairBudget(corpus, bits = bits)
+      assert(est >= truth, s"bits=$bits: budget $est must bound true output $truth")
+      // a useful budget is a bound, not a wild guess: record the factor
+      // and fail if it degrades past discovery-multiplicity territory
+      val factor = est.toDouble / truth.max(1L)
+      info(s"bits=$bits: true=$truth estimate=$est overcount x${"%.1f".format(factor)}")
+      assert(factor < 100.0, s"bits=$bits estimate degenerated: x$factor")
+    }
+    // refusal path: a budget below the estimate throws with the steer
+    val est24 = Dedup.simhashPairBudget(corpus)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBudgeted(corpus, maxPairs = est24 - 1)
+    }
+    assert(e.getMessage.contains("simhashAssignments"))
+    // pass path: at or above the estimate it IS simhashPairs
+    assert(Dedup.simhashPairsBudgeted(corpus, maxPairs = est24).count()
+      === Dedup.simhashPairs(corpus).count())
+  }
+
+  test("incrementalSimhashPairs == exhaustive cross-split hamming join (48-bit)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"), col("source"))
+    val got = Dedup.incrementalSimhashPairs(batch, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val shN = Dedup.simhash(batch, 48)
+      .join(batch.select(col("doc_id"), col("source")), "doc_id")
+    val shO = Dedup.simhash(docs, 48)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val want = shN.as("n").join(shO.as("o"), col("n.source") === col("o.source"))
+      .select(col("n.doc_id").as("id_a"), col("o.doc_id").as("id_b"),
+        bit_count(col("n.simhash").bitwiseXOR(col("o.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "cross-split near-dups must exist on the injected corpus")
+    assert(want.exists(_._3 == 0), "identical-fingerprint (hamming-0) pairs must be covered")
+    assert(got === want)
+  }
 }

@@ -163,4 +163,56 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(run().toSeq === out.toSeq, "same input replays the same negatives")
   }
+
+  test("ivfSemanticDecontaminate == bands form == exact cross-split (and NearestCells probe order)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val heldout = Similarity.nearDupBatch(emb)
+    val ivf = Similarity.ivfSemanticDecontaminate(emb, heldout, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val bands = Similarity.semanticDecontaminate(emb, heldout, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // exact cross-split ground truth
+    val n = (df: org.apache.spark.sql.DataFrame) => df.withColumn("norm",
+      sqrt(Similarity.fdot(col("embedding"), col("embedding"))))
+    val bad = n(emb).as("a").join(n(heldout).as("b"),
+        Similarity.fdot(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm")) >= 0.9)
+      .select(col("a.vec_id")).collect().map(_.getLong(0)).toSet
+    val all = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(bad.nonEmpty)
+    assert(ivf === all -- bad, "IVF cell blocking must lose no contaminated row here")
+    assert(ivf === bands)
+
+    // NearestCells returns the nprobe nearest cells in (d2, cell) order —
+    // element 0 must equal NearestCell's argmin, and the probe list must
+    // match sorting all cells by the fold distance
+    val centroids = Similarity.learnCells(
+      emb.select(col("vec_id"), col("embedding")), 8, 2)
+    import org.apache.spark.sql.graftnative.VectorExpressions
+    val probed = emb.limit(50).select(col("vec_id"),
+        VectorExpressions.nearestCell(col("embedding"), centroids).as("c1"),
+        VectorExpressions.nearestCells(col("embedding"), centroids, 3).as("cs"),
+        col("embedding"))
+      .collect()
+    probed.foreach { r =>
+      val cs = r.getAs[scala.collection.Seq[Int]]("cs")
+      assert(cs.length === 3)
+      assert(cs.head === r.getAs[Int]("c1"))
+      val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val byDist = centroids.zipWithIndex.map { case (c, idx) =>
+        (c.zip(x).map { case (ci, xi) => val d = xi.toDouble - ci; d * d }.sum, idx)
+      }.sortBy(identity).take(3).map(_._2)
+      assert(cs.toSeq === byDist.toSeq, s"probe order mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("learnCellsSampled: below the cap it is exactly learnCells; above, deterministic") {
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    assert(Similarity.learnCellsSampled(emb, 4, 1, cap = 1000000L)
+      === Similarity.learnCells(emb, 4, 1))
+    val s1 = Similarity.learnCellsSampled(emb, 4, 1, cap = 64L)
+    val s2 = Similarity.learnCellsSampled(emb, 4, 1, cap = 64L)
+    assert(s1 === s2, "sampled training must be deterministic")
+    assert((s1 != Similarity.learnCells(emb, 4, 1)) || emb.count() <= 64)
+  }
 }
