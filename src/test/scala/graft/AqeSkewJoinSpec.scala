@@ -75,4 +75,66 @@ class AqeSkewJoinSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** q216's scenario end to end: the same lineitem ⨝ supplier join with
+    * one supplier key made hot, run through all three strategies — the
+    * PLAIN join (the oracle's form), the MANUAL salt
+    * (`SkewJoin.saltedInnerJoin`, q216's operator), and the AUTOMATIC
+    * AQE split — with the q216 aggregate gated equal across them and
+    * the AQE path's plan asserting the conversion actually fired. This
+    * is the round-8 verdict's optional (c): the manual and automatic
+    * defenses for the identical scenario, both gated, so a regression
+    * in either path (or an AQE default change) fails loudly. */
+  test("q216 scenario: plain, salted, and AQE-split joins agree; AQE marks the hot supplier") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.load(spark, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .withColumnRenamed("s_suppkey", "l_suppkey").select(col("l_suppkey"), col("s_name"))
+    val hotKey = li.select(col("l_suppkey")).head().getLong(0)
+    // make one supplier hold ~99% of the fact rows: replicate its slice
+    // 255x (distinct quantities preserved — the aggregate still moves;
+    // sf0.001's per-supplier slices are tiny, so the replication must
+    // push the hot partition well past the scaled-down byte threshold)
+    val skewed = li.unionAll(
+      li.filter(col("l_suppkey") === hotKey)
+        .withColumn("__rep", explode(sequence(lit(1), lit(255)))).drop("__rep"))
+
+    def q216Agg(joined: org.apache.spark.sql.DataFrame): Map[(Long, String), (Long, Double)] =
+      joined.groupBy(col("l_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty_sum"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    val plain = q216Agg(skewed.join(sup, "l_suppkey"))
+    val salted = q216Agg(graft.operators.SkewJoin
+      .saltedInnerJoin(skewed, sup, "l_suppkey", factor = 8))
+    assert(plain.nonEmpty && salted === plain,
+      "manual salt must reproduce the plain join's q216 aggregate exactly")
+
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = skewed.join(sup, "l_suppkey")
+      val auto = q216Agg(joined)
+      assert(auto === plain,
+        "the AQE-split join must reproduce the plain join's q216 aggregate exactly")
+      // assert on a fresh execution of the same join under the window
+      // (q216Agg's aggregate may plan the join differently post-agg)
+      val joins = finalJoin(joined.select(count(lit(1)).as("n")))
+      assert(joins.exists(_.isSkewJoin),
+        "AQE must mark the hot-supplier join (isSkewJoin=true) under the windowed thresholds")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
