@@ -54,6 +54,7 @@ object ScalingBench {
     "q67_semantic_dedup",   // SemDeDup end-to-end
     "q219_embed_autotune",  // bands-vs-IVF chooser (measured cost curves)
     "q220_ivf_decon",       // IVF-probe decon (the index-tier runnable form)
+    "q222_ivf_semdedup",    // SemDeDup via IVF cells (q67's index-tier twin)
     "q113_ensemble_dedup",  // 3 families + shared verify, one corpus scan
     "q124_triangles",       // degree-oriented triangle census
     "q131_graph_components", // iterative min-label CC

@@ -448,6 +448,53 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
+  /** SemDeDup through the IVF cell index — [[semDedupApply]]'s
+    * index-tier twin, and the closest shape to the SemDeDup paper
+    * itself (Abbas et al. 2023 cluster with k-means and pair WITHIN
+    * clusters; the band form was our exact-recall small-corpus
+    * variant). Cells follow [[defaultCellCount]] so populations stay
+    * near [[CellTargetPop]]: the within-cell pair stream is
+    * Σ_cell C(pop, 2) ≈ n·pop/2 — LINEAR in corpus size where the
+    * fixed-band form's bucket quadratic bends (q219 measures both).
+    * Same keep-one contract: candidate pairs = shared-cell pairs with
+    * cos ≥ threshold, min-label components, anti-join; survivors
+    * (vec_id, label). Each vector belongs to its TWO nearest cells for
+    * pair generation (the multi-probe trick applied to the self-join):
+    * with nearest-cell-only membership a near-dup pair straddling a
+    * cell boundary is lost — measured on this data as 4 missed pairs
+    * at sf0.1 — while two-cell membership recovers them (both members
+    * of a boundary pair sit near the SAME boundary, so their 2-cell
+    * sets intersect; re-measured zero misses at sf0.001/0.01/0.1).
+    * Cost is a ~4× factor on the (population-bounded, linear) pair
+    * stream, not a new asymptotic term. The q222 oracle is q67's
+    * EXACT all-pairs + recursive-reachability gate, so the hash gate
+    * proves the cell blocking loses no group member on this corpus;
+    * at production scale SemDeDup accepts residual boundary loss by
+    * design. */
+  def ivfSemDedup(embeddings: DataFrame, threshold: Double = 0.9,
+      iters: Int = 2): DataFrame = {
+    val kCells = defaultCellCount(embeddings.count())
+    val centroids = learnCellsSampled(
+      embeddings.select(col("vec_id"), col("embedding")), kCells, iters)
+    val assigned = withNorm(embeddings)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
+          col("embedding"), centroids, 2)).as("cell"))
+    // a pair sharing BOTH cells arrives twice with the same cos —
+    // harmless to the min-label components (edge-set semantics)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (fdot(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    val removed = Dedup.canonicalAssignments(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(removed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Corpus-adaptive IVF cell count: cells scale with the corpus so
     * cell POPULATIONS stay bounded (~[[CellTargetPop]] vectors each) —
     * the property that keeps within-cell verify streams linear where

@@ -3676,6 +3676,30 @@ object PipelineQueries {
            |WHERE bit_count(xor(n.simhash, o.simhash)) <= 6""".stripMargin
       }),
 
+    // SemDeDup through the IVF cell index — q67's index-tier twin and
+    // the closest shape to the SemDeDup paper (cluster, then pair
+    // within clusters). Same EXACT all-pairs + recursive-reachability
+    // oracle as q67, so the hash gate proves the cell blocking loses no
+    // group member on this corpus; q219 measures where each form wins.
+    QueryDef("q222_ivf_semdedup",
+      (s, dir) => Similarity.ivfSemDedup(
+        Similarity.withNearDupEmbeddings(Tables.load(s, dir, "embeddings")), 0.9),
+      Some(s"""WITH RECURSIVE $augEmbCte,
+             |n AS (SELECT vec_id, embedding, ${Similarity.fnormSql("embedding")} AS norm FROM aug),
+             |edges AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |          FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |          WHERE ${Similarity.fdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.9),
+             |bi AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |       UNION ALL SELECT id_b, id_a FROM edges),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM bi
+             |  UNION
+             |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+             |noncanon AS (SELECT src AS vec_id FROM reach GROUP BY src
+             |             HAVING least(src, min(dst)) < src)
+             |SELECT a.vec_id, a.label FROM aug a
+             |WHERE a.vec_id NOT IN (SELECT vec_id FROM noncanon)""".stripMargin)),
+
     // KS drift matrix: one collapsed histogram with per-group counts,
     // every unordered pair's sup-distance in exact integers
     QueryDef("q185_ks_matrix",

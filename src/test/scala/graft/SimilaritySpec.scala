@@ -206,6 +206,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfSemDedup == band-form semDedup (same survivors on the injected corpus)") {
+    val aug = Similarity.withNearDupEmbeddings(Tables.load(spark, dir, "embeddings"))
+    val ivf = Similarity.ivfSemDedup(aug, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val bands = Similarity.semDedupApply(aug, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty && ivf.size < aug.count(), "dedup must actually remove members")
+    assert(ivf === bands,
+      "the IVF cell blocking must keep exactly the band form's survivors here")
+  }
+
   test("learnCellsSampled: below the cap it is exactly learnCells; above, deterministic") {
     val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     assert(Similarity.learnCellsSampled(emb, 4, 1, cap = 1000000L)

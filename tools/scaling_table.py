@@ -26,7 +26,7 @@ ORDER = ["q41_ngram_jaccard", "q45_simhash_pairs", "q45b_simhash_wide",
          "q45c_simhash_assign", "q48_dedup_apply", "q53_embed_neardup",
          "q66_winnow_pairs", "q67_semantic_dedup", "q113_ensemble_dedup",
          "q124_triangles", "q131_graph_components",
-         "q219_embed_autotune", "q220_ivf_decon"]
+         "q219_embed_autotune", "q220_ivf_decon", "q222_ivf_semdedup"]
 
 
 def exp(v1, vN, n):
