@@ -98,29 +98,53 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    NearestCell.eval(x, centroids)
+    VectorKernels.nearestCell(x, centroids)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.graftnative.NearestCell.eval($a, $m);")
+      s"${ev.value} = org.apache.spark.sql.graftnative.VectorKernels.nearestCell($a, $m);")
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCell =
     copy(child = c)
 }
 
-object NearestCell {
+/** The compiled per-row kernels shared by the interpreted (`nullSafeEval`)
+  * and generated (`doGenCode`) paths of the vector expressions.
+  *
+  * Why a SEPARATE object and not the case-class companions: Janino
+  * resolves `NearestCell.eval(...)` in generated code against the CLASS
+  * `NearestCell`, and scalac emits no static forwarder for a companion
+  * method when the class already has a method of that name in any
+  * signature (`Expression.eval(InternalRow)` here) — so companion-hosted
+  * kernels compile in Scala but fail Janino at runtime, silently dropping
+  * every IVF/sign-band stage to interpreted fallback (round-9 verdict:
+  * 168 `ERROR CodeGenerator` events). A standalone object has no class
+  * twin, so its methods ARE static in bytecode — the `TextHashOps`
+  * arrangement. `NativeCodegenSpec` gates the whole class of defect by
+  * running each native expression under CODEGEN_ONLY factory mode over a
+  * non-local-relation scan. */
+object VectorKernels {
+  /** Dim drift must surface as an error, not a plausible-but-wrong cell:
+    * a truncated-prefix distance silently misroutes malformed rows. The
+    * reference matrix is rectangular by construction, so one check per
+    * row suffices. */
+  private def checkDim(have: Int, want: Int, what: String): Unit =
+    if (have != want) throw new IllegalArgumentException(
+      s"graft vector kernel: embedding has $have elements but the $what has dim $want")
+
   /** Shared by interpreted and generated paths: argmin over k cells of
     * the left-fold squared L2 distance; ties keep the lower cell id. */
-  def eval(x: ArrayData, centroids: Array[Array[Double]]): Int = {
+  def nearestCell(x: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val n = centroids(0).length
+    checkDim(x.numElements(), n, "centroid matrix")
     var best = 0
     var bestD = Double.PositiveInfinity
     var cell = 0
     while (cell < centroids.length) {
       val c = centroids(cell)
-      val n = math.min(x.numElements(), c.length)
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -139,15 +163,16 @@ object NearestCell {
     * per-cell distance structs (`row_number ... ORDER BY d2, cell`
     * in the oracle replay). Small fixed-size insertion keeps it
     * allocation-light; nprobe is clamped to k. */
-  def evalProbe(x: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
+  def nearestCells(x: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
     val k = centroids.length
+    val n = centroids(0).length
+    checkDim(x.numElements(), n, "centroid matrix")
     val p = math.min(nprobe, k)
     val bestD = Array.fill(p)(Double.PositiveInfinity)
     val bestC = Array.fill(p)(Int.MaxValue)
     var cell = 0
     while (cell < k) {
       val c = centroids(cell)
-      val n = math.min(x.numElements(), c.length)
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -170,6 +195,34 @@ object NearestCell {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(bestC, p))
   }
+
+  /** All packed sign-sketch band keys of one vector; per-bit arithmetic
+    * identical to `FloatVectorDot` against the same plane. */
+  def signBands(x: ArrayData, planes: Array[Array[Float]],
+      numBands: Int, bitsPerBand: Int): ArrayData = {
+    val n = planes(0).length
+    checkDim(x.numElements(), n, "plane matrix")
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var v = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val plane = planes(b * bitsPerBand + j)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += x.getFloat(i).toDouble * plane(i).toDouble
+          i += 1
+        }
+        if (acc > 0) v += (1L << j)
+        j += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** The `nprobe` nearest cells of a constant centroid matrix, as
@@ -184,12 +237,12 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
   override def prettyName: String = "graft_nearestcells"
 
   override def nullSafeEval(a: Any): Any =
-    NearestCell.evalProbe(a.asInstanceOf[ArrayData], centroids, nprobe)
+    VectorKernels.nearestCells(a.asInstanceOf[ArrayData], centroids, nprobe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.graftnative.NearestCell.evalProbe($a, $m, $nprobe);")
+      s"${ev.value} = org.apache.spark.sql.graftnative.VectorKernels.nearestCells($a, $m, $nprobe);")
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCells =
@@ -226,43 +279,16 @@ case class SignBandPacked(child: Expression, planes: Array[Array[Float]],
   override def prettyName: String = "graft_signbands"
 
   override def nullSafeEval(a: Any): Any =
-    SignBandPacked.eval(a.asInstanceOf[ArrayData], planes, numBands, bitsPerBand)
+    VectorKernels.signBands(a.asInstanceOf[ArrayData], planes, numBands, bitsPerBand)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("planes", planes, "float[][]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.graftnative.SignBandPacked.eval($a, $m, $numBands, $bitsPerBand);")
+      s"${ev.value} = org.apache.spark.sql.graftnative.VectorKernels.signBands($a, $m, $numBands, $bitsPerBand);")
   }
 
   override protected def withNewChildInternal(c: Expression): SignBandPacked =
     copy(child = c)
-}
-
-object SignBandPacked {
-  def eval(x: ArrayData, planes: Array[Array[Float]],
-      numBands: Int, bitsPerBand: Int): ArrayData = {
-    val out = new Array[Long](numBands)
-    var b = 0
-    while (b < numBands) {
-      var v = 0L
-      var j = 0
-      while (j < bitsPerBand) {
-        val plane = planes(b * bitsPerBand + j)
-        val n = math.min(x.numElements(), plane.length)
-        var acc = 0.0
-        var i = 0
-        while (i < n) {
-          acc += x.getFloat(i).toDouble * plane(i).toDouble
-          i += 1
-        }
-        if (acc > 0) v += (1L << j)
-        j += 1
-      }
-      out(b) = v
-      b += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
 }
 
 /** sql-namespace bridge for the public wrapper in `graft.functions`. */

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.LogEvent
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.{StringNormExpressions, TextHashExpressions, VectorExpressions}
+
+/** Structural gate for the round-9 defect class: a native expression whose
+  * `doGenCode` emits Java that Janino cannot compile stays GREEN on every
+  * oracle (Spark silently falls back to interpreted `eval`) while losing
+  * whole-stage codegen and paying a per-task compile-and-fail — the plan
+  * gates cannot see it and neither can correctness. Two independent probes:
+  *
+  *  1. `spark.sql.codegen.fallback=false` + `factoryMode=CODEGEN_ONLY`
+  *     windows around one representative plan per native expression, so a
+  *     generated-code compile failure becomes a thrown exception here
+  *     instead of an ERROR log line in production.
+  *  2. A log4j2 appender on the root logger asserting ZERO
+  *     `CodeGenerator ... Failed to compile` ERROR events while the same
+  *     plans run under DEFAULT confs (catches fallback paths the conf
+  *     window can't reach, e.g. non-whole-stage projections).
+  *
+  * Round-9 context: `NearestCell`/`NearestCells`/`SignBandPacked` generated
+  * calls to their case-class companions' `eval`, scalac emits no static
+  * forwarder when the class already inherits `Expression.eval(InternalRow)`,
+  * and 168 compile failures later every IVF/sign-band query ran interpreted.
+  * The kernels now live on the standalone `VectorKernels` object; this spec
+  * fails if anyone regresses that arrangement (or ships a new native
+  * expression with the same flaw). */
+class NativeCodegenSpec extends SparkSpec {
+
+  private class CodegenErrorCapture extends AbstractAppender(
+      "graft-codegen-capture", null, null, false, null) {
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    override def append(e: LogEvent): Unit = {
+      val msg = e.getMessage.getFormattedMessage
+      if (e.getLevel == Level.ERROR &&
+          (e.getLoggerName.contains("CodeGenerator") || msg.contains("Failed to compile")))
+        events.add(e.getLoggerName + ": " + msg.take(300))
+    }
+  }
+
+  private def withConfs(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => conf.set(k, v) }; f }
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  /** One plan per native expression, each ending in an action.
+    *
+    * CRITICAL: inputs must NOT be local relations — `ConvertToLocalRelation`
+    * evaluates a Project over a LocalRelation with the INTERPRETED path at
+    * optimization time, so the native expressions never reach codegen and
+    * the gate silently probes nothing (measured: the round-9 broken
+    * companion-call form passed a toDF-based version of this spec while
+    * failing 168 times in real query runs). `spark.range` scans keep every
+    * projection inside whole-stage codegen. */
+  private def runAllNativePlans(): Unit = {
+    // vector family — learned matrices ride as codegen reference objects
+    val emb = spark.range(64).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        j => sin(col("id") * 8 + j).multiply(3).cast("float")).as("embedding"))
+    val centroids: Seq[Seq[Double]] =
+      Seq.tabulate(4)(c => Seq.tabulate(8)(j => math.cos(c * 8 + j) * 2))
+    val planes: Seq[Seq[Float]] =
+      Seq.tabulate(12)(p => Seq.tabulate(8)(j => math.sin(p * 13 + j).toFloat))
+    val vec = emb.select(
+        VectorExpressions.nearestCell(col("embedding"), centroids).as("cell"),
+        VectorExpressions.nearestCells(col("embedding"), centroids, 2).as("cells"),
+        VectorExpressions.signBandPacked(col("embedding"), planes, 4, 3).as("bands"),
+        VectorExpressions.fdot(col("embedding"), col("embedding")).as("norm2"))
+      .agg(sum(col("cell")), sum(col("norm2")), sum(element_at(col("cells"), 1)),
+        sum(element_at(col("bands"), 1)))
+      .collect()
+    assert(vec.length === 1)
+
+    // text-hash family
+    val docs = spark.range(32).select(col("id").as("doc_id"),
+      format_string(
+        "the quick brown fox %d jumps over the lazy dog number %d again and again",
+        col("id"), col("id")).as("text"))
+    val th = docs.select(
+        TextHashExpressions.polyHash(col("text")).as("ph"),
+        TextHashExpressions.wordHashes(col("text")).as("wh"),
+        TextHashExpressions.shingleHashes(col("text")).as("sh"),
+        TextHashExpressions.gram13Hashes(col("text")).as("g13"),
+        TextHashExpressions.winnowHashes(col("text"), 4).as("wn"),
+        TextHashExpressions.shingleSetInts(col("text")).as("ssi"),
+        TextHashExpressions.cdcChunkHashes(col("text"), 64).as("cdc"))
+      .select(col("ph"), size(col("wh")).as("nw"), size(col("sh")).as("ns"),
+        size(col("g13")).as("ng"), size(col("wn")).as("nn"),
+        TextHashExpressions.sortedIntersectCount(col("ssi"), col("ssi")).as("ic"),
+        size(col("cdc")).as("nc"))
+      .agg(sum(col("ph")), sum(col("nw")), sum(col("ns")), sum(col("ng")),
+        sum(col("nn")), sum(col("ic")), sum(col("nc")))
+      .collect()
+    assert(th.length === 1)
+
+    // string-norm family
+    val sn = docs.select(
+        StringNormExpressions.nfc(col("text")).as("n"),
+        StringNormExpressions.jaroWinkler(col("text"), reverse(col("text"))).as("jw"))
+      .agg(sum(length(col("n"))), sum(col("jw")))
+      .collect()
+    assert(sn.length === 1)
+  }
+
+  test("every native expression compiles under CODEGEN_ONLY (fallback disabled)") {
+    withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      runAllNativePlans()
+    }
+  }
+
+  test("no CodeGenerator compile-failure events under default confs") {
+    val capture = new CodegenErrorCapture
+    capture.start()
+    val root = LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    root.addAppender(capture)
+    try runAllNativePlans()
+    finally root.removeAppender(capture)
+    val seen = capture.events.toArray.mkString("\n")
+    assert(capture.events.isEmpty,
+      s"native-expression plans logged codegen compile failures:\n$seen")
+  }
+}
