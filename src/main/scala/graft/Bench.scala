@@ -112,13 +112,20 @@ object Bench {
 
   /** One task-metrics listener per live session (repeated [[runQueries]]
     * calls on the parent's inline-fallback session must not stack
-    * duplicate listeners). */
+    * duplicate listeners). WEAK keys: a long-lived multi-session JVM
+    * must not retain stopped sessions (and their listeners) through
+    * this cache — entries vanish once the session is unreachable. */
   private val probes =
-    collection.mutable.Map.empty[SparkSession, org.apache.spark.graftnative.TaskMetricsProbe]
+    new java.util.WeakHashMap[SparkSession, org.apache.spark.graftnative.TaskMetricsProbe]
   private def probeFor(spark: SparkSession): org.apache.spark.graftnative.TaskMetricsProbe =
     probes.synchronized {
-      probes.getOrElseUpdate(spark,
-        org.apache.spark.graftnative.TaskMetricsProbe.install(spark.sparkContext))
+      val existing = probes.get(spark)
+      if (existing != null) existing
+      else {
+        val p = org.apache.spark.graftnative.TaskMetricsProbe.install(spark.sparkContext)
+        probes.put(spark, p)
+        p
+      }
     }
 
   /** Clean-builder seconds for [[machineProbeSec]] (calibrated on the

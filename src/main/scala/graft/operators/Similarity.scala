@@ -118,9 +118,16 @@ object Similarity {
     * Returns the learned centroids in cell order. */
   def learnCells(corpus: DataFrame, kCells: Int, iters: Int): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
+    val init = corpus.orderBy(col("vec_id")).limit(kCells).collect()
+    // Loud, not silent: a training set smaller than kCells would learn
+    // fewer cells than requested and blow cell populations past
+    // CellTargetPop downstream with no signal (the huge-corpus regime
+    // this quantizer exists for). Free to check — init collects anyway.
+    require(init.length == kCells,
+      s"learnCells: training corpus has only ${init.length} vectors for kCells=$kCells — " +
+        "sample cap too small relative to the requested cell count")
     var centroids: Seq[Seq[Double]] =
-      corpus.orderBy(col("vec_id")).limit(kCells).collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq).toSeq
+      init.map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq).toSeq
     for (_ <- 1 to iters) {
       val assigned = assignCells(corpus, centroids)
       // median spelled out (sort, pick, explicit two-middle average)
@@ -403,13 +410,22 @@ object Similarity {
     * assignment). The vec_id-hash gate is deterministic, so the
     * learned centroids are a pure function of the corpus; below the
     * cap this is exactly [[learnCells]] — which is why the sf0.01/0.1
-    * oracles (n ≪ cap) replay the unsampled recipe verbatim. */
+    * oracles (n ≪ cap) replay the unsampled recipe verbatim.
+    *
+    * `cap = 0` (the default) means AUTO: max(65536, kCells·64). A fixed
+    * cap cannot serve a k that scales with the corpus
+    * ([[defaultCellCount]] = n/4096 ⇒ k > 65536 once n > 2^28): the
+    * sample would hold fewer vectors than cells and the quantizer would
+    * silently degenerate. Scaling the cap keeps ≥64 training vectors
+    * per cell at every corpus size, and [[learnCells]] still fails loud
+    * if an explicit cap under-feeds the requested k. */
   def learnCellsSampled(corpus: DataFrame, kCells: Int, iters: Int,
-      cap: Long = 65536L): Seq[Seq[Double]] = {
+      cap: Long = 0L): Seq[Seq[Double]] = {
+    val effCap = if (cap > 0L) cap else math.max(65536L, kCells.toLong * 64L)
     val n = corpus.count()
     val train =
-      if (n <= cap) corpus
-      else corpus.filter(pmod(xxhash64(col("vec_id")), lit(n / cap + 1)) === 0)
+      if (n <= effCap) corpus
+      else corpus.filter(pmod(xxhash64(col("vec_id")), lit(n / effCap + 1)) === 0)
     learnCells(train, kCells, iters)
   }
 
@@ -436,10 +452,15 @@ object Similarity {
     val centroids = learnCellsSampled(
       train.select(col("vec_id"), col("embedding")), kCells, iters)
     val tb = assignCells(withNorm(train), centroids)
+    // The probe side is the held-out benchmark × nprobe — bounded by
+    // contract (the decon twin of the banded probe-form pin), so it is
+    // the explicit build side: the train corpus streams with no
+    // exchange, at every size estimate.
     val hb = withNorm(heldout).select(
       col("embedding").as("q_emb"), col("norm").as("q_norm"),
       explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
         col("embedding"), centroids, nprobe)).as("cell"))
+      .hint("broadcast")
     val contaminated = tb.join(hb, "cell")
       .filter(fdot(col("embedding"), col("q_emb"))
         / (col("norm") * col("q_norm")) >= threshold)
@@ -476,23 +497,38 @@ object Similarity {
     val kCells = defaultCellCount(embeddings.count())
     val centroids = learnCellsSampled(
       embeddings.select(col("vec_id"), col("embedding")), kCells, iters)
-    val assigned = withNorm(embeddings)
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
-          col("embedding"), centroids, 2)).as("cell"))
-    // a pair sharing BOTH cells arrives twice with the same cos —
-    // harmless to the min-label components (edge-set semantics)
-    val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        (fdot(col("a.embedding"), col("b.embedding"))
-          / (col("a.norm") * col("b.norm"))).as("cos"))
-      .filter(col("cos") >= threshold)
+    val pairs = ivfCellPairs(embeddings, centroids, threshold)
     val removed = Dedup.canonicalAssignments(pairs.select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.join(removed, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
+  }
+
+  /** [[ivfSemDedup]]'s within-cell candidate stream: each vector joins
+    * its TWO nearest cells (boundary-pair recovery — see ivfSemDedup),
+    * pairs = shared-cell, cos ≥ threshold. A pair sharing BOTH cells
+    * arrives twice with the same cos — harmless to the min-label
+    * components (edge-set semantics).
+    *
+    * MERGE-PINNED self-join: both sides carry an explode over the
+    * embedding-bearing frame, and a Generate's sizeInBytes is
+    * child-proportional — under the broadcast threshold Catalyst would
+    * broadcast the exploded multi-row-per-vector frame as the build
+    * side (the measured explode-underestimate trap; same pin as
+    * winnowPairs and the band self-join, gate in QualityGatesSpec). */
+  private[graft] def ivfCellPairs(embeddings: DataFrame,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val assigned = withNorm(embeddings)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
+          col("embedding"), centroids, 2)).as("cell"))
+    assigned.as("a").join(assigned.as("b").hint("merge"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (fdot(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Corpus-adaptive IVF cell count: cells scale with the corpus so

@@ -201,6 +201,43 @@ class QualityGatesSpec extends SparkSpec {
       s"probe form must broadcast the probe (left) side, got $probeJoins")
   }
 
+  test("IVF cell-join plan pins: pair self-join stays sort-merge; decon probe side broadcasts") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import spark.implicits._
+    // Same explode-underestimate trap as the band joins: both sides of
+    // ivfCellPairs' self-join explode each vector into its two nearest
+    // cells, the Generate's size estimate is blind to the fan-out, and
+    // a toy frame IS the under-threshold regime — without the merge pin
+    // in Similarity.ivfCellPairs Catalyst broadcasts the
+    // embedding-carrying exploded frame and this gate fails.
+    def hasGen(p: SparkPlan): Boolean =
+      p.collectFirst { case g: GenerateExec => g }.isDefined
+    val emb = Seq.tabulate(10)(i =>
+        (i.toLong, Array.tabulate(4)(j => (i * 4 + j).toFloat), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val centroids: Seq[Seq[Double]] =
+      Seq(Seq(0.0, 1.0, 2.0, 3.0), Seq(20.0, 21.0, 22.0, 23.0))
+    val pairJoins = Similarity.ivfCellPairs(emb, centroids, 0.9)
+      .queryExecution.sparkPlan.collect {
+        case j: BroadcastHashJoinExec if hasGen(j.left) && hasGen(j.right) => "broadcast"
+        case j: SortMergeJoinExec if hasGen(j.left) && hasGen(j.right) => "smj"
+      }
+    assert(pairJoins.nonEmpty && pairJoins.forall(_ == "smj"),
+      s"IVF pair self-join must stay sort-merge at every estimate, got $pairJoins")
+    // decon: the held-out probe side (bounded by contract) is the
+    // explicit build side, so the train corpus streams exchange-free
+    val deconPlan = Similarity.ivfSemanticDecontaminate(emb, emb.limit(2), 0.9)
+      .queryExecution.sparkPlan
+    val deconJoins = deconPlan.collect {
+      case j: BroadcastHashJoinExec if hasGen(j.right) => j.buildSide.toString
+      case j: SortMergeJoinExec if hasGen(j.right) => "smj"
+    }
+    assert(deconJoins.nonEmpty && deconJoins.forall(_ == "BuildRight"),
+      s"decon cell join must broadcast the probe (right) side, got $deconJoins")
+  }
+
   // queries whose construction itself runs driver-side jobs (iterative
   // loops) — their per-round plans are covered by their own specs
   private val iterative = Set("q46_canonical", "q48_dedup_apply",
