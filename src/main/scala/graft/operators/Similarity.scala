@@ -429,6 +429,119 @@ object Similarity {
     learnCells(train, kCells, iters)
   }
 
+  /** Driver-local squared L2 between two double vectors — the same
+    * left-to-right fold (subtract, square, running add in ascending
+    * element order) as [[d2ToCentroid]] / `d2Sql`, so coarse training
+    * below is bit-replayable by the SQL oracle. */
+  private def d2Local(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i) - b(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Second-level quantizer: k-medians over the FINE CENTROIDS
+    * themselves — the exact [[learnCells]] recipe (init = first kCoarse
+    * fine centroids in cell-id order; per round assign-to-nearest with
+    * lower-id tie-break, recenter on the per-dimension median with the
+    * explicit two-middle average; a group that loses every member keeps
+    * its previous centroid) run driver-local, because the input is the
+    * kCells×dim centroid matrix (thousands of rows at most — the
+    * corpus never participates). Returns (coarse centroids, members),
+    * both of length kCoarse: members(g) = fine-cell ids whose nearest
+    * FINAL coarse centroid is g, ascending; every fine cell appears in
+    * exactly one group; a group may be empty (callers exclude empty
+    * groups from routing — see [[assignCellsTwoLevel]]).
+    *
+    * Why this exists: flat IVF routing is O(n·k) with k = n/4096, i.e.
+    * O(n²/4096) — the documented bound past ~10⁸ vectors. Routing
+    * through √k coarse groups costs O(n·(√k + k/√k)) = O(n·√k); the
+    * chooser (embedPlanCosts) measures both from the actual corpus. */
+  def learnCoarseCells(fine: Seq[Seq[Double]], kCoarse: Int,
+      iters: Int): (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    require(kCoarse >= 1 && kCoarse <= fine.length,
+      s"kCoarse=$kCoarse for ${fine.length} fine cells")
+    def assign(cs: Seq[Seq[Double]]): Array[Int] =
+      fine.map { f =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        for (g <- cs.indices) {
+          val d = d2Local(f, cs(g))
+          if (d < bestD) { bestD = d; best = g }
+        }
+        best
+      }.toArray
+    var coarse: Seq[Seq[Double]] = fine.take(kCoarse)
+    for (_ <- 1 to iters) {
+      val a = assign(coarse)
+      coarse = coarse.zipWithIndex.map { case (old, g) =>
+        val mem = fine.indices.filter(a(_) == g)
+        if (mem.isEmpty) old
+        else old.indices.map { j =>
+          val xs = mem.map(m => fine(m)(j)).sorted
+          if (xs.length % 2 == 1) xs(xs.length / 2)
+          else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
+        }
+      }
+    }
+    val fin = assign(coarse)
+    val groups = coarse.indices.map(g => fine.indices.filter(fin(_) == g).toSeq)
+    (coarse, groups)
+  }
+
+  /** (corpus columns…, coarse, cell) — two-level routing of every
+    * vector: nearest coarse group, then nearest fine cell within that
+    * group, one codegen'd kernel call per row
+    * ([[org.apache.spark.sql.graftnative.NearestCellTwoLevel]]).
+    * A coarse group that lost every fine cell is excluded from the
+    * ROUTING RANKING on both engines (its ORIGINAL group id is kept
+    * for the reported `coarse` column — ids never re-number): the SQL
+    * oracle ranks only gcells present in the member map, this side
+    * passes only non-empty groups to the kernel, and the lower-id
+    * tie-break agrees because filtering preserves order. */
+  private[graft] def assignCellsTwoLevel(vecs: DataFrame,
+      fine: Seq[Seq[Double]], coarse: Seq[Seq[Double]],
+      members: Seq[Seq[Int]]): DataFrame = {
+    val keep = members.indices.filter(members(_).nonEmpty)
+    // ORIGINAL coarse id per fine cell, for the reported `coarse` column
+    val coarseOf = members.zipWithIndex
+      .flatMap { case (mem, g) => mem.map(_ -> g) }.sortBy(_._1).map(_._2)
+    vecs
+      .withColumn("cell",
+        org.apache.spark.sql.graftnative.VectorExpressions.nearestCellTwoLevel(
+          col("embedding"), keep.map(coarse), keep.map(members), fine))
+      .withColumn("coarse",
+        element_at(array(coarseOf.map(g => lit(g)): _*), col("cell") + 1))
+  }
+
+  /** q223: the two-level routing census — every vector's (coarse
+    * group, fine cell) under √k-coarse routing, with the flat argmin
+    * rides as `flat_cell` so the oracle ALSO gates the agreement
+    * between the tiers (how often the approximate route finds the true
+    * nearest cell is data, not a claim). kCoarse = ceil(√kCells), one
+    * coarse round — constants the static oracle replays (kCells floors
+    * to 8 ⇒ kCoarse 3 at every oracle scale; comment in the SQL). */
+  def twoLevelRouting(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val kCells = defaultCellCount(e.count())
+    val fine = learnCellsSampled(e, kCells, iters)
+    val kCoarse = math.ceil(math.sqrt(kCells.toDouble)).toInt
+    val (coarse, members) = learnCoarseCells(fine, kCoarse, CoarseIters)
+    assignCellsTwoLevel(e, fine, coarse, members)
+      .select(col("vec_id"), col("coarse").cast("int").as("coarse"),
+        col("cell"),
+        org.apache.spark.sql.graftnative.VectorExpressions.nearestCell(
+          col("embedding"), fine).as("flat_cell"))
+  }
+
+  /** Coarse k-medians rounds — ONE round everywhere (oracle replays the
+    * same constant): the quantizer-over-quantizer only needs to split
+    * the centroid set into balanced neighborhoods, not converge. */
+  val CoarseIters: Int = 1
+
   /** SEMANTIC decontamination through the IVF cell index — the
     * index-tier twin of [[semanticDecontaminate]] (whose sign-band
     * buckets hold 1/256 of the corpus PER BAND, so each probe's
@@ -598,7 +711,24 @@ object Similarity {
       val ivf = bucketCosts(
         assignCells(e, centroids).groupBy(col("cell")).agg(count(lit(1)).as("n")),
         s"ivf_k$kCells", n * kCells)
-      val all = (bandCosts :+ ivf).reduce(_ unionAll _)
+      // two-level routing plan: per vector kCoarse coarse folds + that
+      // group's member-list folds, so routing_ops is DATA-dependent
+      // (Σ |members(routed group)|) and measured from the same census
+      // pass that counts verify pairs; flat IVF's n·k routing is what
+      // this tier exists to beat once k = n/4096 grows past ~√n
+      val kCoarse = math.ceil(math.sqrt(kCells.toDouble)).toInt
+      val (coarse, members) = learnCoarseCells(centroids, kCoarse, CoarseIters)
+      val kept = members.count(_.nonEmpty)
+      val memCnt = array(members.map(m => lit(m.size.toLong)): _*)
+      val ivf2 = assignCellsTwoLevel(e, centroids, coarse, members)
+        .groupBy(col("cell"), col("coarse")).agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).cast("long").as("verify_pairs"),
+          (lit(n * kept) + coalesce(sum(col("n") * element_at(memCnt, col("coarse") + 1)),
+            lit(0L))).cast("long").as("routing_ops"))
+        .select(lit(s"ivf2_k${kCells}c$kCoarse").as("plan"), lit(n).as("n_vectors"),
+          col("routing_ops"), col("verify_pairs"))
+      val all = (bandCosts :+ ivf :+ ivf2).reduce(_ unionAll _)
         .withColumn("cost", col("routing_ops") + col("verify_pairs"))
       val w = Window.orderBy(col("cost"), col("plan")) // ≤ |plans| rows — config-sized
       val out = all.withColumn("chosen", row_number().over(w) === 1)

@@ -184,6 +184,61 @@ object PipelineQueries {
        |${assign("af", s"c$iters")}"""
   }
 
+  /** The two-level (coarse-over-fine) quantizer replay — `Similarity.
+    * learnCoarseCells` + `assignCellsTwoLevel` unrolled, continuing from
+    * [[kMediansAssignCtes]]'s final fine-centroid CTE `fineCte`:
+    * coarse init = first kCoarse fine centroids in cell order, ONE
+    * k-medians round (Similarity.CoarseIters — assign fine→coarse with
+    * lower-id ties, per-dim median recenter with the explicit
+    * two-middle average, empty groups keep their init centroid via the
+    * grid LEFT JOIN), final member map `gm` (cell → gcell), routing
+    * restricted to gcells PRESENT in gm (`cgk` — the Scala side's
+    * non-empty-group filter, original ids kept), per-vector nearest
+    * kept coarse group `vg`, then nearest fine cell WITHIN the routed
+    * group's members `tl` (vec_id, gcell, cell). */
+  private def twoLevelCtes(kCoarse: Int, fineCte: String): String = {
+    def d2(x: String, c: String) = Similarity.d2Sql(x, c)
+    s"""cinit AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS INTEGER) AS gcell, c
+       |  FROM (SELECT cell, c FROM $fineCte ORDER BY cell LIMIT $kCoarse)),
+       |ga1 AS (
+       |  SELECT cell, fc, gcell FROM (
+       |    SELECT f.cell, f.c AS fc, g.gcell,
+       |           row_number() OVER (PARTITION BY f.cell ORDER BY ${d2("f.c", "g.c")}, g.gcell) AS rn
+       |    FROM $fineCte f, cinit g) WHERE rn = 1),
+       |gmed1 AS (
+       |  SELECT gcell, j, list_sort(list(x)) AS xs FROM (
+       |    SELECT gcell, unnest(generate_series(1, len(fc))) AS j,
+       |           unnest(fc) AS x FROM ga1)
+       |  GROUP BY gcell, j),
+       |gmv1 AS (
+       |  SELECT gcell, j, CASE WHEN len(xs) % 2 = 1 THEN xs[(len(xs) + 1) // 2]
+       |                        ELSE (xs[len(xs) // 2] + xs[len(xs) // 2 + 1]) / 2.0 END AS m
+       |  FROM gmed1),
+       |ggrid1 AS (SELECT gcell, c, unnest(generate_series(1, len(c))) AS j FROM cinit),
+       |cg1 AS (
+       |  SELECT g.gcell, list(COALESCE(v.m, g.c[g.j]) ORDER BY g.j) AS c
+       |  FROM ggrid1 g LEFT JOIN gmv1 v ON v.gcell = g.gcell AND v.j = g.j
+       |  GROUP BY g.gcell),
+       |gm AS (
+       |  SELECT cell, gcell FROM (
+       |    SELECT f.cell, g.gcell,
+       |           row_number() OVER (PARTITION BY f.cell ORDER BY ${d2("f.c", "g.c")}, g.gcell) AS rn
+       |    FROM $fineCte f, cg1 g) WHERE rn = 1),
+       |cgk AS (SELECT * FROM cg1 WHERE gcell IN (SELECT DISTINCT gcell FROM gm)),
+       |vg AS (
+       |  SELECT vec_id, embedding, gcell FROM (
+       |    SELECT e.vec_id, e.embedding, g.gcell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.embedding", "g.c")}, g.gcell) AS rn
+       |    FROM embeddings e, cgk g) WHERE rn = 1),
+       |tl AS (
+       |  SELECT vec_id, gcell, cell FROM (
+       |    SELECT v.vec_id, v.gcell, m.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY ${d2("v.embedding", "f.c")}, m.cell) AS rn
+       |    FROM vg v JOIN gm m ON m.gcell = v.gcell JOIN $fineCte f ON f.cell = m.cell)
+       |  WHERE rn = 1)"""
+  }
+
   private def ivfLearnedOracleSql(kCells: Int, nprobe: Int, k: Int, iters: Int): String = {
     def d2(x: String, c: String) = Similarity.d2Sql(x, c)
     val cFinal = s"c$iters"
@@ -3595,7 +3650,10 @@ object PipelineQueries {
              |                   COALESCE(sum(n * (n - 1) // 2), 0) AS verify_pairs
              |            FROM bg$idx)""".stripMargin
         }
+        // kCoarse = ceil(sqrt(8)) = 3 at the floor kCells every oracle
+        // scale hits; Similarity.CoarseIters = 1 coarse round
         val kCells = 8
+        val kCoarse = 3
         s"""WITH ${bandPlanCtes(0, 8, 8)},
            |${bandPlanCtes(1, 8, 16)},
            |${kMediansAssignCtes(kCells, 2)},
@@ -3605,8 +3663,17 @@ object PipelineQueries {
            |                  (SELECT count(*) FROM embeddings) * $kCells AS routing_ops,
            |                  COALESCE(sum(n * (n - 1) // 2), 0) AS verify_pairs
            |           FROM ivfb),
+           |${twoLevelCtes(kCoarse, "c2")},
+           |tlb AS (SELECT cell, count(*) AS n FROM tl GROUP BY 1),
+           |gmc AS (SELECT gcell, count(*) AS cnt FROM gm GROUP BY 1),
+           |cfgivf2 AS (SELECT 'ivf2_k${kCells}c$kCoarse' AS plan,
+           |                   (SELECT count(*) FROM embeddings) AS n_vectors,
+           |                   (SELECT count(*) FROM embeddings) * (SELECT count(*) FROM cgk)
+           |                     + (SELECT COALESCE(sum(c.cnt), 0)
+           |                        FROM vg v JOIN gmc c ON c.gcell = v.gcell) AS routing_ops,
+           |                   (SELECT COALESCE(sum(n * (n - 1) // 2), 0) FROM tlb) AS verify_pairs),
            |allc AS (SELECT * FROM cfg0 UNION ALL SELECT * FROM cfg1
-           |         UNION ALL SELECT * FROM cfgivf)
+           |         UNION ALL SELECT * FROM cfgivf UNION ALL SELECT * FROM cfgivf2)
            |SELECT plan, CAST(n_vectors AS BIGINT) AS n_vectors,
            |       CAST(routing_ops AS BIGINT) AS routing_ops,
            |       CAST(verify_pairs AS BIGINT) AS verify_pairs,
@@ -3699,6 +3766,28 @@ object PipelineQueries {
              |             HAVING least(src, min(dst)) < src)
              |SELECT a.vec_id, a.label FROM aug a
              |WHERE a.vec_id NOT IN (SELECT vec_id FROM noncanon)""".stripMargin)),
+
+    // Two-level IVF routing census: flat routing is O(n·k) with
+    // k = n/4096 — O(n²/4096), the caveat that binds the IVF tier past
+    // ~10⁸ vectors. This routes through ceil(√k) coarse groups learned
+    // OVER the fine centroids (driver-local k-medians, same recipe),
+    // then argmins only the routed group's members: O(n·√k). The
+    // oracle unrolls BOTH quantizer levels plus the flat argmin, so
+    // the hash gate covers the coarse training, the member map, the
+    // approximate route AND its agreement with the exact route
+    // (flat_cell) — the accuracy trade is gated data, not a claim.
+    QueryDef("q223_two_level_routing",
+      (s, dir) => Similarity.twoLevelRouting(Tables.load(s, dir, "embeddings")),
+      Some {
+        // kCells floors to 8 at every oracle scale (defaultCellCount),
+        // kCoarse = ceil(sqrt(8)) = 3, CoarseIters = 1 — constants this
+        // static SQL replays; re-derive if testdata sizes change
+        s"""WITH ${kMediansAssignCtes(8, 2)},
+           |${twoLevelCtes(3, "c2")}
+           |SELECT t.vec_id, CAST(t.gcell AS INTEGER) AS coarse, t.cell,
+           |       a.cell AS flat_cell
+           |FROM tl t JOIN af a ON a.vec_id = t.vec_id""".stripMargin
+      }),
 
     // KS drift matrix: one collapsed histogram with per-group counts,
     // every unordered pair's sup-distance in exact integers

@@ -196,6 +196,56 @@ object VectorKernels {
       java.util.Arrays.copyOf(bestC, p))
   }
 
+  /** Two-level IVF routing: argmin over the kCoarse group centroids
+    * (O(√k)), then argmin over ONLY that group's member fine cells —
+    * O(kCoarse + |members|) ≈ O(2√k) distance folds per row instead of
+    * the flat quantizer's O(k). Same per-fold arithmetic and
+    * lower-id tie-breaks as [[nearestCell]] at both levels, so the
+    * unrolled SQL oracle replays it exactly. `members(g)` holds group
+    * g's fine-cell ids; a routed group is never empty by construction
+    * (every coarse centroid is the median of ≥0 members but groups
+    * that lost all members keep no entry — callers guarantee total
+    * membership). Returns the FINE cell id. */
+  def nearestCellTwoLevel(x: ArrayData, coarse: Array[Array[Double]],
+      members: Array[Array[Int]], fine: Array[Array[Double]]): Int = {
+    val n = fine(0).length
+    checkDim(x.numElements(), n, "centroid matrix")
+    var bestG = 0
+    var bestGD = Double.PositiveInfinity
+    var g = 0
+    while (g < coarse.length) {
+      val c = coarse(g)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestGD) { bestGD = acc; bestG = g }
+      g += 1
+    }
+    val mem = members(bestG)
+    var best = mem(0)
+    var bestD = Double.PositiveInfinity
+    var m = 0
+    while (m < mem.length) {
+      val c = fine(mem(m))
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - c(i)
+        acc += d * d
+        i += 1
+      }
+      // members arrive in ascending fine-cell order, so strict < keeps
+      // the lower cell id on exact ties
+      if (acc < bestD) { bestD = acc; best = mem(m) }
+      m += 1
+    }
+    best
+  }
+
   /** All packed sign-sketch band keys of one vector; per-bit arithmetic
     * identical to `FloatVectorDot` against the same plane. */
   def signBands(x: ArrayData, planes: Array[Array[Float]],
@@ -246,6 +296,43 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
+/** Two-level IVF coarse routing — [[NearestCell]] with a second
+  * quantizer level: argmin over kCoarse group centroids, then argmin
+  * over that group's member fine cells only. The flat quantizer's
+  * routing is O(n·k) with k ∝ n (cell populations pinned at
+  * CellTargetPop), i.e. O(n²/4096) — it binds past ~10⁸ vectors; this
+  * is the documented next tier, O(n·√k) with identical per-fold
+  * arithmetic so the q223 oracle unrolls it exactly. APPROXIMATE by
+  * design (the true nearest fine cell can live in a non-nearest
+  * group); SimilaritySpec measures agreement vs the flat argmin and
+  * the chooser (q219 family) decides when the routing saving pays. */
+case class NearestCellTwoLevel(child: Expression,
+    coarse: Array[Array[Double]], members: Array[Array[Int]],
+    fine: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(coarse.length == members.length,
+    s"${coarse.length} coarse cells but ${members.length} member lists")
+  require(members.forall(_.nonEmpty), "every coarse group needs >= 1 member fine cell")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearestcell2"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCellTwoLevel(a.asInstanceOf[ArrayData], coarse, members, fine)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val mm = ctx.addReferenceObj("members", members, "int[][]")
+    val f = ctx.addReferenceObj("fine", fine, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.VectorKernels.nearestCellTwoLevel($a, $g, $mm, $f);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCellTwoLevel =
     copy(child = c)
 }
 
@@ -306,6 +393,12 @@ object VectorExpressions {
   def nearestCells(x: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     ExpressionUtils.column(NearestCells(ExpressionUtils.expression(x),
       centroids.map(_.toArray).toArray, nprobe))
+
+  def nearestCellTwoLevel(x: Column, coarse: Seq[Seq[Double]],
+      members: Seq[Seq[Int]], fine: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(NearestCellTwoLevel(ExpressionUtils.expression(x),
+      coarse.map(_.toArray).toArray, members.map(_.toArray).toArray,
+      fine.map(_.toArray).toArray))
 
   def fdot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(

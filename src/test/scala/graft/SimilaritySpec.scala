@@ -206,6 +206,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-level routing: total membership, kernel == reference argmin-within-group, measured agreement vs flat") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fine = Similarity.learnCells(
+      emb.select(col("vec_id"), col("embedding")), 8, 2)
+    val (coarse, members) = Similarity.learnCoarseCells(fine, 3, Similarity.CoarseIters)
+    // every fine cell in exactly one group
+    assert(members.flatten.sorted === fine.indices.toList)
+    // the routed result equals a from-scratch Scala replay of the
+    // two-level procedure on every vector (kernel correctness), and the
+    // reported coarse is the routed group
+    val rows = Similarity.twoLevelRouting(emb).collect()
+    val embMap = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => val d = x - c; acc + d * d }
+    val kept = members.indices.filter(members(_).nonEmpty)
+    rows.foreach { r =>
+      val x = embMap(r.getLong(0)).toSeq
+      val g = kept.minBy(gi => (d2(x, coarse(gi)), gi))
+      val cell = members(g).minBy(c => (d2(x, fine(c)), c))
+      assert(r.getAs[Int]("coarse") === g, s"vec ${r.getLong(0)} routed group")
+      assert(r.getAs[Int]("cell") === cell, s"vec ${r.getLong(0)} routed cell")
+      // flat_cell is the exact argmin over ALL fine cells
+      assert(r.getAs[Int]("flat_cell") ===
+        fine.indices.minBy(c => (d2(x, fine(c)), c)))
+    }
+    // the approximation is measured, not assumed: at this toy scale
+    // (8 cells, 3 groups) most routes still find the true nearest cell
+    val agree = rows.count(r => r.getAs[Int]("cell") == r.getAs[Int]("flat_cell"))
+    assert(agree.toDouble / rows.length >= 0.7,
+      s"two-level agreement ${agree.toDouble / rows.length} below floor")
+  }
+
   test("ivfSemDedup == band-form semDedup (same survivors on the injected corpus)") {
     val aug = Similarity.withNearDupEmbeddings(Tables.load(spark, dir, "embeddings"))
     val ivf = Similarity.ivfSemDedup(aug, 0.9)
