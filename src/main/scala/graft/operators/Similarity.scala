@@ -851,6 +851,83 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ---- persisted IVF cell index (streaming SemDeDup through cells) --------
+
+  /** Persist the IVF cell tier for continuous arrival — the cell-index
+    * sibling of [[writeEmbIndex]] (which persists the sign-BAND tier;
+    * q219 decides which tier a corpus should run):
+    *
+    *   `<name>_ivfcells` (vec_id, cell, embedding, norm) bucketed AND
+    *     sorted by cell, one row per vector per its TWO nearest cells
+    *     (ivfSemDedup's boundary-pair membership): an arriving batch's
+    *     candidate join sort-merges the cell buckets in place, and the
+    *     embedding+norm ride the rows so the exact-cosine verify needs
+    *     no fetch join (the q66 ship-the-payload lesson);
+    *   `<name>_ivfcentroids` (cell, c) — the learned quantizer, read
+    *     back by probes so every arrival routes through the SAME cells
+    *     (fixed-quantizer arrival is standard IVF practice; retraining
+    *     is a rebuild, not an append). */
+  def writeCellIndex(corpus: DataFrame, name: String, buckets: Int = 8,
+      iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val kCells = defaultCellCount(e.count())
+    val centroids = learnCellsSampled(e, kCells, iters)
+    Bucketing.writeBucketed(twoCellRows(e, centroids),
+      s"${name}_ivfcells", "cell", buckets, sortKey = Some("cell"))
+    spark.createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "c")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_ivfcentroids")
+  }
+
+  /** The stored quantizer, in cell order (kCells×dim — driver-sized by
+    * construction: cells hold ~[[CellTargetPop]] vectors each). */
+  def readCellCentroids(spark: org.apache.spark.sql.SparkSession,
+      name: String): Seq[Seq[Double]] =
+    spark.table(s"${name}_ivfcentroids").orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("c").toSeq).toSeq
+
+  private def twoCellRows(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    withNorm(vecs).select(col("vec_id"),
+      explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
+        col("embedding"), centroids, 2)).as("cell"),
+      col("embedding"), col("norm"))
+
+  /** Fold accepted arrivals INTO the cell index under the FIXED stored
+    * quantizer (`insertInto` resolves the catalog bucket spec — appended
+    * files land in the same cell-bucketed layout). */
+  def appendToCellIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, name: String): Unit =
+    twoCellRows(batch.select(col("vec_id"), col("embedding")),
+      readCellCentroids(spark, name))
+      .select("vec_id", "cell", "embedding", "norm")
+      .write.insertInto(s"${name}_ivfcells")
+
+  /** One arriving batch's similarity edges against the persisted cell
+    * index: the batch routes to its two nearest stored cells (bounded
+    * probe side — broadcast-pinned like every probe form in this repo),
+    * sort-merges the cell buckets in place, and verifies exact cosine
+    * inside the join (embeddings ride the index rows). Output
+    * (id_a = arriving, id_b = indexed) — both orders of an indexed pair
+    * arrive across batches; downstream CC is edge-set semantics.
+    * O(|batch| · cell population) per batch however large the corpus. */
+  def ivfIndexProbeEdges(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, name: String, centroids: Seq[Seq[Double]],
+      threshold: Double = 0.9): DataFrame = {
+    val b = withNorm(batch)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
+          col("embedding"), centroids, 2)).as("cell"))
+      .hint("broadcast")
+    Bucketing.readBucketed(spark, s"${name}_ivfcells").join(b, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .filter(fdot(col("embedding"), col("q_emb"))
+        / (col("norm") * col("q_norm")) >= threshold)
+      .select(col("q_id").as("id_a"), col("vec_id").as("id_b"))
+  }
+
   /** Deterministic negative sampling for contrastive training: for each
     * anchor, up to `k` vectors with a DIFFERENT label, chosen by a seeded
     * affine probe over contiguous ids (candidate_i = ((2i+3)·anchor +

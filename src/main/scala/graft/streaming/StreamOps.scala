@@ -616,6 +616,59 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous SemDeDup through the persisted IVF cell index — the
+    * arrival-path twin of [[graft.operators.Similarity.ivfSemDedup]]
+    * (round 9 made the cell tier the at-scale choice — q219/q222 — but
+    * only the sign-BAND index had a streaming path, q95/q159). Each
+    * arriving VECTOR batch:
+    *
+    *   1. routes to its two nearest STORED cells and probes the
+    *      persisted index in place
+    *      ([[graft.operators.Similarity.ivfIndexProbeEdges]] — probe ×
+    *      index, never corpus × corpus; exact cosine verified inside
+    *      the bucket join);
+    *   2. folds the edges into the canonical assignment via the SAME
+    *      [[graft.operators.Dedup.incrementalCanonical]] every dedup
+    *      fold in this family uses.
+    *
+    * Stream == batch EXACTLY when the index holds the corpus the batch
+    * form would learn from (StreamingSpec pins it, split-invariant):
+    * the quantizer is FIXED in the index, so every arrival routes
+    * through the same cells ivfSemDedup assigns; each within-cell
+    * cos ≥ t pair is found when its later member arrives; and
+    * sequential CC folds of an edge union equal one batch CC (the
+    * [[streamingCanonicalFold]] star-list contract). Survivors = ids
+    * absent from `assignment` or equal to their canonical. */
+  def streamingIvfSemDedupFold(vecs: DataFrame, name: String,
+      threshold: Double = 0.9)(
+      onAssignment: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = vecs.sparkSession
+    val centroids = graft.operators.Similarity.readCellCentroids(spark, name)
+    var assignment = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("canonical_id", LongType))))
+      .localCheckpoint(eager = true)
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val edges = graft.operators.Similarity.ivfIndexProbeEdges(
+            spark, batch.toDF(), name, centroids, threshold)
+          if (!edges.isEmpty) {
+            val prev = assignment
+            // eager checkpoint already inside incrementalCanonical
+            assignment = graft.operators.Dedup
+              .incrementalCanonical(assignment, edges)
+            releaseCheckpoint(prev)
+          }
+        }
+        onAssignment(assignment)
+      }
+      .start()
+  }
+
   /** Continuous SimHash dedup: arriving DOCUMENT batches fold into the
     * rep-level hamming graph and its canonical assignment — the
     * streaming twin of [[graft.operators.Dedup.simhashAssignments]],

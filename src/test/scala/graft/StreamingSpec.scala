@@ -683,6 +683,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IVF fold: vector batches probing the persisted cell index == batch ivfSemDedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = "sivf"
+    Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val aug = graft.operators.Similarity.withNearDupEmbeddings(
+        Tables.load(spark, "/root/testdata/sf0.001", "embeddings"))
+      val want = graft.operators.Similarity.ivfSemDedup(aug, 0.9)
+        .collect().map(_.getLong(0)).toSet
+      val allIds = aug.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(want.size < allIds.size, "fixture must contain removable near-dups")
+      // the index holds the corpus the batch form learns from (same
+      // learnCellsSampled recipe inside writeCellIndex), so the fixed
+      // stored quantizer routes arrivals through ivfSemDedup's cells
+      graft.operators.Similarity.writeCellIndex(aug, idx)
+      // near-dup copies (ids >= 1e6) arrive BEFORE their originals —
+      // the CC min-label must still settle on the group minimum
+      val ordered = aug.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(-_._1)
+      val stream = MemoryStream[(Long, Array[Float])]
+      @volatile var last: Option[org.apache.spark.sql.DataFrame] = None
+      val query = StreamOps.streamingIvfSemDedupFold(
+        stream.toDF().toDF("vec_id", "embedding"), idx)(a => last = Some(a))
+      try {
+        ordered.grouped(math.max(1, ordered.size / 3)).foreach { b =>
+          stream.addData(b); query.processAllAvailable()
+        }
+        val assignment = last.get.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val removed = assignment.collect { case (d, c) if d != c => d }.toSet
+        assert(removed.nonEmpty)
+        assert(allIds -- removed === want,
+          "3-batch IVF fold survivors must equal one-shot batch ivfSemDedup")
+      } finally query.stop()
+
+      // lifecycle: appended arrivals land in the same cell layout and
+      // are immediately probe-visible (fixed stored quantizer)
+      val novel = aug.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      graft.operators.Similarity.appendToCellIndex(spark, novel, idx)
+      val centroids = graft.operators.Similarity.readCellCentroids(spark, idx)
+      val hits = graft.operators.Similarity.ivfIndexProbeEdges(
+          spark, aug.filter(col("vec_id") === 0L).select(col("vec_id"), col("embedding")),
+          idx, centroids, 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hits.contains((0L, 5000000L)),
+        "an appended exact copy must surface on the next probe")
+    } finally
+      Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming quantile fold: stream fold matches exact ranks within the sketch bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
