@@ -491,6 +491,46 @@ object Cli {
       println(s"[graft] sketch heavy-hitters: k=$k -> ${rows.length} tokens with freq > n/$k -> $outDir/heavy_hitters")
       rows.take(20).foreach(r => println(f"[graft]   wh=${r.getLong(0)}%-20d cnt=${r.getLong(1)}%d"))
 
+    // One sizing command over any table: runs every applicable measured
+    // plan chooser (q205 LSH sweep for text Jaccard, q212 hamming-block
+    // census for text SimHash, q219 bands-vs-IVF-vs-two-level for
+    // embeddings) and reports each family's argmin — so capacity
+    // planning for a new corpus is one invocation, not three queries.
+    case "plan" :: tablePath :: outDir :: Nil =>
+      val df = spark.read.parquet(tablePath)
+      val cols = df.columns.toSet
+      var ran = List.empty[String]
+      if (cols("embedding")) {
+        val costs = graft.operators.Similarity.embedPlanCosts(
+          df.select(col("vec_id"), col("embedding")))
+        costs.coalesce(1).write.mode("overwrite").parquet(s"$outDir/embed_plans.parquet")
+        val c = costs.filter(col("chosen")).head()
+        println(s"[graft] plan embedding: ${c.getAs[String]("plan")} " +
+          s"(routing_ops ${c.getAs[Long]("routing_ops")}, verify_pairs ${c.getAs[Long]("verify_pairs")})")
+        ran ::= "embedding"
+      }
+      if (cols("text")) {
+        val sweep = graft.operators.Dedup.lshParameterSweep(df)
+        sweep.coalesce(1).write.mode("overwrite").parquet(s"$outDir/lsh_plans.parquet")
+        val s0 = sweep.filter(col("chosen")).head()
+        println(s"[graft] plan text/jaccard: minhash ${s0.getAs[Int]("num_hashes")} hashes x " +
+          s"${s0.getAs[Int]("rows_per_band")} rows/band (recall ${s0.getAs[Double]("recall")})")
+        val blockCols = if (cols("source")) Seq("source") else Nil
+        val sh = graft.operators.Dedup.simhash(df, 48)
+          .join(df.select((col("doc_id") +: blockCols.map(col)): _*), "doc_id")
+        val hp = graft.operators.Dedup.hammingPlanCosts(sh, "simhash", 48, 6, blockCols)
+        hp.coalesce(1).write.mode("overwrite").parquet(s"$outDir/hamming_plans.parquet")
+        val h0 = hp.filter(col("chosen")).head()
+        println(s"[graft] plan text/hamming: ${h0.getAs[Int]("num_blocks")} blocks, " +
+          s"combos of ${h0.getAs[Int]("combo_size")} (cost ${h0.getAs[Long]("cost")})")
+        ran ::= "text"
+      }
+      if (ran.isEmpty) {
+        System.err.println(s"[graft] plan: $tablePath has neither an 'embedding' nor a 'text' column")
+        sys.exit(2)
+      }
+      println(s"[graft] plan: sized ${ran.reverse.mkString(" + ")} -> $outDir")
+
     case "dedup-eval" :: corpusPath :: outDir :: opts =>
       val o = parseOpts(opts)
       val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
@@ -522,6 +562,7 @@ object Cli {
           |  release      <corpusParquet> <outDir> [--bench P] [--jaccard T] [--seq-len N]
           |  bpe          <corpusParquet> <outDir> [--merges N]
           |  dedup-eval   <corpusParquet> <outDir> [--jaccard T]
+          |  plan         <tableParquet> <outDir>   (runs every applicable measured plan chooser)
           |  sketch quantiles <tableParquet> <outDir> [--group-col g] [--value-col v] [--ps 0.5,0.95] [--k N]
           |  sketch overlap   <tableParquet> <outDir> [--group-col g] [--value-col v]
           |  sketch heavy-hitters <corpusParquet> <outDir> [--k N]

@@ -44,6 +44,7 @@ object ScalingBench {
   /** The queries whose scale story carries the 100-TB claim: one per
     * bucketed pair-generator family plus the two iterative graph ops. */
   val headline: Seq[String] = Seq(
+    "q00_flagship_kmedoids", // the reference's own workload: assign -> sampled-medoid loop
     "q41_ngram_jaccard",    // blocked exact-Jaccard
     "q45_simhash_pairs",    // SimHash hamming banding (24-bit — quadratic background, see SCALING.md)
     "q45b_simhash_wide",    // SimHash hamming banding (48-bit fingerprint)

@@ -23,6 +23,29 @@ class CliDedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("plan subcommand sizes every applicable chooser for a table") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("cliplan").toString
+    // text table -> the q205 LSH sweep and the q212 hamming census
+    graft.operators.Dedup.withNearDuplicates(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .write.parquet(s"$dir/docs")
+    Cli.run(spark, List("plan", s"$dir/docs", s"$dir/outd"))
+    val lsh = spark.read.parquet(s"$dir/outd/lsh_plans.parquet")
+    assert(lsh.filter(col("chosen")).count() === 1)
+    val ham = spark.read.parquet(s"$dir/outd/hamming_plans.parquet")
+    assert(ham.filter(col("chosen")).count() === 1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/outd/embed_plans.parquet")))
+    // embedding table -> the q219 chooser (incl. the two-level plan)
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .write.parquet(s"$dir/emb")
+    Cli.run(spark, List("plan", s"$dir/emb", s"$dir/oute"))
+    val ep = spark.read.parquet(s"$dir/oute/embed_plans.parquet")
+    assert(ep.filter(col("chosen")).count() === 1)
+    assert(ep.collect().map(_.getAs[String]("plan")).exists(_.startsWith("ivf2_")),
+      "the chooser table must include the two-level plan")
+  }
+
   test("dedup --ensemble catches a reordered near-dup LSH banding can miss") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cliensemble").toString
