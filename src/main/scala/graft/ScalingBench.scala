@@ -56,6 +56,7 @@ object ScalingBench {
     "q219_embed_autotune",  // bands-vs-IVF chooser (measured cost curves)
     "q220_ivf_decon",       // IVF-probe decon (the index-tier runnable form)
     "q222_ivf_semdedup",    // SemDeDup via IVF cells (q67's index-tier twin)
+    "q223_two_level_routing", // coarse-over-fine quantizer routing (O(n·√k))
     "q113_ensemble_dedup",  // 3 families + shared verify, one corpus scan
     "q124_triangles",       // degree-oriented triangle census
     "q131_graph_components", // iterative min-label CC

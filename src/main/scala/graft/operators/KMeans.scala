@@ -83,6 +83,18 @@ object KMeans {
     Medoids.compute(candidates, members, "cluster", "id",
       Seq("time", "numOfHashtags", "language", "hasVideo"), tweetDist(hw), saltBuckets)
 
+  /** The multiplicative-hash ordering key, factored through pmod so it
+    * cannot overflow at ANY long id: (id·2654435761) mod P computed as
+    * ((id mod P)·(2654435761 mod P)) mod P — identical values by modular
+    * arithmetic (every oracle replaying the unreduced product in 128-bit
+    * still matches), but the unreduced Column form threw
+    * ARITHMETIC_OVERFLOW under ANSI mode once ids reached the ×64
+    * replica range (~8.8e9 · 2.65e9 > Long.Max) — caught by the q00
+    * scaling run, invisible at oracle scales. */
+  private def seedHashOrder: Column =
+    pmod(pmod(col("id"), lit(1000000007L)) * lit(2654435761L % 1000000007L),
+      lit(1000000007L))
+
   /** A3 at scale — medoid over a deterministic candidate subset (id-hash
     * order), each candidate still scored against ALL members: O(n·s).
     * Salted 8 ways so a small k can't starve the cluster (Medoids
@@ -91,7 +103,7 @@ object KMeans {
       hashtagWeight: Double = 0.8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
-      .orderBy(pmod(col("id") * lit(2654435761L), lit(1000000007L)), col("id"))
+      .orderBy(seedHashOrder, col("id"))
     val candidates = members
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= sampleSize)
@@ -192,7 +204,7 @@ object KMeans {
     * by multiplicative-hash order (replayable, unlike `random.java:41,81`). */
   def deterministicSeeds(features: DataFrame, k: Int): Seq[Long] =
     features.select(col("id"))
-      .orderBy(pmod(col("id") * lit(2654435761L), lit(1000000007L)), col("id"))
+      .orderBy(seedHashOrder, col("id"))
       .limit(k).collect().map(_.getLong(0)).toSeq
 
   /** A8 — seeded random k-sample of distinct ids (`random.java:29-118`,
