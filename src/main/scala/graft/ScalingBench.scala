@@ -50,6 +50,7 @@ object ScalingBench {
     "q45b_simhash_wide",    // SimHash hamming banding (48-bit fingerprint)
     "q45c_simhash_assign",  // SimHash ASSIGNMENTS (linear output — the 100-TB form)
     "q48_dedup_apply",      // MinHash-LSH end-to-end + CC + anti-join
+    "q212_hamming_autotune", // hamming-block chooser (the text-side handoff census)
     "q53_embed_neardup",    // hyperplane-LSH cosine pairs
     "q66_winnow_pairs",     // winnowing fingerprint pairs
     "q67_semantic_dedup",   // SemDeDup end-to-end

@@ -512,7 +512,7 @@ object Similarity {
     vecs
       .withColumn("cell",
         org.apache.spark.sql.graftnative.VectorExpressions.nearestCellTwoLevel(
-          col("embedding"), keep.map(coarse), keep.map(members), fine))
+          col("embedding"), keep.map(coarse), keep.map(members), fine, CoarseProbe))
       .withColumn("coarse",
         element_at(array(coarseOf.map(g => lit(g)): _*), col("cell") + 1))
   }
@@ -541,6 +541,15 @@ object Similarity {
     * same constant): the quantizer-over-quantizer only needs to split
     * the centroid set into balanced neighborhoods, not converge. */
   val CoarseIters: Int = 1
+
+  /** Coarse groups probed per vector during two-level assignment. TWO,
+    * measured: with 1, boundary vectors misroute into larger fine
+    * cells and the ×512 chooser table priced the resulting
+    * verify-pair inflation (~35%) above the entire routing saving;
+    * probing the runner-up group recovers the boundary cases at
+    * +√k folds per row — the same boundary trick as the fine tier's
+    * two-cell membership. */
+  val CoarseProbe: Int = 2
 
   /** SEMANTIC decontamination through the IVF cell index — the
     * index-tier twin of [[semanticDecontaminate]] (whose sign-band
@@ -711,23 +720,26 @@ object Similarity {
       val ivf = bucketCosts(
         assignCells(e, centroids).groupBy(col("cell")).agg(count(lit(1)).as("n")),
         s"ivf_k$kCells", n * kCells)
-      // two-level routing plan: per vector kCoarse coarse folds + that
-      // group's member-list folds, so routing_ops is DATA-dependent
-      // (Σ |members(routed group)|) and measured from the same census
-      // pass that counts verify pairs; flat IVF's n·k routing is what
-      // this tier exists to beat once k = n/4096 grows past ~√n
+      // two-level routing plan: per vector kCoarse coarse folds + the
+      // TWO probed groups' member-list folds (CoarseProbe — see its
+      // scaladoc for the measured reason), so routing_ops is
+      // DATA-dependent (Σ |members(probed groups)|); flat IVF's n·k
+      // routing is what this tier exists to beat once k = n/4096
+      // grows past ~√n
       val kCoarse = math.ceil(math.sqrt(kCells.toDouble)).toInt
       val (coarse, members) = learnCoarseCells(centroids, kCoarse, CoarseIters)
-      val kept = members.count(_.nonEmpty)
-      val memCnt = array(members.map(m => lit(m.size.toLong)): _*)
+      val kept = members.indices.filter(members(_).nonEmpty)
+      val keptCnt = array(kept.map(g => lit(members(g).size.toLong)): _*)
+      val probedFolds = e.select(
+          explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
+            col("embedding"), kept.map(coarse), CoarseProbe)).as("gi"))
+        .agg(coalesce(sum(element_at(keptCnt, col("gi") + 1)), lit(0L)).cast("long"))
+        .head().getLong(0)
       val ivf2 = assignCellsTwoLevel(e, centroids, coarse, members)
-        .groupBy(col("cell"), col("coarse")).agg(count(lit(1)).as("n"))
-        .agg(
-          coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).cast("long").as("verify_pairs"),
-          (lit(n * kept) + coalesce(sum(col("n") * element_at(memCnt, col("coarse") + 1)),
-            lit(0L))).cast("long").as("routing_ops"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).cast("long").as("verify_pairs"))
         .select(lit(s"ivf2_k${kCells}c$kCoarse").as("plan"), lit(n).as("n_vectors"),
-          col("routing_ops"), col("verify_pairs"))
+          lit(n * kept.size + probedFolds).as("routing_ops"), col("verify_pairs"))
       val all = (bandCosts :+ ivf :+ ivf2).reduce(_ unionAll _)
         .withColumn("cost", col("routing_ops") + col("verify_pairs"))
       val w = Window.orderBy(col("cost"), col("plan")) // ≤ |plans| rows — config-sized

@@ -193,9 +193,11 @@ object PipelineQueries {
     * two-middle average, empty groups keep their init centroid via the
     * grid LEFT JOIN), final member map `gm` (cell → gcell), routing
     * restricted to gcells PRESENT in gm (`cgk` — the Scala side's
-    * non-empty-group filter, original ids kept), per-vector nearest
-    * kept coarse group `vg`, then nearest fine cell WITHIN the routed
-    * group's members `tl` (vec_id, gcell, cell). */
+    * non-empty-group filter, original ids kept), per-vector TWO
+    * nearest kept coarse groups `vg` (Similarity.CoarseProbe = 2),
+    * then nearest fine cell over the probed groups' member UNION
+    * `tl` (vec_id, gcell, cell) — rank by (d2, cell) matches the
+    * kernel's explicit lower-cell tie-break across groups. */
   private def twoLevelCtes(kCoarse: Int, fineCte: String): String = {
     def d2(x: String, c: String) = Similarity.d2Sql(x, c)
     s"""cinit AS (
@@ -230,7 +232,7 @@ object PipelineQueries {
        |  SELECT vec_id, embedding, gcell FROM (
        |    SELECT e.vec_id, e.embedding, g.gcell,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.embedding", "g.c")}, g.gcell) AS rn
-       |    FROM embeddings e, cgk g) WHERE rn = 1),
+       |    FROM embeddings e, cgk g) WHERE rn <= 2),
        |tl AS (
        |  SELECT vec_id, gcell, cell FROM (
        |    SELECT v.vec_id, v.gcell, m.cell,
@@ -3771,7 +3773,8 @@ object PipelineQueries {
     // k = n/4096 — O(n²/4096), the caveat that binds the IVF tier past
     // ~10⁸ vectors. This routes through ceil(√k) coarse groups learned
     // OVER the fine centroids (driver-local k-medians, same recipe),
-    // then argmins only the routed group's members: O(n·√k). The
+    // probes the TWO nearest groups, and argmins their member union:
+    // O(n·√k), boundary misroutes recovered (CoarseProbe scaladoc). The
     // oracle unrolls BOTH quantizer levels plus the flat argmin, so
     // the hash gate covers the coarse training, the member map, the
     // approximate route AND its agreement with the exact route

@@ -196,24 +196,31 @@ object VectorKernels {
       java.util.Arrays.copyOf(bestC, p))
   }
 
-  /** Two-level IVF routing: argmin over the kCoarse group centroids
-    * (O(√k)), then argmin over ONLY that group's member fine cells —
-    * O(kCoarse + |members|) ≈ O(2√k) distance folds per row instead of
-    * the flat quantizer's O(k). Same per-fold arithmetic and
-    * lower-id tie-breaks as [[nearestCell]] at both levels, so the
-    * unrolled SQL oracle replays it exactly. `members(g)` holds group
-    * g's fine-cell ids; a routed group is never empty by construction
-    * (every coarse centroid is the median of ≥0 members but groups
-    * that lost all members keep no entry — callers guarantee total
-    * membership). Returns the FINE cell id. */
+  /** Two-level IVF routing: the `nprobe` nearest coarse groups (O(√k)
+    * insertion, same (d, id)-ascending contract as [[nearestCells]]),
+    * then argmin over ONLY those groups' member fine cells —
+    * O(kCoarse + nprobe·|members|) ≈ O(3√k) distance folds per row at
+    * nprobe = 2 instead of the flat quantizer's O(k). Probing TWO
+    * coarse groups is what makes the tier usable: single-coarse
+    * routing misroutes boundary vectors into larger cells, and the
+    * measured ×512 chooser table showed that inflating verify_pairs
+    * by ~35% — more than the entire routing saving. Same per-fold
+    * arithmetic as [[nearestCell]]; fine-level ties break to the
+    * LOWER cell id explicitly (members of a later-probed group can
+    * tie a cell from an earlier one), so the unrolled SQL oracle
+    * (rank by d2, cell over the probed union) replays it exactly.
+    * Returns the FINE cell id. */
   def nearestCellTwoLevel(x: ArrayData, coarse: Array[Array[Double]],
-      members: Array[Array[Int]], fine: Array[Array[Double]]): Int = {
+      members: Array[Array[Int]], fine: Array[Array[Double]],
+      nprobe: Int): Int = {
     val n = fine(0).length
     checkDim(x.numElements(), n, "centroid matrix")
-    var bestG = 0
-    var bestGD = Double.PositiveInfinity
+    val k = coarse.length
+    val p = math.min(nprobe, k)
+    val bestGD = Array.fill(p)(Double.PositiveInfinity)
+    val bestG = Array.fill(p)(Int.MaxValue)
     var g = 0
-    while (g < coarse.length) {
+    while (g < k) {
       val c = coarse(g)
       var acc = 0.0
       var i = 0
@@ -222,26 +229,36 @@ object VectorKernels {
         acc += d * d
         i += 1
       }
-      if (acc < bestGD) { bestGD = acc; bestG = g }
+      var pos = p
+      while (pos > 0 && acc < bestGD(pos - 1)) pos -= 1
+      if (pos < p) {
+        var m = p - 1
+        while (m > pos) { bestGD(m) = bestGD(m - 1); bestG(m) = bestG(m - 1); m -= 1 }
+        bestGD(pos) = acc
+        bestG(pos) = g
+      }
       g += 1
     }
-    val mem = members(bestG)
-    var best = mem(0)
+    var best = -1
     var bestD = Double.PositiveInfinity
-    var m = 0
-    while (m < mem.length) {
-      val c = fine(mem(m))
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val d = x.getFloat(i).toDouble - c(i)
-        acc += d * d
-        i += 1
+    var gi = 0
+    while (gi < p) {
+      val mem = members(bestG(gi))
+      var m = 0
+      while (m < mem.length) {
+        val cell = mem(m)
+        val c = fine(cell)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val d = x.getFloat(i).toDouble - c(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD || (acc == bestD && cell < best)) { bestD = acc; best = cell }
+        m += 1
       }
-      // members arrive in ascending fine-cell order, so strict < keeps
-      // the lower cell id on exact ties
-      if (acc < bestD) { bestD = acc; best = mem(m) }
-      m += 1
+      gi += 1
     }
     best
   }
@@ -300,8 +317,8 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
 }
 
 /** Two-level IVF coarse routing — [[NearestCell]] with a second
-  * quantizer level: argmin over kCoarse group centroids, then argmin
-  * over that group's member fine cells only. The flat quantizer's
+  * quantizer level: the `nprobe` nearest of kCoarse group centroids,
+  * then argmin over those groups' member fine cells only. The flat quantizer's
   * routing is O(n·k) with k ∝ n (cell populations pinned at
   * CellTargetPop), i.e. O(n²/4096) — it binds past ~10⁸ vectors; this
   * is the documented next tier, O(n·√k) with identical per-fold
@@ -311,8 +328,9 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
   * the chooser (q219 family) decides when the routing saving pays. */
 case class NearestCellTwoLevel(child: Expression,
     coarse: Array[Array[Double]], members: Array[Array[Int]],
-    fine: Array[Array[Double]])
+    fine: Array[Array[Double]], nprobe: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(nprobe >= 1, "nprobe must be >= 1")
   require(coarse.length == members.length,
     s"${coarse.length} coarse cells but ${members.length} member lists")
   require(members.forall(_.nonEmpty), "every coarse group needs >= 1 member fine cell")
@@ -322,14 +340,14 @@ case class NearestCellTwoLevel(child: Expression,
   override def prettyName: String = "graft_nearestcell2"
 
   override def nullSafeEval(a: Any): Any =
-    VectorKernels.nearestCellTwoLevel(a.asInstanceOf[ArrayData], coarse, members, fine)
+    VectorKernels.nearestCellTwoLevel(a.asInstanceOf[ArrayData], coarse, members, fine, nprobe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val g = ctx.addReferenceObj("coarse", coarse, "double[][]")
     val mm = ctx.addReferenceObj("members", members, "int[][]")
     val f = ctx.addReferenceObj("fine", fine, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.graftnative.VectorKernels.nearestCellTwoLevel($a, $g, $mm, $f);")
+      s"${ev.value} = org.apache.spark.sql.graftnative.VectorKernels.nearestCellTwoLevel($a, $g, $mm, $f, $nprobe);")
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCellTwoLevel =
@@ -395,10 +413,10 @@ object VectorExpressions {
       centroids.map(_.toArray).toArray, nprobe))
 
   def nearestCellTwoLevel(x: Column, coarse: Seq[Seq[Double]],
-      members: Seq[Seq[Int]], fine: Seq[Seq[Double]]): Column =
+      members: Seq[Seq[Int]], fine: Seq[Seq[Double]], nprobe: Int = 2): Column =
     ExpressionUtils.column(NearestCellTwoLevel(ExpressionUtils.expression(x),
       coarse.map(_.toArray).toArray, members.map(_.toArray).toArray,
-      fine.map(_.toArray).toArray))
+      fine.map(_.toArray).toArray, nprobe))
 
   def fdot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(

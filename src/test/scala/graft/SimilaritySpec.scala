@@ -225,8 +225,12 @@ class SimilaritySpec extends SparkSpec {
     val kept = members.indices.filter(members(_).nonEmpty)
     rows.foreach { r =>
       val x = embMap(r.getLong(0)).toSeq
-      val g = kept.minBy(gi => (d2(x, coarse(gi)), gi))
-      val cell = members(g).minBy(c => (d2(x, fine(c)), c))
+      // two probed coarse groups, argmin over their member union,
+      // ties to the lower fine cell id (the CoarseProbe=2 contract)
+      val probed = kept.sortBy(gi => (d2(x, coarse(gi)), gi)).take(2)
+      val cand = probed.flatMap(members)
+      val cell = cand.minBy(c => (d2(x, fine(c)), c))
+      val g = probed.find(members(_).contains(cell)).get
       assert(r.getAs[Int]("coarse") === g, s"vec ${r.getLong(0)} routed group")
       assert(r.getAs[Int]("cell") === cell, s"vec ${r.getLong(0)} routed cell")
       // flat_cell is the exact argmin over ALL fine cells
