@@ -241,4 +241,28 @@ object Maintenance {
     tables.foreach { t =>
       spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
     }
+
+  /** ANALYZE with EQUI-HEIGHT HISTOGRAMS on the named columns.
+    * min/max/ndv column stats assume a uniform distribution: a range
+    * predicate over a right-skewed column (events.value — median 35,
+    * max 490) estimates `value > 220` at ~55% by min-max interpolation
+    * when the truth is ~1%, and CBO sizes the whole downstream join
+    * graph off that 50× error. The histogram's per-bin bounds make the
+    * estimate bin-accurate (CboSpec measures both states on the real
+    * table). `spark.sql.statistics.histogram.enabled` is read at
+    * ANALYZE time — it controls whether the histogram is BUILT (one
+    * extra aggregation pass per column); plan-time use needs only
+    * cbo.enabled, which GraftRuntime sets. */
+  def analyzeWithHistograms(spark: org.apache.spark.sql.SparkSession,
+      table: String, columns: Seq[String]): Unit = {
+    val key = "spark.sql.statistics.histogram.enabled"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

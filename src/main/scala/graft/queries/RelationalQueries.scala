@@ -1622,6 +1622,46 @@ object RelationalQueries {
              |WHERE r_name = 'EUROPE'
              |GROUP BY n_name""".stripMargin)),
 
+    // ---- CBO histogram stats on a skewed column -------------------------
+    // q211/q213 prove ANALYZE-driven join reordering; this row extends
+    // the stats tier to EQUI-HEIGHT HISTOGRAMS, the piece uniform
+    // min/max/ndv stats cannot supply: events.value is right-skewed
+    // (median ~35, max ~490), so min-max interpolation estimates
+    // `value > 220` at ~55% when the truth is ~1% — and CBO sizes the
+    // filtered side's joins off that 50× error (a side that SHOULD
+    // broadcast plans as a full sort-merge at scale). Maintenance runs
+    // once per JVM (the q211 ADVICE split) with histogram build
+    // enabled; the query is the filtered self-enrichment join whose
+    // build-side choice the estimate governs. CboSpec measures both
+    // estimate states on this very table and pins the plan flip under
+    // a threshold window; the oracle gates the query's DATA (results
+    // are plan-independent). ts stays out of the declared schema (the
+    // parquet column is TIMESTAMP(NANOS); the query reads only
+    // event_id/user_id/value). ----
+    QueryDef("q224_cbo_histogram",
+      (s, dir) => {
+        OncePerJvm(s"g224_analyze:$dir") {
+          s.sql("DROP TABLE IF EXISTS g224_events")
+          s.sql(s"""CREATE TABLE g224_events
+                   |(event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+                   |USING parquet LOCATION '$dir/events.parquet'""".stripMargin)
+          graft.operators.Maintenance.analyzeWithHistograms(
+            s, "g224_events", Seq("value", "user_id"))
+        }
+        s.sql("""SELECT e.event_id, e.user_id, e.value, u.n_events
+                |FROM g224_events e
+                |JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                |      FROM g224_events GROUP BY user_id) u
+                |  ON e.user_id = u.user_id
+                |WHERE e.value > 220""".stripMargin)
+      },
+      Some("""SELECT e.event_id, e.user_id, e.value, u.n_events
+             |FROM events e
+             |JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+             |      FROM events GROUP BY user_id) u
+             |  ON e.user_id = u.user_id
+             |WHERE e.value > 220""".stripMargin)),
+
     // ---- dynamic partition pruning --------------------------------------
     // The fact table is laid out partitioned by day (the layout a 100-TB
     // event store ships with); the dim side — distinct days filtered to

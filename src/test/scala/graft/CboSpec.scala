@@ -63,4 +63,82 @@ class CboSpec extends SparkSpec {
       }
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("histogram column stats fix range selectivity on the skewed value column; join side flips to broadcast") {
+    import org.apache.spark.sql.functions._
+    // the REAL events table: value is right-skewed (median ~35, max
+    // ~490), the q224 surface
+    spark.sql("DROP TABLE IF EXISTS cbo_events")
+    try {
+      spark.sql("""CREATE TABLE cbo_events
+                  |(event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+                  |USING parquet LOCATION '/root/testdata/sf0.01/events.parquet'""".stripMargin)
+      val filtered = "SELECT event_id, user_id, value FROM cbo_events WHERE value > 220"
+      val truth = spark.sql(filtered).count()
+      val total = spark.table("cbo_events").count()
+      assert(truth > 0 && truth < total / 20, "fixture: the predicate must be selective")
+
+      def estimate(): BigInt =
+        spark.sql(filtered).queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(sys.error("no CBO row count — is cbo.planStats off?"))
+
+      // plain column stats: min-max interpolation on a skewed column
+      // massively over-estimates the range predicate
+      Maintenance.analyzeForCbo(spark, Seq("cbo_events"))
+      val uniform = estimate()
+      assert(uniform > BigInt(3) * truth,
+        s"fixture: the uniform estimate should over-estimate >=3x (got $uniform vs true $truth) — " +
+          "if this starts failing the distribution changed and the test needs a new predicate")
+
+      // equi-height histograms: bin-accurate estimate, within 2x
+      Maintenance.analyzeWithHistograms(spark, "cbo_events", Seq("value", "user_id"))
+      val hist = estimate()
+      assert(hist <= BigInt(2) * truth && BigInt(2) * hist >= truth,
+        s"histogram estimate must be within 2x of truth, got $hist vs $truth")
+
+      // the estimate governs the plan: under a threshold window sized
+      // BETWEEN the two estimates' byte sizes, the filtered side is
+      // broadcastable only once the histogram corrects it. The OTHER
+      // side is the FULL table (a self-enrichment join), so it can
+      // never broadcast under the window — the flip isolates the
+      // filtered side's estimate. The window is re-derived from the
+      // measured estimates so the test tracks the data rather than
+      // hardcoding bytes.
+      val join = """SELECT e.event_id, a.event_id AS other_id, e.user_id
+                   |FROM cbo_events e
+                   |JOIN cbo_events a ON e.user_id = a.user_id
+                   |WHERE e.value > 220""".stripMargin
+      def filteredScanBytes(): BigInt =
+        spark.sql(filtered).queryExecution.optimizedPlan.stats.sizeInBytes
+      val histBytes = filteredScanBytes()
+      // ANALYZE FOR ALL COLUMNS rebuilds column stats WITHOUT
+      // histograms (histogram.enabled is off outside the helper), so
+      // this genuinely restores the uniform state:
+      Maintenance.analyzeForCbo(spark, Seq("cbo_events"))
+      val uniformBytes = filteredScanBytes()
+      assert(uniformBytes > histBytes,
+        s"fixture: uniform state must estimate more bytes ($uniformBytes vs $histBytes)")
+      val threshold = (histBytes + (uniformBytes - histBytes) / 2).toLong
+      def buildSides(q: String): Seq[String] =
+        spark.sql(q).queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => "bhj"
+          case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "smj"
+        }
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+        val without = buildSides(join)
+        Maintenance.analyzeWithHistograms(spark, "cbo_events", Seq("value", "user_id"))
+        val withHist = buildSides(join)
+        assert(without.contains("smj"),
+          s"uniform over-estimate must deny the broadcast under the window, got $without")
+        assert(withHist.contains("bhj") && !withHist.contains("smj"),
+          s"histogram estimate must let the filtered side broadcast, got $withHist")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+      // and the data is plan-independent (the q224 oracle's contract)
+      assert(spark.sql(join).count() > truth,
+        "every filtered event joins all of its user's events")
+    } finally spark.sql("DROP TABLE IF EXISTS cbo_events")
+  }
 }
