@@ -246,7 +246,22 @@ object Cli {
       val corpus = spark.read.parquet(corpusPath)
       val nRead = corpus.count()
 
-      val survivors = graft.operators.Dedup.ensembleDedupApply(corpus, tau)
+      // --hamming-plan measured spends one chooser census and runs the
+      // ensemble's simhash banding at ITS (m, c) pick; --hamming-plan M:C
+      // pins an explicit plan. Assignments are plan-invariant (pigeonhole
+      // exactness, DedupSpec pin) — this only moves the candidate cost.
+      val simhashPlan = o.get("hamming-plan").map {
+        case "measured" =>
+          val p = graft.operators.Dedup.measuredSimhashPlan(corpus)
+          println(s"[graft] release: measured hamming plan m=${p._1} c=${p._2}")
+          p
+        case s => s.split(":") match {
+          case Array(m, c) => (m.toInt, c.toInt)
+          case _ => sys.error(s"--hamming-plan expects 'measured' or M:C, got $s")
+        }
+      }
+      val survivors = graft.operators.Dedup
+        .ensembleDedupApply(corpus, tau, simhashPlan)
         .select("doc_id")
       val deduped = corpus.join(survivors, Seq("doc_id"), "left_semi")
         .localCheckpoint()
@@ -559,7 +574,7 @@ object Cli {
           |  delete-index  <indexDir> <idsParquet> [--buckets N]
           |  curate       <corpusParquet> <outDir> [--seq-len N]
           |  card         <corpusParquet> <outDir>
-          |  release      <corpusParquet> <outDir> [--bench P] [--jaccard T] [--seq-len N]
+          |  release      <corpusParquet> <outDir> [--bench P] [--jaccard T] [--seq-len N] [--hamming-plan measured|M:C]
           |  bpe          <corpusParquet> <outDir> [--merges N]
           |  dedup-eval   <corpusParquet> <outDir> [--jaccard T]
           |  plan         <tableParquet> <outDir>   (runs every applicable measured plan chooser)

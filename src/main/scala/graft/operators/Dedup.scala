@@ -1077,8 +1077,9 @@ object Dedup {
     * propose any genuinely-similar pair independently (that blind-spot
     * coverage is why the ensemble exists). DedupSpec pins survivor-set
     * equality against the exhaustive pair form on the spec corpus. */
-  def ensembleDedupApply(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame =
-    ensembleDedupImpl(corpus, minJaccard, starSimhash = true)
+  def ensembleDedupApply(corpus: DataFrame, minJaccard: Double = 0.5,
+      simhashPlan: Option[(Int, Int)] = None): DataFrame =
+    ensembleDedupImpl(corpus, minJaccard, starSimhash = true, simhashPlan)
 
   /** The pre-round-7 EXHAUSTIVE pair-form reference: the SimHash family
     * proposes every banded member pair (k(k−1)/2 candidate rows per
@@ -1091,7 +1092,7 @@ object Dedup {
     ensembleDedupImpl(corpus, minJaccard, starSimhash = false)
 
   private def ensembleDedupImpl(corpus: DataFrame, minJaccard: Double,
-      starSimhash: Boolean): DataFrame = {
+      starSimhash: Boolean, simhashPlan: Option[(Int, Int)] = None): DataFrame = {
     // ONE corpus scan derives every per-doc structure the ensemble needs
     // — shingle hashes (minhash + the verify sets), word hashes
     // (simhash), winnow fingerprints — materialized once with a lazy
@@ -1131,11 +1132,12 @@ object Dedup {
           .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
         val repEdges = bandedHammingPairs(
             reps.select(col("rep").as("doc_id"), col("simhash"), col("source")),
-            "simhash", 48, 6, blockCols = Seq("source"))
+            "simhash", 48, 6, blockCols = Seq("source"), plan = simhashPlan)
           .select(col("id_a"), col("id_b"))
         memberEdges.union(repEdges)
       } else
-        bandedHammingPairs(sh, "simhash", 48, 6, blockCols = Seq("source"))
+        bandedHammingPairs(sh, "simhash", 48, 6, blockCols = Seq("source"),
+            plan = simhashPlan)
           .select(col("id_a"), col("id_b"))
     val candidates =
       lshCandidates(lshBands(minhashSignaturesFrom(prep, 16), 4))
@@ -1342,9 +1344,21 @@ object Dedup {
     * output row per doc, linear at any cluster density. The component
     * minimum over representatives equals the component minimum over
     * docs (each rep is its group's min), so survivors match what
-    * [[simhashPairs]] + [[canonicalAssignments]] would have chosen. */
+    * [[simhashPairs]] + [[canonicalAssignments]] would have chosen.
+    *
+    * Plan selection (round-10 verdict #2, wired): `plan` pins the
+    * banding's (numBlocks, comboSize); `measurePlan = true` spends one
+    * [[hammingBlockPlanMeasured]] census over the rep-level hash set
+    * and uses ITS pick — the production form for corpora whose density
+    * regime is unknown. The chooser's own scaling table
+    * (`hamming_chooser_scales.json`) showed the static m=7/c=1 family's
+    * raw join stream reaching 10.3 G rows at the ×256 corpus where the
+    * measured pick (m=10/c=4) streams 0.73 G; since every exact plan
+    * yields IDENTICAL assignments (pigeonhole — DedupSpec pins it), the
+    * choice is purely a cost decision and safe to automate. */
   def simhashAssignments(corpus: DataFrame, maxHamming: Int = 6,
-      bits: Int = 48): DataFrame = {
+      bits: Int = 48, plan: Option[(Int, Int)] = None,
+      measurePlan: Boolean = false): DataFrame = {
     val sh = simhash(corpus, bits)
       .join(corpus.select(col("doc_id"), col("source")), "doc_id")
       // one row per doc, fanned out 3× below (reps, the rep join, and
@@ -1353,15 +1367,34 @@ object Dedup {
       .localCheckpoint(false)
     val reps = sh.groupBy(col("source"), col("simhash"))
       .agg(min(col("doc_id")).as("rep"))
+    val chosen = plan.orElse(if (measurePlan)
+      Some(hammingBlockPlanMeasured(
+        reps.select(col("simhash"), col("source")),
+        "simhash", bits, maxHamming, Seq("source")))
+      else None)
     val edges = bandedHammingPairs(
       reps.select(col("rep").as("doc_id"), col("simhash"), col("source")),
-      "simhash", bits, maxHamming, blockCols = Seq("source"))
+      "simhash", bits, maxHamming, blockCols = Seq("source"), plan = chosen)
       .select(col("id_a"), col("id_b"))
     val canon = canonicalAssignments(edges)
     sh.join(reps, Seq("source", "simhash"))
       .join(canon.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("rep")).as("canonical_id"))
+  }
+
+  /** The measured (numBlocks, comboSize) for a corpus's simhash rep set
+    * — what `Cli release --hamming-plan measured` feeds
+    * [[ensembleDedupApply]]. Costs one extra simhash pass plus the
+    * [[hammingPlanCosts]] census (sampled past 200 k distinct hashes);
+    * the chooser measures over DISTINCT (hash, source) rows, i.e.
+    * exactly the rep level the ensemble's banding joins. */
+  def measuredSimhashPlan(corpus: DataFrame, maxHamming: Int = 6,
+      bits: Int = 48): (Int, Int) = {
+    val sh = simhash(corpus, bits)
+      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    hammingBlockPlanMeasured(sh.select(col("simhash"), col("source")),
+      "simhash", bits, maxHamming, Seq("source"))
   }
 
   /** Upper bound on the DOC-level pair rows [[simhashPairs]] can emit —
@@ -1469,6 +1502,22 @@ object Dedup {
     * geometrically. Chosen by maximizing log2(selectivity) = keyWidth −
     * log2(C(m, c)) under a fan-out cap of 96 rows per hash: 48-bit/k=6
     * → (m=9, c=3), 84 keys of ~16 bits (vs 7 keys of ~7 bits). */
+  /** Resolve an optional caller-supplied (numBlocks, comboSize) against
+    * the static rule, rejecting plans that would break the pigeonhole
+    * EXACTNESS guarantee (a hamming-≤k pair agrees on ≥ m−c blocks only
+    * when m − c ≥ k) loudly rather than dropping pairs silently. */
+  private def validatedPlan(plan: Option[(Int, Int)], bits: Int,
+      maxHamming: Int): (Int, Int) = plan match {
+    case None => hammingBlockPlan(bits, maxHamming)
+    case Some((m, c)) =>
+      require(c >= 1 && m <= bits && m - c >= maxHamming,
+        s"hamming block plan (numBlocks=$m, comboSize=$c) is not exact for " +
+          s"bits=$bits maxHamming=$maxHamming: need 1 <= comboSize, " +
+          "numBlocks <= bits and numBlocks - comboSize >= maxHamming " +
+          "(pigeonhole: a qualifying pair must agree on a full combo)")
+      (m, c)
+  }
+
   private[graft] def hammingBlockPlan(bits: Int, maxHamming: Int): (Int, Int) = {
     // Density regime decides the plan (both measured at the ×16 scaling
     // corpus): a NARROW fingerprint (< 32 bits) with radius 6 has a
@@ -1652,9 +1701,15 @@ object Dedup {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** `plan` overrides the static (numBlocks, comboSize) rule with a
+    * caller-supplied one (normally [[hammingBlockPlanMeasured]]'s pick);
+    * any plan with numBlocks − comboSize ≥ maxHamming is EXACT by the
+    * same pigeonhole argument, so the output is plan-invariant — only
+    * the candidate-generation cost moves (DedupSpec pins invariance). */
   private[graft] def bandedHammingPairs(sh: DataFrame, hashCol: String,
-      bits: Int, maxHamming: Int, blockCols: Seq[String]): DataFrame = {
-    val (numBlocks, comboSize) = hammingBlockPlan(bits, maxHamming)
+      bits: Int, maxHamming: Int, blockCols: Seq[String],
+      plan: Option[(Int, Int)] = None): DataFrame = {
+    val (numBlocks, comboSize) = validatedPlan(plan, bits, maxHamming)
     val members = sh.select((Seq(col("doc_id"), col(hashCol).as("h"))
       ++ blockCols.map(col)): _*)
     // hot-key defense: the combo-key join runs over DISTINCT (hash, block)

@@ -628,6 +628,50 @@ object PipelineQueries {
            |LEFT JOIN canon c ON c.rep = r.rep""".stripMargin
       }),
 
+    // q45c through the MEASURED plan chooser (round-10 verdict #2): one
+    // hammingPlanCosts census over the rep-level hash set picks the
+    // banding's (numBlocks, comboSize), then the identical assignment
+    // pipeline runs at that pick. Every exact plan yields the same
+    // assignments (pigeonhole; DedupSpec pins invariance across the
+    // whole plan family), so the oracle is q45c's — exhaustive rep-level
+    // all-pairs + recursive reachability — and the hash gate covers the
+    // measured path end-to-end. The chooser's value is at scale: at the
+    // ×256 corpus the static m=7/c=1 family's raw join stream is 10.3 G
+    // rows vs the measured pick's 0.73 G (hamming_chooser_scales.json).
+    QueryDef("q45d_simhash_assign_measured",
+      (s, dir) => Dedup.simhashAssignments(
+        Dedup.withNearDuplicates(Tables.load(s, dir, "documents")),
+        measurePlan = true),
+      Some {
+        val bits = 48
+        val sums = (0 until bits).map(b =>
+          simhashBitSql(b)).mkString(", ")
+        val packed = (0 until bits).map(b =>
+          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+        s"""WITH RECURSIVE $nearDupCorpus,
+           |ex AS (SELECT doc_id, unnest(${TextHash.wordHashesSql("text")}) AS wh FROM corpus),
+           |sums AS (SELECT doc_id, $sums FROM ex GROUP BY 1),
+           |shh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+           |        FROM sums s JOIN corpus c ON c.doc_id = s.doc_id),
+           |reps AS (SELECT source, simhash, min(doc_id) AS rep FROM shh GROUP BY 1, 2),
+           |e0 AS (SELECT a.rep AS id_a, b.rep AS id_b
+           |       FROM reps a JOIN reps b
+           |         ON a.source = b.source AND a.rep < b.rep
+           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |bi AS (SELECT id_a AS src, id_b AS dst FROM e0
+           |       UNION ALL SELECT id_b, id_a FROM e0),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM bi
+           |  UNION
+           |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+           |canon AS (SELECT src AS rep, least(src, min(dst)) AS canonical_id
+           |          FROM reach GROUP BY src)
+           |SELECT d.doc_id, COALESCE(c.canonical_id, r.rep) AS canonical_id
+           |FROM shh d
+           |JOIN reps r ON r.source = d.source AND r.simhash = d.simhash
+           |LEFT JOIN canon c ON c.rep = r.rep""".stripMargin
+      }),
+
     // Incremental ingest: the injected near-dup copies play the "new
     // batch", the raw documents the accumulated corpus; batch bands join
     // corpus bands, exact-Jaccard verify.

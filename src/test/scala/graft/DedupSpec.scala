@@ -300,6 +300,34 @@ class DedupSpec extends SparkSpec {
     assert(assign.exists { case (d, c) => d != c }, "fixture must contain real clusters")
   }
 
+  test("simhashAssignments are plan-invariant: static, pinned wide/classic, and measured picks agree") {
+    // pigeonhole exactness: ANY (m, c) with m - c >= maxHamming finds the
+    // same edge set, so assignments must be byte-identical under every
+    // plan — the property that makes the q212 chooser's pick safe to wire
+    // in (round-10 verdict #2). Covers the full plan family the chooser
+    // prices (c = 1..4) including the widest (m=10, c=4 — the 210-combo
+    // plan that needed the native generator), plus the measured path.
+    val docs = Dedup.withNearDuplicates(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val reference = Dedup.simhashAssignments(docs, 6, 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reference.nonEmpty)
+    val variants = Seq(
+      "m=7 c=1" -> Dedup.simhashAssignments(docs, 6, 48, plan = Some((7, 1))),
+      "m=8 c=2" -> Dedup.simhashAssignments(docs, 6, 48, plan = Some((8, 2))),
+      "m=10 c=4" -> Dedup.simhashAssignments(docs, 6, 48, plan = Some((10, 4))),
+      "measured" -> Dedup.simhashAssignments(docs, 6, 48, measurePlan = true))
+    variants.foreach { case (label, df) =>
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference, s"plan $label diverged from the static plan")
+    }
+    // an inexact plan must be rejected loudly, not silently drop pairs
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashAssignments(docs, 6, 48, plan = Some((6, 1))).collect()
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("ensemble star-form SimHash feed: survivor set identical to the exhaustive pair form") {
     val docs = Dedup.withNearDuplicates(
       Tables.load(spark, "/root/testdata/sf0.001", "documents"))
