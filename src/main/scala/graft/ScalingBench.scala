@@ -156,7 +156,10 @@ object ScalingBench {
 
   final case class Point(query: String, scale: Int, sec: Double, rows: Long,
                          shuffleReadB: Long, shuffleWriteB: Long,
-                         diskSpillB: Long, memSpillB: Long)
+                         diskSpillB: Long, memSpillB: Long,
+                         reps: Int = 2, envRerun: Boolean = false,
+                         priorSec: Option[Double] = None,
+                         envSuspect: Boolean = false)
 
   /** Times one query at one scale (noop-sink materialization, same
     * honesty contract as Bench) and counts its output rows — the
@@ -171,9 +174,10 @@ object ScalingBench {
     * exponent: on a real cluster the network pays for those bytes. */
   def measure(spark: SparkSession, name: String, dir: String, scale: Int,
               reps: Int,
-              probe: org.apache.spark.graftnative.TaskMetricsProbe): Point = {
+              probe: org.apache.spark.graftnative.TaskMetricsProbe,
+              prior: Option[(Double, Double)] = None): Point = {
     val fn = Bench.registry.toMap.apply(name)
-    val runs = (1 to reps).map { _ =>
+    def oneRep(): (Double, (Long, Long, Long, Long)) = {
       probe.reset()
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -186,6 +190,29 @@ object ScalingBench {
       if (leaked.nonEmpty) { leaked.values.foreach(_.unpersist(true)); System.gc() }
       (t, m)
     }
+    var runs = (1 to reps).map(_ => oneRep())
+    // env_suspect auto re-run (round-10 verdict #6, replacing the manual
+    // q53-×64-splice convention): if this point's shuffle bytes match the
+    // last COMMITTED run within 2% (same plan, same data — bytes are
+    // host-invariant) while its min wall reads ≥ 2× slower, the box is
+    // the suspect, not the code: re-run to 4 reps total and take the
+    // overall min, recording the provenance in the JSON instead of a
+    // hand-spliced point + SCALING.md footnote.
+    def bytesMb(m: (Long, Long, Long, Long)): Double = (m._1 + m._2) / 1e6
+    def bytesClose(m: (Long, Long, Long, Long)): Boolean = prior.exists {
+      case (_, pMb) =>
+        val b = bytesMb(m)
+        (b <= pMb * 1.02 && b >= pMb * 0.98) || (pMb < 1.0 && b < 1.0)
+    }
+    def wallSuspect(sec: Double): Boolean =
+      prior.exists { case (pSec, _) => pSec > 0 && sec >= 2.0 * pSec }
+    val firstMin = runs.minBy(_._1)
+    val rerun = bytesClose(firstMin._2) && wallSuspect(firstMin._1)
+    if (rerun) {
+      System.err.println(s"[scaling] $name x$scale env-suspect " +
+        f"(${firstMin._1}%.2f s vs committed ${prior.get._1}%.2f s, bytes match) - re-running to 4 reps")
+      runs ++= (runs.size until 4).map(_ => oneRep())
+    }
     val rows = fn(spark, dir).count()
     // fence the count job's task-end events too: without this drain
     // they can still be queued when the NEXT query's reset() runs and
@@ -194,7 +221,9 @@ object ScalingBench {
     val leaked = spark.sparkContext.getPersistentRDDs
     if (leaked.nonEmpty) { leaked.values.foreach(_.unpersist(true)); System.gc() }
     val (sec, (sr, sw, ds, ms)) = runs.minBy(_._1)
-    Point(name, scale, sec, rows, sr, sw, ds, ms)
+    Point(name, scale, sec, rows, sr, sw, ds, ms,
+      reps = runs.size, envRerun = rerun, priorSec = prior.map(_._1),
+      envSuspect = rerun && bytesClose((sr, sw, ds, ms)) && wallSuspect(sec))
   }
 
   /** Locale-stable decimal rendering for the JSON artifact (the f
@@ -240,20 +269,74 @@ object ScalingBench {
     catch { case _: Throwable => () }
 
     val probe = org.apache.spark.graftnative.TaskMetricsProbe.install(spark.sparkContext)
+    // the committed scaling_result.json doubles as (a) the env-suspect
+    // reference per (query, scale) and (b) the merge base: points NOT
+    // re-measured this run are carried over verbatim, so a subset run
+    // can no longer silently drop the committed history (the round-7
+    // 41-lost-rows ADVICE class, closed at the tool level)
+    val priorRaw = readPrior("scaling_result.json")
     val points = for (name <- names; r <- scales.sorted) yield {
-      val p = measure(spark, name, dirs(r), r, reps, probe)
-      System.err.println(f"[scaling] ${p.query}%-24s x${p.scale}%-3d ${p.sec}%8.2f s  ${p.rows}%10d rows  shW=${p.shuffleWriteB / 1e6}%9.1f MB  spill=${p.diskSpillB / 1e6}%7.1f MB")
+      val p = measure(spark, name, dirs(r), r, reps, probe,
+        priorRaw.get((name, r)).map { case (sec, rdMb, wrMb) => (sec, rdMb + wrMb) })
+      System.err.println(f"[scaling] ${p.query}%-24s x${p.scale}%-3d ${p.sec}%8.2f s  ${p.rows}%10d rows  shW=${p.shuffleWriteB / 1e6}%9.1f MB  spill=${p.diskSpillB / 1e6}%7.1f MB" +
+        (if (p.envRerun) s"  reps=${p.reps} env_suspect=${p.envSuspect}" else ""))
       p
     }
 
-    val json = points.map(p =>
+    val measured = points.map(p => (p.query, p.scale)).toSet
+    val carried = priorLines("scaling_result.json")
+      .filterNot { case ((q, s), _) => measured((q, s)) }.values.toSeq
+    val json = (carried ++ points.map(p =>
         s"""{"query":"${p.query}","scale":${p.scale},"sec":${dstr(p.sec, 3)},"rows":${p.rows},""" +
         s""""shuffle_read_mb":${dstr(p.shuffleReadB / 1e6, 1)},"shuffle_write_mb":${dstr(p.shuffleWriteB / 1e6, 1)},""" +
-        s""""disk_spill_mb":${dstr(p.diskSpillB / 1e6, 1)},"mem_spill_mb":${dstr(p.memSpillB / 1e6, 1)}}""")
+        s""""disk_spill_mb":${dstr(p.diskSpillB / 1e6, 1)},"mem_spill_mb":${dstr(p.memSpillB / 1e6, 1)},""" +
+        s""""reps":${p.reps}""" +
+        (if (p.envRerun)
+          s""","env_rerun":true,"prior_sec":${dstr(p.priorSec.get, 3)},"env_suspect":${p.envSuspect}"""
+         else "") + "}"))
       .mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("scaling_result.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
   }
+
+  /** (sec, shuffle_read_mb, shuffle_write_mb) per committed (query, scale)
+    * — the env-suspect reference. Absent/malformed files read empty. */
+  private def readPrior(path: String): Map[(String, Int), (Double, Double, Double)] = try {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(p))
+    if (!root.isArray) return Map.empty
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.flatMap { n =>
+      for {
+        q <- Option(n.get("query")).map(_.asText)
+        s <- Option(n.get("scale")).map(_.asInt)
+        sec <- Option(n.get("sec")).map(_.asDouble)
+      } yield (q, s) -> ((sec,
+        Option(n.get("shuffle_read_mb")).map(_.asDouble).getOrElse(0.0),
+        Option(n.get("shuffle_write_mb")).map(_.asDouble).getOrElse(0.0)))
+    }.toMap
+  } catch { case e: Throwable =>
+    System.err.println(s"[scaling] prior scaling_result.json unreadable: $e"); Map.empty
+  }
+
+  /** The committed file's rows re-serialized verbatim-equivalent (via
+    * Jackson), keyed by (query, scale), for the carry-over merge. */
+  private def priorLines(path: String): Map[(String, Int), String] = try {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(p))
+    if (!root.isArray) return Map.empty
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.flatMap { n =>
+      for {
+        q <- Option(n.get("query")).map(_.asText)
+        s <- Option(n.get("scale")).map(_.asInt)
+      } yield (q, s) -> n.toString
+    }.toMap
+  } catch { case _: Throwable => Map.empty }
 }
