@@ -110,20 +110,27 @@ object Bench {
     spark
   }
 
-  /** One task-metrics listener per live session (repeated [[runQueries]]
+  /** One task-metrics listener per live CONTEXT (repeated [[runQueries]]
     * calls on the parent's inline-fallback session must not stack
-    * duplicate listeners). WEAK keys: a long-lived multi-session JVM
-    * must not retain stopped sessions (and their listeners) through
-    * this cache — entries vanish once the session is unreachable. */
+    * duplicate listeners). Keyed by the SparkContext — what `install()`
+    * actually registers on — not the session: many sessions can share
+    * one context, and a session-keyed cache would re-install a second
+    * listener (overlapping counts) as soon as a new session appeared on
+    * the same still-live context (round-10 ADVICE). WEAK keys: a
+    * long-lived multi-context JVM must not retain stopped contexts (and
+    * their listeners) through this cache — the listener itself lives on
+    * the context's bus and dies with it. */
   private val probes =
-    new java.util.WeakHashMap[SparkSession, org.apache.spark.graftnative.TaskMetricsProbe]
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.graftnative.TaskMetricsProbe]
   private def probeFor(spark: SparkSession): org.apache.spark.graftnative.TaskMetricsProbe =
     probes.synchronized {
-      val existing = probes.get(spark)
+      val sc = spark.sparkContext
+      val existing = probes.get(sc)
       if (existing != null) existing
       else {
-        val p = org.apache.spark.graftnative.TaskMetricsProbe.install(spark.sparkContext)
-        probes.put(spark, p)
+        val p = org.apache.spark.graftnative.TaskMetricsProbe.install(sc)
+        probes.put(sc, p)
         p
       }
     }

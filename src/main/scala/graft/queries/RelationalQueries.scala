@@ -1560,15 +1560,19 @@ object RelationalQueries {
         // catalog registration + stats collection is MAINTENANCE, not
         // the query: once per JVM so bench reps time the CBO-planned
         // join, not a repeated ANALYZE (ADVICE r8)
+        // dir-derived prefix (round-10 ADVICE via q224): the analyzed
+        // catalog tables must belong to THIS dir, not whichever dir's
+        // OncePerJvm setup ran last in an interleaved-scale JVM
+        val p = s"g211_${dir.hashCode & 0x7fffffff}_"
         OncePerJvm(s"g211_analyze:$dir") {
           graft.Cli.run(s, List("maintain", "analyze", dir,
-            "--tables", "lineitem,orders,customer", "--prefix", "g211_"))
+            "--tables", "lineitem,orders,customer", "--prefix", p))
         }
-        s.sql("""SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_name
-                |FROM g211_lineitem l
-                |JOIN g211_orders o ON l.l_orderkey = o.o_orderkey
-                |JOIN g211_customer c ON o.o_custkey = c.c_custkey
-                |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+        s.sql(s"""SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_name
+                 |FROM ${p}lineitem l
+                 |JOIN ${p}orders o ON l.l_orderkey = o.o_orderkey
+                 |JOIN ${p}customer c ON o.o_custkey = c.c_custkey
+                 |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
       },
       Some("""SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_name
              |FROM lineitem l
@@ -1595,19 +1599,21 @@ object RelationalQueries {
         // same maintenance-vs-operation split as q211 (ADVICE r8): the
         // first invocation lays down catalog tables + stats; timed reps
         // measure only the CBO-planned 6-way join
+        // same dir-derived prefix treatment as q211/q224
+        val p = s"g213_${dir.hashCode & 0x7fffffff}_"
         OncePerJvm(s"g213_analyze:$dir") {
           graft.Cli.run(s, List("maintain", "analyze", dir,
             "--tables", "lineitem,orders,customer,supplier,nation,region",
-            "--prefix", "g213_"))
+            "--prefix", p))
         }
         s.sql(s"""SELECT n.n_name AS nation,
                  |       CAST(SUM(${Exact.revenueSql("l.l_extendedprice", "l.l_discount")}) AS DOUBLE) AS revenue
-                 |FROM g213_lineitem l
-                 |JOIN g213_orders o ON l.l_orderkey = o.o_orderkey
-                 |JOIN g213_customer c ON o.o_custkey = c.c_custkey
-                 |JOIN g213_supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-                 |JOIN g213_nation n ON s.s_nationkey = n.n_nationkey
-                 |JOIN g213_region r ON n.n_regionkey = r.r_regionkey
+                 |FROM ${p}lineitem l
+                 |JOIN ${p}orders o ON l.l_orderkey = o.o_orderkey
+                 |JOIN ${p}customer c ON o.o_custkey = c.c_custkey
+                 |JOIN ${p}supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+                 |JOIN ${p}nation n ON s.s_nationkey = n.n_nationkey
+                 |JOIN ${p}region r ON n.n_regionkey = r.r_regionkey
                  |WHERE r.r_name = 'EUROPE'
                  |GROUP BY n.n_name""".stripMargin)
       },
@@ -1640,20 +1646,25 @@ object RelationalQueries {
     // event_id/user_id/value). ----
     QueryDef("q224_cbo_histogram",
       (s, dir) => {
+        // table name derived from the dir (round-10 ADVICE): a global
+        // g224_events under a per-dir OncePerJvm key meant a JVM
+        // interleaving two scale dirs silently re-pointed dir A's later
+        // reps at dir B's data
+        val tbl = s"g224_events_${dir.hashCode & 0x7fffffff}"
         OncePerJvm(s"g224_analyze:$dir") {
-          s.sql("DROP TABLE IF EXISTS g224_events")
-          s.sql(s"""CREATE TABLE g224_events
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          s.sql(s"""CREATE TABLE $tbl
                    |(event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
                    |USING parquet LOCATION '$dir/events.parquet'""".stripMargin)
           graft.operators.Maintenance.analyzeWithHistograms(
-            s, "g224_events", Seq("value", "user_id"))
+            s, tbl, Seq("value", "user_id"))
         }
-        s.sql("""SELECT e.event_id, e.user_id, e.value, u.n_events
-                |FROM g224_events e
-                |JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-                |      FROM g224_events GROUP BY user_id) u
-                |  ON e.user_id = u.user_id
-                |WHERE e.value > 220""".stripMargin)
+        s.sql(s"""SELECT e.event_id, e.user_id, e.value, u.n_events
+                 |FROM $tbl e
+                 |JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                 |      FROM $tbl GROUP BY user_id) u
+                 |  ON e.user_id = u.user_id
+                 |WHERE e.value > 220""".stripMargin)
       },
       Some("""SELECT e.event_id, e.user_id, e.value, u.n_events
              |FROM events e

@@ -91,6 +91,10 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * replay the fold form and hash-match through this expression. */
 case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression with ExpectsInputTypes {
+  // loud at plan time: the kernels index centroids(0) for the dim check,
+  // so an empty matrix would otherwise surface as a bare per-row AIOOBE
+  // from generated code (round-10 ADVICE)
+  require(centroids.nonEmpty, "nearestCell needs >= 1 centroid")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
@@ -255,7 +259,16 @@ object VectorKernels {
           acc += d * d
           i += 1
         }
-        if (acc < bestD || (acc == bestD && cell < best)) { bestD = acc; best = cell }
+        // seed best with the FIRST candidate (bestD stays +Inf) so a
+        // non-finite embedding — every acc NaN, every comparison false —
+        // still returns a real cell, matching the flat nearestCell's
+        // best = 0 convention; returning -1 here flowed into
+        // element_at(..., cell + 1) = index 0, a runtime error
+        // (round-10 ADVICE). A NaN acc never beats a finite one.
+        if (best < 0) best = cell
+        if (acc < bestD || (acc == bestD && cell < best)) {
+          bestD = acc; best = cell
+        }
         m += 1
       }
       gi += 1
@@ -298,6 +311,7 @@ object VectorKernels {
 case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(nprobe >= 1, "nprobe must be >= 1")
+  require(centroids.nonEmpty, "nearestCells needs >= 1 centroid")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -331,9 +345,13 @@ case class NearestCellTwoLevel(child: Expression,
     fine: Array[Array[Double]], nprobe: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(nprobe >= 1, "nprobe must be >= 1")
+  require(coarse.nonEmpty, "nearestCellTwoLevel needs >= 1 coarse cell")
+  require(fine.nonEmpty, "nearestCellTwoLevel needs >= 1 fine cell")
   require(coarse.length == members.length,
     s"${coarse.length} coarse cells but ${members.length} member lists")
   require(members.forall(_.nonEmpty), "every coarse group needs >= 1 member fine cell")
+  require(members.forall(_.forall(c => c >= 0 && c < fine.length)),
+    "every member must index into the fine-cell matrix")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType

@@ -88,11 +88,14 @@ class QualityGatesSpec extends SparkSpec {
     // fact-FIRST star join; this gate fails if the runtime session stops
     // carrying CBO or the analyzed stats stop driving the reorder
     val df = SparkEntry.queries("q211_cbo_star")(spark, dir)
+    // table names carry a dir-derived hash (g211_<dirhash>_lineitem)
+    // since the round-11 per-dir-catalog fix; match on the stable suffix
     val order = joinLeaves(df.queryExecution.optimizedPlan)
+      .map(_.replaceFirst("^g211_\\d+_", ""))
     assert(order.size === 3, s"expected 3 catalog leaves, got $order")
-    assert(order.last === "g211_lineitem",
+    assert(order.last === "lineitem",
       s"ANALYZE stats must push the fact table outermost, got $order")
-    assert(order.take(2).toSet === Set("g211_orders", "g211_customer"),
+    assert(order.take(2).toSet === Set("orders", "customer"),
       s"filtered dimension must join first, got $order")
   }
 
@@ -110,12 +113,13 @@ class QualityGatesSpec extends SparkSpec {
     // the filtered region⨝nation pair must move ahead of the fact table
     val df = SparkEntry.queries("q213_cbo_tpch5")(spark, dir)
     val order = joinLeaves(df.queryExecution.optimizedPlan)
+      .map(_.replaceFirst("^g213_\\d+_", ""))
     assert(order.size === 6, s"expected 6 catalog leaves, got $order")
-    assert(order.head !== "g213_lineitem",
+    assert(order.head !== "lineitem",
       s"CBO must demote the syntactically-first fact table, got $order")
-    val liPos = order.indexOf("g213_lineitem")
-    val rPos = order.indexOf("g213_region")
-    val nPos = order.indexOf("g213_nation")
+    val liPos = order.indexOf("lineitem")
+    val rPos = order.indexOf("region")
+    val nPos = order.indexOf("nation")
     assert(rPos >= 0 && nPos >= 0 && liPos >= 0, s"missing leaves in $order")
     assert(rPos < liPos && nPos < liPos,
       s"filtered region/nation must join before the fact table, got $order")
