@@ -49,6 +49,8 @@ object ScalingBench {
     "q45_simhash_pairs",    // SimHash hamming banding (24-bit — quadratic background, see SCALING.md)
     "q45b_simhash_wide",    // SimHash hamming banding (48-bit fingerprint)
     "q45c_simhash_assign",  // SimHash ASSIGNMENTS (linear output — the 100-TB form)
+    "q45d_simhash_assign_measured", // same through the measured (m,c) chooser pick
+    "q43b_lsh_pairs_indexed", // full self-dedup OFF the persisted band index (probe-only after build)
     "q48_dedup_apply",      // MinHash-LSH end-to-end + CC + anti-join
     "q212_hamming_autotune", // hamming-block chooser (the text-side handoff census)
     "q53_embed_neardup",    // hyperplane-LSH cosine pairs

@@ -984,6 +984,78 @@ object Dedup {
     verifyIncremental(cand, newSets, oldSets, minJaccard)
   }
 
+  /** The FULL corpus self-dedup run entirely off a persisted
+    * [[writeBandIndex]] — the text twin of the embedding family's
+    * index-tier product (q220/q222: the persisted cells ARE the dedup
+    * input). [[minhashLshPairs]] re-shingles, re-hashes and re-shuffles
+    * the whole corpus on every run; once the index exists, a repeated
+    * dedup pass (nightly curation re-runs, threshold re-sweeps, post-
+    * append re-canonicalization) pays only:
+    *
+    *   - the bands SELF sort-merge join IN PLACE — both sides are the
+    *     same bkey-bucketed, bkey-sorted files, so candidate generation
+    *     has ZERO corpus-side Exchange (the recompute form re-shuffles
+    *     n_docs · bands rows first);
+    *   - the O(candidates) exact-Jaccard verify against the persisted
+    *     sets table — the corpus text is never re-read at all.
+    *
+    * The (mn, mx) matches are two-sided inequalities for the same reason
+    * as [[indexedBandJoin]]: as `===` they would join the equi-key set
+    * and disable the bucketed scan. Output (id_a, id_b, jacc) —
+    * IDENTICAL to [[minhashLshPairs]] on the indexed corpus (same bands,
+    * same verify; q43b runs it against q43's exhaustive oracle). */
+  def selfNearDupPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, minJaccard: Double = 0.5): DataFrame = {
+    val bands = Bucketing.readBucketed(spark, s"${name}_bands")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bkey") === col("b.bkey")
+          && col("a.mn") <= col("b.mn") && col("a.mn") >= col("b.mn")
+          && col("a.mx") <= col("b.mx") && col("a.mx") >= col("b.mx")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = Bucketing.readBucketed(spark, s"${name}_sets")
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    val uni = size(col("set_a")) + size(col("set_b")) - inter
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / uni.cast("double")).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+  }
+
+  /** Prices the recompute-vs-index-probe trade for the minhash band
+    * family from the ACTUAL persisted band distribution — the minhash
+    * twin of [[hammingPlanCosts]]' column set, in the same units (rows
+    * into the shuffle/join):
+    *
+    *   - `band_rows` = |bands table|: what the RECOMPUTE form pays to
+    *     rebuild and re-shuffle the band rows before any candidate can
+    *     be generated (the probe form's build sank this once);
+    *   - `raw_join_rows` = Σ_bucket C(n, 2): the candidate stream out of
+    *     the band self-join — BOTH forms pay this;
+    *   - `recompute_cost` = band_rows + raw_join_rows vs `probe_cost` =
+    *     raw_join_rows — the per-run saving of running dedup off the
+    *     index.
+    *
+    * One aggregation over the bucketed bands table (grouping is
+    * bucket-local on bkey), single-row output. The bucket identity is
+    * the full four-way band equality (bkey packs (band, s); mn/mx ride
+    * as grouping columns), so C(n, 2) counts exactly the candidate join's
+    * output stream. */
+  def bandIndexPlanCosts(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    Bucketing.readBucketed(spark, s"${name}_bands")
+      .groupBy(col("bkey"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("band_rows"),
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+          .cast("long").as("raw_join_rows"))
+      .select(col("band_rows"), col("raw_join_rows"),
+        (col("band_rows") + col("raw_join_rows")).as("recompute_cost"),
+        col("raw_join_rows").as("probe_cost"))
+
   // ---- end-to-end dedup application ---------------------------------------
 
   /** The curation pipeline's OUTPUT — what a user actually keeps: the

@@ -431,6 +431,47 @@ object PipelineQueries {
              |FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
              |WHERE j.jacc >= 0.5""".stripMargin)),
 
+    // q43 through the PERSISTED band index — the text family's
+    // index-tier PRODUCT (round-10 verdict #3): the full self-dedup pair
+    // set computed from the bucketed bands/sets tables alone, corpus
+    // text never re-read, candidate self-join exchange-free in place.
+    // The index is built once per corpus directory (the _SUCCESS markers
+    // gate it) and re-attached afterwards, so a repeated run times the
+    // amortized probe-only pass — exactly what nightly curation re-runs
+    // pay; the one-off build is the recompute form's cost plus the
+    // bucketed write. Oracle: q43's exhaustive recompute SQL — the
+    // indexed path must produce the identical (id_a, id_b, jacc) set.
+    QueryDef("q43b_lsh_pairs_indexed",
+      (s, dir) => {
+        val docs = Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))
+        val loc = s"${System.getProperty("java.io.tmpdir")}/graft_q43b_idx_" +
+          Integer.toHexString(dir.hashCode)
+        // the catalog table may point at another corpus's index from an
+        // earlier call in this session (the scaling sweep reuses one
+        // session across scales) — drop before build/attach
+        Seq("q43b_idx_bands", "q43b_idx_sets")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        val built = Seq("bands", "sets").forall(sub => java.nio.file.Files
+          .exists(java.nio.file.Paths.get(loc, sub, "_SUCCESS")))
+        if (built) Dedup.registerBandIndex(s, "q43b_idx", loc)
+        else Dedup.writeBandIndex(docs, "q43b_idx", location = Some(loc))
+        Dedup.selfNearDupPairsIndexed(s, "q43b_idx")
+      },
+      Some(s"""WITH $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |              AND a.doc_id < b.doc_id),
+             |${jaccardCtes(blocked = false)}
+             |SELECT c.id_a, c.id_b, j.jacc
+             |FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+             |WHERE j.jacc >= 0.5""".stripMargin)),
+
     QueryDef("q46_canonical",
       (s, dir) => Dedup.canonicalAssignments(Dedup.minhashLshPairs(
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents")))),

@@ -50,6 +50,48 @@ class IncrementalIndexSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("self-dedup off the index equals minhashLshPairs; self-join has zero Exchange; costs census consistent") {
+    cleanup()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      // near-dup INSIDE the corpus so the self pair set is non-empty
+      val c2 = corpus.unionAll(Seq(
+        (110L, "beta gamma delta epsilon zeta eta theta", "web"))
+        .toDF("doc_id", "text", "source"))
+      Dedup.writeBandIndex(c2, "idx", buckets = 4)
+      val indexed = Dedup.selfNearDupPairsIndexed(spark, "idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val recomputed = Dedup.minhashLshPairs(c2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(indexed === recomputed)
+      assert(indexed.nonEmpty, "expected the injected near-dup to pair up")
+
+      // the candidate SELF-join sort-merges the bucket files in place:
+      // no Exchange anywhere before the pair-distinct (both sides are
+      // the same bkey-bucketed files)
+      val plan = Dedup.selfNearDupPairsIndexed(spark, "idx")
+        .queryExecution.executedPlan.toString
+      val pre = plan.linesIterator.toVector
+        .dropWhile(!_.contains("SortMergeJoin [bkey"))
+      assert(pre.nonEmpty, s"expected a bkey sort-merge self-join:\n$plan")
+      assert(!pre.exists(_.contains("Exchange")),
+        s"band self-join re-shuffled the index:\n$plan")
+
+      // census prices the probe saving: band_rows = |bands|, and
+      // raw_join_rows counts the self-join's candidate stream
+      val costs = Dedup.bandIndexPlanCosts(spark, "idx").head()
+      val nBands = spark.table("idx_bands").count()
+      assert(costs.getLong(0) === nBands)
+      assert(costs.getLong(3) === costs.getLong(1)) // probe_cost = raw_join_rows
+      assert(costs.getLong(2) === costs.getLong(0) + costs.getLong(1))
+      assert(costs.getLong(1) >= indexed.size.toLong,
+        "candidate stream cannot be smaller than the verified pair set")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      cleanup()
+    }
+  }
+
   test("candidate join reads the band index with zero corpus-side shuffle") {
     cleanup()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)

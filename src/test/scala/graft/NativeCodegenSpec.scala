@@ -234,8 +234,21 @@ class NativeCodegenSpec extends SparkSpec {
       }: _*)).as("bd"))
       .select(col("bd.b").as("b"), col("bd.v").as("v"))
     withConfs("spark.sql.adaptive.enabled" -> "false") {
+      // this probe compiles a KNOWN-BAD form on purpose; Spark's
+      // CodeGenerator logs the failure at ERROR before the probe can
+      // catch it. The assertion is on the probe's RETURN value, so the
+      // deliberate event is muted — a grep of the test log for
+      // `ERROR CodeGenerator` must count only genuine product failures
+      // (the registry-wide zero-event contract), not this test's
+      // intentional red input.
+      val cgLogger = LogManager.getLogger(
+          "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+        .asInstanceOf[org.apache.logging.log4j.core.Logger]
+      val prev = cgLogger.getLevel
+      cgLogger.setLevel(org.apache.logging.log4j.Level.OFF)
       val failures =
-        org.apache.spark.sql.graftnative.CodegenProbe.compileFailures(literalForm)
+        try org.apache.spark.sql.graftnative.CodegenProbe.compileFailures(literalForm)
+        finally cgLogger.setLevel(prev)
       assert(failures.nonEmpty,
         "the probe passed the known-bad 210-arm literal combo explode - gate is blind")
       // the 64 KB cause sits deeper in Janino's exception chain; the

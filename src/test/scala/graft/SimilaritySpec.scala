@@ -264,4 +264,55 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 === s2, "sampled training must be deterministic")
     assert((s1 != Similarity.learnCells(emb, 4, 1)) || emb.count() <= 64)
   }
+
+  test("cell-index staleness: same-distribution growth is clean, a drifted stream trips the rebuild signal") {
+    val idx = "driftidx"
+    Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids", s"${idx}_ivfcensus")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.writeCellIndex(emb, idx)
+
+      // fresh index: live == census by construction
+      val s0 = Similarity.cellDriftStats(spark, idx)
+      assert(s0.tvd === 0.0 && s0.maxGrowth === 1.0 && s0.nBuild === s0.nLive)
+
+      // plain growth, UNCHANGED distribution: the same corpus arrives
+      // again under new ids. The fixed quantizer routes each copy to the
+      // cell its original lives in, every cell doubles, shares are
+      // untouched — rebuilds are for drift, not size.
+      Similarity.appendToCellIndex(spark,
+        emb.select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")), idx)
+      val s1 = Similarity.cellDriftStats(spark, idx)
+      assert(s1.nLive === 2 * s1.nBuild)
+      assert(s1.tvd < 1e-9, s"same-distribution growth read as drift: tvd=${s1.tvd}")
+      assert(math.abs(s1.maxGrowth - 1.0) < 1e-9)
+      assert(!Similarity.cellIndexStale(spark, idx))
+
+      // drifted stream: a corpus-sized batch of ONE repeated embedding —
+      // the quantizer has no cells where the new mass lives, so it all
+      // lands in that vector's two nearest cells and their live share
+      // inflates past what training balanced
+      val one = emb.orderBy(col("vec_id")).select(col("embedding"))
+        .as[Array[Float]].head()
+      val n = emb.count()
+      val drifted = spark.range(n)
+        .select((col("id") + 3000000L).as("vec_id"), typedLit(one).as("embedding"))
+      Similarity.appendToCellIndex(spark, drifted, idx)
+      val s2 = Similarity.cellDriftStats(spark, idx)
+      assert(s2.tvd >= 0.10,
+        s"a corpus-sized single-point stream must move >=10% of probe mass, got ${s2.tvd}")
+      assert(s2.maxGrowth > s1.maxGrowth)
+      assert(Similarity.cellIndexStale(spark, idx), s"drifted index not flagged: $s2")
+
+      // the report itself is cell-count-bounded and internally consistent
+      val rep = Similarity.cellDriftReport(spark, idx).collect()
+      assert(rep.length <= Similarity.defaultCellCount(n) + 1)
+      assert(math.abs(rep.map(_.getAs[Double]("live_share")).sum - 1.0) < 1e-9)
+      assert(math.abs(rep.map(_.getAs[Double]("build_share")).sum - 1.0) < 1e-9)
+    } finally
+      Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids", s"${idx}_ivfcensus")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

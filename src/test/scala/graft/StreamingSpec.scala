@@ -687,7 +687,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val idx = "sivf"
-    Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids")
+    Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids", s"${idx}_ivfcensus")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     try {
       val aug = graft.operators.Similarity.withNearDupEmbeddings(
@@ -733,7 +733,7 @@ class StreamingSpec extends SparkSpec {
       assert(hits.contains((0L, 5000000L)),
         "an appended exact copy must surface on the next probe")
     } finally
-      Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids")
+      Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids", s"${idx}_ivfcensus")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
