@@ -168,9 +168,36 @@ object Cli {
     case "embindex" :: embPath :: indexDir :: opts =>
       val o = parseOpts(opts)
       val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
-      graft.operators.Similarity.writeEmbIndex(spark.read.parquet(embPath),
-        "graft_eidx", buckets = buckets, location = Some(indexDir))
-      println(s"[graft] embindex: embedding band index ($buckets buckets) -> $indexDir")
+      val emb = spark.read.parquet(embPath)
+      // --plan measured: run the q219 chooser over THIS corpus and build
+      // whichever index form its argmin names — sign-bands while buckets
+      // are sparse, the IVF cell index once band verify streams densify,
+      // the two-level form once flat routing's n·k binds. Without it the
+      // historical default (sign-bands) stands.
+      if (o.get("plan").contains("measured")) {
+        val costs = graft.operators.Similarity.embedPlanCosts(emb).collect()
+        costs.foreach(r => println(s"[graft] embindex plan: ${r.mkString(", ")}"))
+        val chosen = costs.find(_.getAs[Boolean]("chosen")).get.getAs[String]("plan")
+        chosen match {
+          case p if p.startsWith("bands_") =>
+            val Array(nb, bpb) = p.stripPrefix("bands_").split("x").map(_.toInt)
+            graft.operators.Similarity.writeEmbIndex(emb, "graft_eidx",
+              buckets = buckets, numBands = nb, bitsPerBand = bpb,
+              location = Some(indexDir))
+            println(s"[graft] embindex: chose $p -> sign-band index ($buckets buckets) -> $indexDir")
+          case p =>
+            graft.operators.Similarity.writeCellIndex(emb, "graft_cidx",
+              buckets = buckets, location = Some(indexDir),
+              twoLevel = p.startsWith("ivf2_"))
+            println(s"[graft] embindex: chose $p -> cell index" +
+              s"${if (p.startsWith("ivf2_")) " (two-level routing)" else ""} " +
+              s"($buckets buckets) -> $indexDir")
+        }
+      } else {
+        graft.operators.Similarity.writeEmbIndex(emb,
+          "graft_eidx", buckets = buckets, location = Some(indexDir))
+        println(s"[graft] embindex: embedding band index ($buckets buckets) -> $indexDir")
+      }
 
     case "emb-ingest-dedup" :: batchPath :: indexDir :: outDir :: opts =>
       val o = parseOpts(opts)

@@ -620,6 +620,35 @@ object Similarity {
     val centroids = learnCellsSampled(
       embeddings.select(col("vec_id"), col("embedding")), kCells, iters)
     val pairs = ivfCellPairs(embeddings, centroids, threshold)
+    semDedupFromPairs(embeddings, pairs)
+  }
+
+  /** [[ivfSemDedup]] with TWO-LEVEL cell membership — the batch
+    * reference the streaming two-level fold is pinned against: fine
+    * cells learned as usual, the coarse quantizer over them, and every
+    * vector's two membership cells routed through the
+    * `NearestCellsTwoLevel` kernel (O(n·√k) routing — the regime where
+    * the q219 chooser's argmin is the ivf2 plan). Membership is
+    * APPROXIMATE relative to the flat two-cell scan exactly as q223's
+    * single-cell routing is (the true nearest cell can live in an
+    * unprobed group); within its own routing the keep-one contract is
+    * identical: shared-cell pairs with cos ≥ threshold, min-label
+    * components, anti-join. */
+  def ivf2SemDedup(embeddings: DataFrame, threshold: Double = 0.9,
+      iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val kCells = defaultCellCount(e.count())
+    val fine = learnCellsSampled(e, kCells, iters)
+    val kCoarse = math.ceil(math.sqrt(kCells.toDouble)).toInt
+    val (coarse, members) = learnCoarseCells(fine, kCoarse, CoarseIters)
+    val kept = members.indices.filter(members(_).nonEmpty)
+    val pairs = ivf2CellPairs(embeddings, fine, kept.map(coarse),
+      kept.map(members), threshold)
+    semDedupFromPairs(embeddings, pairs)
+  }
+
+  private def semDedupFromPairs(embeddings: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val removed = Dedup.canonicalAssignments(pairs.select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id").as("vec_id"))
@@ -640,18 +669,29 @@ object Similarity {
     * side (the measured explode-underestimate trap; same pin as
     * winnowPairs and the band self-join, gate in QualityGatesSpec). */
   private[graft] def ivfCellPairs(embeddings: DataFrame,
-      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
-    val assigned = withNorm(embeddings)
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame =
+    cellPairsFrom(withNorm(embeddings)
       .select(col("vec_id"), col("embedding"), col("norm"),
         explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
-          col("embedding"), centroids, 2)).as("cell"))
+          col("embedding"), centroids, 2)).as("cell")), threshold)
+
+  /** [[ivfCellPairs]] with two-level-routed membership (kept groups
+    * only); same merge pin, same verify. */
+  private[graft] def ivf2CellPairs(embeddings: DataFrame,
+      fine: Seq[Seq[Double]], coarse: Seq[Seq[Double]],
+      members: Seq[Seq[Int]], threshold: Double): DataFrame =
+    cellPairsFrom(withNorm(embeddings)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCellsTwoLevel(
+          col("embedding"), coarse, members, fine, CoarseProbe, 2)).as("cell")), threshold)
+
+  private def cellPairsFrom(assigned: DataFrame, threshold: Double): DataFrame =
     assigned.as("a").join(assigned.as("b").hint("merge"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (fdot(col("a.embedding"), col("b.embedding"))
           / (col("a.norm") * col("b.norm"))).as("cos"))
       .filter(col("cos") >= threshold)
-  }
 
   /** Corpus-adaptive IVF cell count: cells scale with the corpus so
     * cell POPULATIONS stay bounded (~[[CellTargetPop]] vectors each) —
@@ -880,25 +920,84 @@ object Similarity {
     *     (fixed-quantizer arrival is standard IVF practice; retraining
     *     is a rebuild, not an append). */
   def writeCellIndex(corpus: DataFrame, name: String, buckets: Int = 8,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, location: Option[String] = None,
+      twoLevel: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val e = corpus.select(col("vec_id"), col("embedding"))
     val kCells = defaultCellCount(e.count())
     val centroids = learnCellsSampled(e, kCells, iters)
-    Bucketing.writeBucketed(twoCellRows(e, centroids),
-      s"${name}_ivfcells", "cell", buckets, sortKey = Some("cell"))
-    spark.createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("cell", "c")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${name}_ivfcentroids")
+    // `twoLevel` stores the coarse quantizer alongside and routes the
+    // MEMBERSHIP through it (O(√k) per vector) — the persisted form of
+    // the q223 tier, for the corpora where the q219 chooser's argmin is
+    // the ivf2 plan (routing O(n·k) binds once k = n/4096 grows past
+    // ~√n). Membership and probes must route through the SAME kernel or
+    // boundary pairs straddle inconsistent cells.
+    val (memberRows, coarseStore) =
+      if (!twoLevel) (twoCellRows(e, centroids), None)
+      else {
+        val kCoarse = math.ceil(math.sqrt(kCells.toDouble)).toInt
+        val (coarse, members) = learnCoarseCells(centroids, kCoarse, CoarseIters)
+        val kept = members.indices.filter(members(_).nonEmpty)
+        val keptCoarse = kept.map(coarse)
+        val keptMembers = kept.map(members)
+        (twoCellRowsTwoLevel(e, centroids, keptCoarse, keptMembers),
+          Some((keptCoarse, keptMembers)))
+      }
+    location match {
+      case Some(l) =>
+        Bucketing.writeBucketedExternal(memberRows, s"${name}_ivfcells",
+          "cell", buckets, sortKey = Some("cell"), location = l, sub = "ivfcells")
+      case None =>
+        Bucketing.writeBucketed(memberRows, s"${name}_ivfcells", "cell",
+          buckets, sortKey = Some("cell"))
+    }
+    def saveSmall(df: DataFrame, table: String, sub: String): Unit = {
+      val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      location.fold(w)(l => w.option("path", s"$l/$sub")).saveAsTable(table)
+    }
+    saveSmall(
+      spark.createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("cell", "c"),
+      s"${name}_ivfcentroids", "ivfcentroids")
+    coarseStore.foreach { case (keptCoarse, keptMembers) =>
+      saveSmall(
+        spark.createDataFrame(keptCoarse.indices.map(g =>
+          (g, keptCoarse(g), keptMembers(g)))).toDF("g", "c", "members"),
+        s"${name}_ivfcoarse", "ivfcoarse")
+    }
     // build-time census (kCells rows): the reference distribution the
     // fixed-quantizer arrival path is checked against — see
     // [[cellDriftReport]]. Read back from the just-written bucket files
     // so no second quantization pass is paid.
-    Bucketing.readBucketed(spark, s"${name}_ivfcells")
-      .groupBy("cell").agg(count(lit(1)).as("n_build"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${name}_ivfcensus")
+    saveSmall(
+      Bucketing.readBucketed(spark, s"${name}_ivfcells")
+        .groupBy("cell").agg(count(lit(1)).as("n_build")),
+      s"${name}_ivfcensus", "ivfcensus")
+  }
+
+  /** Re-attach an EXTERNAL cell index written with a `location` in a
+    * previous session — the cell-tier analog of [[registerEmbIndex]] /
+    * [[Dedup.registerBandIndex]] (DDL over the existing files; the
+    * in-memory catalog loses table metadata across JVMs). The coarse
+    * table re-attaches only if the build stored one (two-level form). */
+  def registerCellIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, location: String, buckets: Int = 8): Unit = {
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcells
+      |(vec_id BIGINT, cell INT, embedding ARRAY<FLOAT>, norm DOUBLE)
+      |USING parquet CLUSTERED BY (cell) SORTED BY (cell) INTO $buckets BUCKETS
+      |LOCATION '${Bucketing.currentDir(spark, location, "ivfcells")}'""".stripMargin)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcentroids
+      |(cell INT, c ARRAY<DOUBLE>) USING parquet
+      |LOCATION '$location/ivfcentroids'""".stripMargin)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcensus
+      |(cell INT, n_build BIGINT) USING parquet
+      |LOCATION '$location/ivfcensus'""".stripMargin)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/ivfcoarse")))
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcoarse
+        |(g INT, c ARRAY<DOUBLE>, members ARRAY<INT>) USING parquet
+        |LOCATION '$location/ivfcoarse'""".stripMargin)
   }
 
   /** The stored quantizer, in cell order (kCells×dim — driver-sized by
@@ -914,15 +1013,45 @@ object Similarity {
         col("embedding"), centroids, 2)).as("cell"),
       col("embedding"), col("norm"))
 
+  /** [[twoCellRows]] under two-level routing: the two membership cells
+    * come from the probed coarse groups' member union (the
+    * `NearestCellsTwoLevel` kernel) — O(√k) per vector instead of the
+    * flat scan's O(k). `coarse`/`members` must be the KEPT (non-empty)
+    * groups, the form [[writeCellIndex]] stores. */
+  private def twoCellRowsTwoLevel(vecs: DataFrame, fine: Seq[Seq[Double]],
+      coarse: Seq[Seq[Double]], members: Seq[Seq[Int]]): DataFrame =
+    withNorm(vecs).select(col("vec_id"),
+      explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCellsTwoLevel(
+        col("embedding"), coarse, members, fine, CoarseProbe, 2)).as("cell"),
+      col("embedding"), col("norm"))
+
+  /** The stored coarse quantizer of a two-level [[writeCellIndex]]:
+    * (kept coarse centroids, their fine-cell member lists), in stored
+    * group order — kCoarse×dim, driver-sized like the fine matrix. */
+  def readCoarseCells(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    val rows = spark.table(s"${name}_ivfcoarse").orderBy(col("g")).collect()
+    (rows.map(_.getAs[scala.collection.Seq[Double]]("c").toSeq).toSeq,
+      rows.map(_.getAs[scala.collection.Seq[Int]]("members").toSeq).toSeq)
+  }
+
   /** Fold accepted arrivals INTO the cell index under the FIXED stored
     * quantizer (`insertInto` resolves the catalog bucket spec — appended
-    * files land in the same cell-bucketed layout). */
+    * files land in the same cell-bucketed layout). Arrivals route through
+    * the SAME kernel the build used — two-level when the index stores a
+    * coarse table — so membership stays consistent across appends. */
   def appendToCellIndex(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, name: String): Unit =
-    twoCellRows(batch.select(col("vec_id"), col("embedding")),
-      readCellCentroids(spark, name))
-      .select("vec_id", "cell", "embedding", "norm")
+      batch: DataFrame, name: String): Unit = {
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+    val fine = readCellCentroids(spark, name)
+    val rows =
+      if (spark.catalog.tableExists(s"${name}_ivfcoarse")) {
+        val (coarse, members) = readCoarseCells(spark, name)
+        twoCellRowsTwoLevel(vecs, fine, coarse, members)
+      } else twoCellRows(vecs, fine)
+    rows.select("vec_id", "cell", "embedding", "norm")
       .write.insertInto(s"${name}_ivfcells")
+  }
 
   // ---- quantizer staleness (drift vs the build-time census) ---------------
 
@@ -1022,19 +1151,40 @@ object Similarity {
     * O(|batch| · cell population) per batch however large the corpus. */
   def ivfIndexProbeEdges(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, name: String, centroids: Seq[Seq[Double]],
-      threshold: Double = 0.9): DataFrame = {
-    val b = withNorm(batch)
+      threshold: Double = 0.9): DataFrame =
+    probeCellIndex(spark, name, withNorm(batch)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"),
         explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCells(
-          col("embedding"), centroids, 2)).as("cell"))
-      .hint("broadcast")
-    Bucketing.readBucketed(spark, s"${name}_ivfcells").join(b, "cell")
+          col("embedding"), centroids, 2)).as("cell")), threshold)
+
+  /** [[ivfIndexProbeEdges]] for a TWO-LEVEL index: the batch routes to
+    * its two membership cells through the stored coarse quantizer —
+    * O(|batch|·√k) routing instead of the flat form's O(|batch|·k),
+    * the whole point of persisting the coarse tier — then probes the
+    * same cell buckets in place. Pass the stored quantizers
+    * ([[readCellCentroids]] / [[readCoarseCells]]); membership and
+    * probe must share the kernel or boundary pairs are lost. */
+  def ivfIndexProbeEdgesTwoLevel(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, name: String, fine: Seq[Seq[Double]],
+      coarse: Seq[Seq[Double]], members: Seq[Seq[Int]],
+      threshold: Double = 0.9): DataFrame =
+    probeCellIndex(spark, name, withNorm(batch)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(org.apache.spark.sql.graftnative.VectorExpressions.nearestCellsTwoLevel(
+          col("embedding"), coarse, members, fine, CoarseProbe, 2)).as("cell")), threshold)
+
+  /** The shared probe join: bounded probe side broadcasts, cell buckets
+    * sort-merge in place, exact cosine verifies inside the join. */
+  private def probeCellIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, probe: DataFrame, threshold: Double): DataFrame =
+    Bucketing.readBucketed(spark, s"${name}_ivfcells")
+      .join(probe.hint("broadcast"), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .filter(fdot(col("embedding"), col("q_emb"))
         / (col("norm") * col("q_norm")) >= threshold)
       .select(col("q_id").as("id_a"), col("vec_id").as("id_b"))
-  }
 
   /** Deterministic negative sampling for contrastive training: for each
     * anchor, up to `k` vectors with a DIFFERENT label, chosen by a seeded

@@ -638,13 +638,35 @@ object StreamOps {
     * cos ≥ t pair is found when its later member arrives; and
     * sequential CC folds of an edge union equal one batch CC (the
     * [[streamingCanonicalFold]] star-list contract). Survivors = ids
-    * absent from `assignment` or equal to their canonical. */
+    * absent from `assignment` or equal to their canonical.
+    *
+    * Routing follows the INDEX FORM: when the index stores a coarse
+    * quantizer (two-level [[graft.operators.Similarity.writeCellIndex]]),
+    * every arrival routes through it —
+    * [[graft.operators.Similarity.ivfIndexProbeEdgesTwoLevel]],
+    * O(|batch|·√k) — and the pinned batch twin is
+    * [[graft.operators.Similarity.ivf2SemDedup]]; a flat index keeps the
+    * flat kernel and the [[graft.operators.Similarity.ivfSemDedup]] pin.
+    * Auto-detected so the fold can never route differently than the
+    * membership it probes (mismatched kernels lose boundary pairs). */
   def streamingIvfSemDedupFold(vecs: DataFrame, name: String,
       threshold: Double = 0.9)(
       onAssignment: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = vecs.sparkSession
     val centroids = graft.operators.Similarity.readCellCentroids(spark, name)
+    val coarseStore =
+      if (spark.catalog.tableExists(s"${name}_ivfcoarse"))
+        Some(graft.operators.Similarity.readCoarseCells(spark, name))
+      else None
+    def probeEdges(batch: DataFrame): DataFrame = coarseStore match {
+      case Some((coarse, members)) =>
+        graft.operators.Similarity.ivfIndexProbeEdgesTwoLevel(
+          spark, batch, name, centroids, coarse, members, threshold)
+      case None =>
+        graft.operators.Similarity.ivfIndexProbeEdges(
+          spark, batch, name, centroids, threshold)
+    }
     var assignment = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("doc_id", LongType),
@@ -654,8 +676,7 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          val edges = graft.operators.Similarity.ivfIndexProbeEdges(
-            spark, batch.toDF(), name, centroids, threshold)
+          val edges = probeEdges(batch.toDF())
           if (!edges.isEmpty) {
             val prev = assignment
             // eager checkpoint already inside incrementalCanonical

@@ -276,6 +276,93 @@ object VectorKernels {
     best
   }
 
+  /** The `nprobe` nearest FINE cells under two-level routing — the
+    * multi-probe sibling of [[nearestCellTwoLevel]], for two-cell index
+    * MEMBERSHIP (boundary-pair recovery) where that kernel serves
+    * single-cell assignment: route to the `coarseProbe` nearest coarse
+    * groups, then keep the `nprobe` best (d², cell)-ascending fine
+    * cells over the probed groups' member union. Ties break to the
+    * LOWER cell id explicitly (the probed union is not scanned in cell
+    * order). Returns MIN(nprobe, |probed union|) cells; a non-finite
+    * embedding (every comparison false) falls back to the first probed
+    * candidate, the same degenerate-row convention as
+    * [[nearestCellTwoLevel]]. O(kCoarse + coarseProbe·|members| +
+    * nprobe) per row vs the flat [[nearestCells]]' O(k). */
+  def nearestCellsTwoLevel(x: ArrayData, coarse: Array[Array[Double]],
+      members: Array[Array[Int]], fine: Array[Array[Double]],
+      coarseProbe: Int, nprobe: Int): ArrayData = {
+    val n = fine(0).length
+    checkDim(x.numElements(), n, "centroid matrix")
+    val k = coarse.length
+    val gp = math.min(coarseProbe, k)
+    val bestGD = Array.fill(gp)(Double.PositiveInfinity)
+    val bestG = Array.fill(gp)(Int.MaxValue)
+    var g = 0
+    while (g < k) {
+      val c = coarse(g)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - c(i)
+        acc += d * d
+        i += 1
+      }
+      var pos = gp
+      while (pos > 0 && acc < bestGD(pos - 1)) pos -= 1
+      if (pos < gp) {
+        var m = gp - 1
+        while (m > pos) { bestGD(m) = bestGD(m - 1); bestG(m) = bestG(m - 1); m -= 1 }
+        bestGD(pos) = acc
+        bestG(pos) = g
+      }
+      g += 1
+    }
+    var total = 0
+    var gi = 0
+    while (gi < gp) { total += members(bestG(gi)).length; gi += 1 }
+    val p = math.min(nprobe, math.max(total, 1))
+    val bestD = Array.fill(p)(Double.PositiveInfinity)
+    val bestC = Array.fill(p)(Int.MaxValue)
+    var firstCell = -1
+    gi = 0
+    while (gi < gp) {
+      val mem = members(bestG(gi))
+      var m = 0
+      while (m < mem.length) {
+        val cell = mem(m)
+        if (firstCell < 0) firstCell = cell
+        val c = fine(cell)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val d = x.getFloat(i).toDouble - c(i)
+          acc += d * d
+          i += 1
+        }
+        // (d², cell)-lexicographic insertion — the union is NOT visited
+        // in ascending cell order, so the tie-break must be explicit
+        var pos = p
+        while (pos > 0 && (acc < bestD(pos - 1)
+            || (acc == bestD(pos - 1) && cell < bestC(pos - 1)))) pos -= 1
+        if (pos < p) {
+          var s = p - 1
+          while (s > pos) { bestD(s) = bestD(s - 1); bestC(s) = bestC(s - 1); s -= 1 }
+          bestD(pos) = acc
+          bestC(pos) = cell
+        }
+        m += 1
+      }
+      gi += 1
+    }
+    // all-NaN accumulations never insert; fall back to the first probed
+    // candidate (same convention as nearestCellTwoLevel's seed)
+    if (bestC(0) == Int.MaxValue) bestC(0) = firstCell
+    var filled = 0
+    while (filled < p && bestC(filled) != Int.MaxValue) filled += 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestC, filled))
+  }
+
   /** All packed sign-sketch band keys of one vector; per-bit arithmetic
     * identical to `FloatVectorDot` against the same plane. */
   def signBands(x: ArrayData, planes: Array[Array[Float]],
@@ -372,6 +459,46 @@ case class NearestCellTwoLevel(child: Expression,
     copy(child = c)
 }
 
+/** The `nprobe` nearest fine cells under two-level routing, as
+  * array<int> — [[NearestCellTwoLevel]]'s multi-probe sibling (what
+  * [[NearestCells]] is to [[NearestCell]]): two-cell index MEMBERSHIP
+  * and probe routing for the coarse-over-fine tier, so a persisted
+  * two-level index routes arrivals in O(√k) per vector instead of the
+  * flat kernel's O(k). Same construction guards as the single form. */
+case class NearestCellsTwoLevel(child: Expression,
+    coarse: Array[Array[Double]], members: Array[Array[Int]],
+    fine: Array[Array[Double]], coarseProbe: Int, nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(coarseProbe >= 1 && nprobe >= 1, "coarseProbe and nprobe must be >= 1")
+  require(coarse.nonEmpty, "nearestCellsTwoLevel needs >= 1 coarse cell")
+  require(fine.nonEmpty, "nearestCellsTwoLevel needs >= 1 fine cell")
+  require(coarse.length == members.length,
+    s"${coarse.length} coarse cells but ${members.length} member lists")
+  require(members.forall(_.nonEmpty), "every coarse group needs >= 1 member fine cell")
+  require(members.forall(_.forall(c => c >= 0 && c < fine.length)),
+    "every member must index into the fine-cell matrix")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearestcells2"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCellsTwoLevel(a.asInstanceOf[ArrayData],
+      coarse, members, fine, coarseProbe, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val mm = ctx.addReferenceObj("members", members, "int[][]")
+    val f = ctx.addReferenceObj("fine", fine, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.VectorKernels" +
+        s".nearestCellsTwoLevel($a, $g, $mm, $f, $coarseProbe, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCellsTwoLevel =
+    copy(child = c)
+}
+
 /** All sign-sketch band keys of one vector, packed: element b =
   * Σ_j (⟨x, plane_{b·bitsPerBand+j}⟩ > 0 ? 1L<<j : 0) for
   * b ∈ [0, numBands) — the hyperplane-LSH banding step as ONE compiled
@@ -435,6 +562,13 @@ object VectorExpressions {
     ExpressionUtils.column(NearestCellTwoLevel(ExpressionUtils.expression(x),
       coarse.map(_.toArray).toArray, members.map(_.toArray).toArray,
       fine.map(_.toArray).toArray, nprobe))
+
+  def nearestCellsTwoLevel(x: Column, coarse: Seq[Seq[Double]],
+      members: Seq[Seq[Int]], fine: Seq[Seq[Double]],
+      coarseProbe: Int = 2, nprobe: Int = 2): Column =
+    ExpressionUtils.column(NearestCellsTwoLevel(ExpressionUtils.expression(x),
+      coarse.map(_.toArray).toArray, members.map(_.toArray).toArray,
+      fine.map(_.toArray).toArray, coarseProbe, nprobe))
 
   def fdot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(

@@ -144,6 +144,55 @@ class CliDedupSpec extends SparkSpec {
       "fold must make the accepted vector part of the corpus")
   }
 
+  test("embindex --plan measured builds the chooser's pick and the arrival path still works") {
+    import org.apache.spark.sql.functions.col
+    val Sim = graft.operators.Similarity
+    val dir = Files.createTempDirectory("cliembplan").toString
+    Seq("graft_cidx_ivfcells", "graft_cidx_ivfcentroids", "graft_cidx_ivfcensus",
+      "graft_cidx_ivfcoarse").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    emb.write.parquet(s"$dir/emb")
+    // the test follows the chooser rather than assuming its argmin (at
+    // this 500-vector corpus it picks the flat cell form; the decision
+    // is data, not a constant) — assert the CHOSEN form's files landed
+    // and the matching arrival path finds an exact copy
+    val chosen = Sim.embedPlanCosts(emb).collect()
+      .find(_.getAs[Boolean]("chosen")).get.getAs[String]("plan")
+    Cli.run(spark, List("embindex", s"$dir/emb", s"$dir/idx",
+      "--buckets", "4", "--plan", "measured"))
+    val copy = emb.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    if (chosen.startsWith("bands_")) {
+      assert(new java.io.File(s"$dir/idx/embbands").exists, s"$chosen -> band files")
+      copy.write.parquet(s"$dir/batch")
+      Cli.run(spark, List("emb-ingest-dedup", s"$dir/batch", s"$dir/idx", s"$dir/out",
+        "--buckets", "4"))
+      assert(spark.read.parquet(s"$dir/out/clean").count() === 0,
+        "the exact copy must dedup against the measured-plan band index")
+    } else {
+      assert(new java.io.File(s"$dir/idx/ivfcells").exists, s"$chosen -> cell files")
+      assert(new java.io.File(s"$dir/idx/ivfcoarse").exists === chosen.startsWith("ivf2_"),
+        "coarse quantizer files iff the two-level plan was chosen")
+      // re-attach from the files alone (fresh-session shape), then the
+      // copy must surface on a probe of the chosen cell index
+      Seq("graft_cidx_ivfcells", "graft_cidx_ivfcentroids", "graft_cidx_ivfcensus",
+        "graft_cidx_ivfcoarse").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Sim.registerCellIndex(spark, "graft_cidx", s"$dir/idx", buckets = 4)
+      val fine = Sim.readCellCentroids(spark, "graft_cidx")
+      val hits = (if (spark.catalog.tableExists("graft_cidx_ivfcoarse")) {
+          val (coarse, members) = Sim.readCoarseCells(spark, "graft_cidx")
+          Sim.ivfIndexProbeEdgesTwoLevel(spark, copy, "graft_cidx",
+            fine, coarse, members, 0.999)
+        } else Sim.ivfIndexProbeEdges(spark, copy, "graft_cidx", fine, 0.999))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((9000000L, 0L)),
+        s"the exact copy must surface on the measured-plan cell probe: $hits")
+      Seq("graft_cidx_ivfcells", "graft_cidx_ivfcentroids", "graft_cidx_ivfcensus",
+        "graft_cidx_ivfcoarse").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("card subcommand writes the per-source summary") {
     import spark.implicits._
     val dir = Files.createTempDirectory("clicard").toString

@@ -415,6 +415,37 @@ class IncrementalIndexSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("external two-level CELL index re-attaches via DDL after catalog loss") {
+    val cellTables = Seq("xcidx_ivfcells", "xcidx_ivfcentroids",
+      "xcidx_ivfcensus", "xcidx_ivfcoarse")
+    cellTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val loc = java.nio.file.Files.createTempDirectory("graft-cellindex").toString
+    try {
+      val Sim = graft.operators.Similarity
+      val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Sim.writeCellIndex(emb, "xcidx", location = Some(loc), twoLevel = true)
+      val probe = emb.limit(16)
+      def edges(): Set[(Long, Long)] = {
+        val fine = Sim.readCellCentroids(spark, "xcidx")
+        val (coarse, members) = Sim.readCoarseCells(spark, "xcidx")
+        Sim.ivfIndexProbeEdgesTwoLevel(spark, probe, "xcidx",
+            fine, coarse, members, 0.9)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val before = edges()
+      val driftBefore = Sim.cellDriftStats(spark, "xcidx")
+      // simulate a new session: catalog metadata gone, files remain
+      cellTables.foreach(t => spark.sql(s"DROP TABLE $t"))
+      Sim.registerCellIndex(spark, "xcidx", loc)
+      assert(spark.catalog.tableExists("xcidx_ivfcoarse"),
+        "re-attach must restore the stored coarse quantizer")
+      assert(edges() === before)
+      assert(Sim.cellDriftStats(spark, "xcidx") === driftBefore,
+        "the drift census must survive re-attach")
+    } finally cellTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("external index re-attaches via DDL after catalog loss") {
     cleanup()
     val loc = java.nio.file.Files.createTempDirectory("graft-bandindex").toString

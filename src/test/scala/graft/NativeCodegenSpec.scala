@@ -74,10 +74,13 @@ class NativeCodegenSpec extends SparkSpec {
         VectorExpressions.nearestCells(col("embedding"), centroids, 2).as("cells"),
         VectorExpressions.nearestCellTwoLevel(col("embedding"),
           Seq(centroids.head, centroids(2)), Seq(Seq(0, 1), Seq(2, 3)), centroids).as("cell2"),
+        VectorExpressions.nearestCellsTwoLevel(col("embedding"),
+          Seq(centroids.head, centroids(2)), Seq(Seq(0, 1), Seq(2, 3)), centroids).as("cells2"),
         VectorExpressions.signBandPacked(col("embedding"), planes, 4, 3).as("bands"),
         VectorExpressions.fdot(col("embedding"), col("embedding")).as("norm2"))
       .agg(sum(col("cell")), sum(col("norm2")), sum(element_at(col("cells"), 1)),
-        sum(col("cell2")), sum(element_at(col("bands"), 1)))
+        sum(col("cell2")), sum(element_at(col("cells2"), 1)),
+        sum(element_at(col("bands"), 1)))
       .collect()
     assert(vec.length === 1)
 

@@ -265,6 +265,46 @@ class SimilaritySpec extends SparkSpec {
     assert((s1 != Similarity.learnCells(emb, 4, 1)) || emb.count() <= 64)
   }
 
+  test("nearestCellsTwoLevel: top-1 == single two-level kernel, cells within probed groups, flat agreement measured") {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fine = Similarity.learnCells(emb, 8, 2)
+    val (coarse, members) = Similarity.learnCoarseCells(fine, 3, 1)
+    val kept = members.indices.filter(members(_).nonEmpty)
+    val kc = kept.map(coarse)
+    val km = kept.map(members)
+    import org.apache.spark.sql.graftnative.VectorExpressions
+    val rows = emb.select(col("vec_id"),
+        VectorExpressions.nearestCellTwoLevel(col("embedding"), kc, km, fine).as("one"),
+        VectorExpressions.nearestCellsTwoLevel(col("embedding"), kc, km, fine).as("two"),
+        VectorExpressions.nearestCells(col("embedding"), fine, 2).as("flat"))
+      .collect()
+    assert(rows.nonEmpty)
+    val allMembers = km.flatten.toSet
+    var agree = 0
+    rows.foreach { r =>
+      val two = r.getAs[scala.collection.Seq[Int]]("two")
+      // top-1 of the multi-probe kernel IS the single kernel's argmin
+      assert(two.head === r.getAs[Int]("one"), s"vec ${r.getLong(0)}")
+      assert(two.length === 2 && two(0) != two(1))
+      assert(two.forall(allMembers.contains), "cell outside the member union")
+      if (two.toSet == r.getAs[scala.collection.Seq[Int]]("flat").toSet) agree += 1
+    }
+    // approximate by design; the toy-scale agreement floor mirrors the
+    // single-kernel two-level test's
+    assert(agree.toDouble / rows.length >= 0.6,
+      s"two-cell agreement ${agree.toDouble / rows.length} below floor")
+  }
+
+  test("ivf2SemDedup == ivfSemDedup survivors on the injected corpus (two-level membership loses no group)") {
+    val aug = Similarity.withNearDupEmbeddings(Tables.load(spark, dir, "embeddings"))
+    val flat = Similarity.ivfSemDedup(aug, 0.9).collect().map(_.getLong(0)).toSet
+    val two = Similarity.ivf2SemDedup(aug, 0.9).collect().map(_.getLong(0)).toSet
+    assert(two.nonEmpty && two.size < aug.count(), "dedup must actually remove members")
+    assert(two === flat,
+      "two-level-routed membership must keep exactly the flat form's survivors here")
+  }
+
   test("cell-index staleness: same-distribution growth is clean, a drifted stream trips the rebuild signal") {
     val idx = "driftidx"
     Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids", s"${idx}_ivfcensus")

@@ -683,6 +683,62 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IVF fold over a TWO-LEVEL index routes coarse-over-fine and equals batch ivf2SemDedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = "sivf2"
+    Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids", s"${idx}_ivfcensus", s"${idx}_ivfcoarse")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val aug = graft.operators.Similarity.withNearDupEmbeddings(
+        Tables.load(spark, "/root/testdata/sf0.001", "embeddings"))
+      // the pinned batch twin is the TWO-LEVEL form: same fixed
+      // quantizers as the index (deterministic training on the same
+      // corpus), same NearestCellsTwoLevel membership kernel
+      val want = graft.operators.Similarity.ivf2SemDedup(aug, 0.9)
+        .collect().map(_.getLong(0)).toSet
+      val allIds = aug.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(want.size < allIds.size, "fixture must contain removable near-dups")
+      graft.operators.Similarity.writeCellIndex(aug, idx, twoLevel = true)
+      assert(spark.catalog.tableExists(s"${idx}_ivfcoarse"),
+        "two-level build must store the coarse quantizer")
+      // copies (ids >= 1e6) arrive BEFORE their originals, 3 batches
+      val ordered = aug.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(-_._1)
+      val stream = MemoryStream[(Long, Array[Float])]
+      @volatile var last: Option[org.apache.spark.sql.DataFrame] = None
+      val query = StreamOps.streamingIvfSemDedupFold(
+        stream.toDF().toDF("vec_id", "embedding"), idx)(a => last = Some(a))
+      try {
+        ordered.grouped(math.max(1, ordered.size / 3)).foreach { b =>
+          stream.addData(b); query.processAllAvailable()
+        }
+        val assignment = last.get.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val removed = assignment.collect { case (d, c) if d != c => d }.toSet
+        assert(removed.nonEmpty)
+        assert(allIds -- removed === want,
+          "3-batch two-level IVF fold survivors must equal one-shot batch ivf2SemDedup")
+      } finally query.stop()
+
+      // arrivals append through the SAME two-level routing (auto-detected
+      // from the stored coarse table) and are immediately probe-visible
+      val novel = aug.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      graft.operators.Similarity.appendToCellIndex(spark, novel, idx)
+      val fine = graft.operators.Similarity.readCellCentroids(spark, idx)
+      val (coarse, members) = graft.operators.Similarity.readCoarseCells(spark, idx)
+      val hits = graft.operators.Similarity.ivfIndexProbeEdgesTwoLevel(
+          spark, aug.filter(col("vec_id") === 0L).select(col("vec_id"), col("embedding")),
+          idx, fine, coarse, members, 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hits.contains((0L, 5000000L)),
+        "an appended exact copy must surface on the next two-level probe")
+    } finally
+      Seq(s"${idx}_ivfcells", s"${idx}_ivfcentroids", s"${idx}_ivfcensus", s"${idx}_ivfcoarse")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming IVF fold: vector batches probing the persisted cell index == batch ivfSemDedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
