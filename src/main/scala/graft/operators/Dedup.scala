@@ -1422,12 +1422,13 @@ object Dedup {
     * banding's (numBlocks, comboSize); `measurePlan = true` spends one
     * [[hammingBlockPlanMeasured]] census over the rep-level hash set
     * and uses ITS pick — the production form for corpora whose density
-    * regime is unknown. The chooser's own scaling table
-    * (`hamming_chooser_scales.json`) showed the static m=7/c=1 family's
-    * raw join stream reaching 10.3 G rows at the ×256 corpus where the
-    * measured pick (m=10/c=4) streams 0.73 G; since every exact plan
-    * yields IDENTICAL assignments (pigeonhole — DedupSpec pins it), the
-    * choice is purely a cost decision and safe to automate. */
+    * regime is unknown. Since every exact plan yields IDENTICAL
+    * assignments (pigeonhole — DedupSpec pins it), the choice is purely
+    * a cost decision and safe to automate. The cost model's band-row
+    * weight was calibrated against a pinned-plan WALL sweep at the ×256
+    * corpus (round 11 — see [[hammingPlanCosts]]): the calibrated pick
+    * there (m=8/c=2, 86.5 s) beats both the static rule's plan
+    * (m=9/c=3, 112.6 s) and the classic banding (122.4 s). */
   def simhashAssignments(corpus: DataFrame, maxHamming: Int = 6,
       bits: Int = 48, plan: Option[(Int, Int)] = None,
       measurePlan: Boolean = false): DataFrame = {
@@ -1633,16 +1634,39 @@ object Dedup {
     *     exact trade [[hammingBlockPlan]]'s width rule encodes from the
     *     ×16 corpus measurements.
     *
-    * `chosen` marks argmin(band_rows + raw_join_rows), ties to the
-    * smaller c. Cost: one aggregation over |hashes| · C(m, c) rows per
-    * plan — no join, no pair materialization, so measuring is orders
-    * cheaper than running any candidate plan. The static rule stays the
-    * zero-cost default in the hot paths; [[hammingBlockPlanMeasured]]
-    * is the opt-in that spends this measuring pass (sampled if huge)
-    * when the corpus's density regime is unknown. Output: (num_blocks,
-    * combo_size, n_hashes, band_rows, raw_join_rows, cost, chosen). */
+    * `chosen` marks argmin(band_rows · bandRowWeight + raw_join_rows),
+    * ties to the smaller c. The weight exists because the two row kinds
+    * are NOT equal-cost: a band row is exploded, shuffled and SORTED
+    * into the equi-join (heavy per row); a raw join row is emitted by
+    * the merge join's inner loop and immediately filtered (light per
+    * row). Round 11 measured the equal-weight model picking m=10/c=4 at
+    * the ×256 corpus (1.4 M docs) where the PINNED-PLAN wall sweeps
+    * (`HammingPlanSweep`, single box, local[32]) read:
+    *
+    *   ×256: m=7/c=1 122.4 s, m=8/c=2 86.5 s (wall argmin),
+    *         m=9/c=3 112.6 s, m=10/c=4 304.7 s (model's pick, 3.5×)
+    *   ×64:  m=7/c=1 46.8 s,  m=8/c=2 35.3 s (wall argmin),
+    *         m=9/c=3 41.0 s,  m=10/c=4 53.8 s
+    *
+    * The weight window whose argmin matches BOTH sweeps is
+    * 22.1 < w < 60.5 (outside it the model re-picks 7:1 at ×64 or 9:3
+    * at ×256); bandRowWeight = 32 sits mid-window, reproduces the wall
+    * argmin and runner-up at both scales, and keeps the classic c=1
+    * argmin on sparse corpora (every oracle scale — 7:1 dominates both
+    * columns there, so any weight preserves it). Calibrated on this
+    * box; a network-bound cluster prices the shuffled band rows even
+    * higher relative to streamed join rows, and the parameter is there
+    * to recalibrate. Cost of measuring: one aggregation over
+    * |hashes| · C(m, c) rows per plan — no join, no pair
+    * materialization, so it stays orders cheaper than running any
+    * candidate plan. The static rule stays the zero-cost default in the
+    * hot paths; [[hammingBlockPlanMeasured]] is the opt-in that spends
+    * this measuring pass (sampled if huge) when the corpus's density
+    * regime is unknown. Output: (num_blocks, combo_size, n_hashes,
+    * band_rows, raw_join_rows, cost, chosen). */
   def hammingPlanCosts(sh: DataFrame, hashCol: String, bits: Int,
-      maxHamming: Int, blockCols: Seq[String], maxC: Int = 4): DataFrame = {
+      maxHamming: Int, blockCols: Seq[String], maxC: Int = 4,
+      bandRowWeight: Long = 32L): DataFrame = {
     require(maxHamming + 1 <= bits,
       s"hammingPlanCosts: no feasible combo plan — the tightest pigeonhole " +
       s"family needs maxHamming + 1 <= bits blocks, got maxHamming=$maxHamming, bits=$bits")
@@ -1666,7 +1690,8 @@ object Dedup {
             col("n_band_rows").as("band_rows"), col("raw_join_rows"))
       }
     val all = perPlan.reduce(_ unionAll _)
-      .withColumn("cost", col("band_rows") + col("raw_join_rows"))
+      .withColumn("cost",
+        col("band_rows") * bandRowWeight + col("raw_join_rows"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cost"), col("combo_size")) // ≤ maxC rows — config-sized
     val out = all.withColumn("chosen", row_number().over(w) === 1)
@@ -1699,7 +1724,7 @@ object Dedup {
     * block sizes (10⁴⁺) stay measurable. */
   def hammingBlockPlanMeasured(sh: DataFrame, hashCol: String, bits: Int,
       maxHamming: Int, blockCols: Seq[String],
-      sampleCap: Long = 200000L): (Int, Int) = {
+      sampleCap: Long = 200000L, bandRowWeight: Long = 32L): (Int, Int) = {
     // ONE distinct pass, checkpointed so the size probe and the
     // (possibly sampled) measuring pass share it instead of each
     // re-shuffling the raw frame; released before returning
@@ -1711,7 +1736,8 @@ object Dedup {
         if (n <= sampleCap) distinctHashes
         else distinctHashes.filter(
           pmod(xxhash64(col(hashCol)), lit(n / sampleCap + 1)) === 0)
-      val chosen = hammingPlanCosts(sampled, hashCol, bits, maxHamming, blockCols)
+      val chosen = hammingPlanCosts(sampled, hashCol, bits, maxHamming,
+          blockCols, bandRowWeight = bandRowWeight)
         .filter(col("chosen")).select(col("num_blocks"), col("combo_size"))
         .head() // bounded: the costs frame holds ≤ maxC rows by construction
       (chosen.getInt(0), chosen.getInt(1))

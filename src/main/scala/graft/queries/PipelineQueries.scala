@@ -677,8 +677,9 @@ object PipelineQueries {
     // whole plan family), so the oracle is q45c's — exhaustive rep-level
     // all-pairs + recursive reachability — and the hash gate covers the
     // measured path end-to-end. The chooser's value is at scale: at the
-    // ×256 corpus the static m=7/c=1 family's raw join stream is 10.3 G
-    // rows vs the measured pick's 0.73 G (hamming_chooser_scales.json).
+    // ×256 corpus its calibrated pick (m=8/c=2) ran 86.5 s in the
+    // pinned-plan wall sweep vs the static rule's 112.6 s and the
+    // classic banding's 122.4 s (hamming_chooser_scales.json).
     QueryDef("q45d_simhash_assign_measured",
       (s, dir) => Dedup.simhashAssignments(
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents")),
@@ -3695,8 +3696,8 @@ object PipelineQueries {
            |       CAST(n_hashes AS BIGINT) AS n_hashes,
            |       CAST(band_rows AS BIGINT) AS band_rows,
            |       CAST(raw_join_rows AS BIGINT) AS raw_join_rows,
-           |       CAST(band_rows + raw_join_rows AS BIGINT) AS cost,
-           |       row_number() OVER (ORDER BY band_rows + raw_join_rows ASC,
+           |       CAST(band_rows * 32 + raw_join_rows AS BIGINT) AS cost,
+           |       row_number() OVER (ORDER BY band_rows * 32 + raw_join_rows ASC,
            |                          combo_size ASC) = 1 AS chosen
            |FROM allc""".stripMargin
       }),

@@ -199,9 +199,11 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toList
       .sortBy(_._2)
+    // cost = band_rows · 32 (the calibrated shuffle-vs-stream weight —
+    // see hammingPlanCosts scaladoc) + raw_join_rows
     assert(costs === List(
-      (7, 1, 4L, 28L, 36L, 64L, true),
-      (8, 2, 4L, 112L, 126L, 238L, false)))
+      (7, 1, 4L, 28L, 36L, 28L * 32 + 36L, true),
+      (8, 2, 4L, 112L, 126L, 112L * 32 + 126L, false)))
     // the measured chooser returns the argmin pair
     assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty) === ((7, 1)))
   }
