@@ -1656,10 +1656,11 @@ object Dedup {
     * columns there, so any weight preserves it). Calibrated on this
     * box; a network-bound cluster prices the shuffled band rows even
     * higher relative to streamed join rows, and the parameter is there
-    * to recalibrate. Cost of measuring: one aggregation over
-    * |hashes| · C(m, c) rows per plan — no join, no pair
-    * materialization, so it stays orders cheaper than running any
-    * candidate plan. The static rule stays the zero-cost default in the
+    * to recalibrate. Cost of measuring: ONE fused aggregation over
+    * |hashes| · Σ_plans C(m, c) tagged combo rows — no join, no pair
+    * materialization, one shuffle for all candidate plans (see
+    * [[hammingPlanCostsDistinct]] for why the per-plan form was
+    * fused). The static rule stays the zero-cost default in the
     * hot paths; [[hammingBlockPlanMeasured]] is the opt-in that spends
     * this measuring pass (sampled if huge) when the corpus's density
     * regime is unknown. Output: (num_blocks, combo_size, n_hashes,
@@ -1670,40 +1671,68 @@ object Dedup {
     require(maxHamming + 1 <= bits,
       s"hammingPlanCosts: no feasible combo plan — the tightest pigeonhole " +
       s"family needs maxHamming + 1 <= bits blocks, got maxHamming=$maxHamming, bits=$bits")
-    val hashes = sh.select((col(hashCol).as("h") +: blockCols.map(col)): _*)
-      .distinct().localCheckpoint(false) // scanned once per candidate plan
-    val perPlan = (1 to maxC).map(c => (maxHamming + c, c))
-      .filter { case (m, _) => m <= bits }
-      .map { case (m, c) =>
-        val blockDefs = blockDefsFor(bits, m)
-        val comboDefs = (0 until m).combinations(c).toSeq
-        comboBandRows(hashes, blockDefs, comboDefs, blockCols)
-          .groupBy((Seq(col("b"), col("v")) ++ blockCols.map(col)): _*)
-          .agg(count(lit(1)).as("n"))
-          // integer div throughout: n(n−1) is even, and the counts must
-          // survive past 2^53 at full scale (no double intermediate)
-          .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
-            .cast("long").as("raw_join_rows"),
-            coalesce(sum(col("n")), lit(0L)).cast("long").as("n_band_rows"))
-          .select(lit(m).as("num_blocks"), lit(c).as("combo_size"),
-            expr(s"n_band_rows div ${comboDefs.size}").cast("long").as("n_hashes"),
-            col("n_band_rows").as("band_rows"), col("raw_join_rows"))
-      }
-    val all = perPlan.reduce(_ unionAll _)
-      .withColumn("cost",
-        col("band_rows") * bandRowWeight + col("raw_join_rows"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cost"), col("combo_size")) // ≤ maxC rows — config-sized
-    val out = all.withColumn("chosen", row_number().over(w) === 1)
-    // materialize the ≤ maxC result rows (bounded by construction), then
-    // RELEASE the checkpointed distinct-hash copy — without this every
+    // the checkpoint is RELEASED before returning — without this every
     // autotune call pins one full distinct-hash frame as persisted RDD
     // blocks for the life of the session
-    val rows = out.collect()
-    graft.streaming.StreamOps.releaseCheckpoint(hashes)
-    val spark = sh.sparkSession
-    spark.createDataFrame(
-      spark.sparkContext.makeRDD(rows.toIndexedSeq, 1), out.schema)
+    val hashes = sh.select((col(hashCol).as("h") +: blockCols.map(col)): _*)
+      .distinct().localCheckpoint(false)
+    try hammingPlanCostsDistinct(hashes, bits, maxHamming, blockCols,
+      maxC, bandRowWeight)
+    finally graft.streaming.StreamOps.releaseCheckpoint(hashes)
+  }
+
+  /** The census over an ALREADY-DISTINCT (h ++ blockCols) frame, fused
+    * into ONE pass: every candidate plan's combo rows are generated by
+    * one tagged explode (Σ_plans C(m, c) rows per hash) into one
+    * aggregation, instead of one explode + shuffle + aggregate per
+    * plan. Round-11 measurement forced the fusion: the 4-pass census
+    * cost more wall than its pick saved (q45d ×64 read 124 s where the
+    * pinned chosen plan alone runs 35 s — the chooser was the
+    * majority of the run). Same output, one shuffle. */
+  private def hammingPlanCostsDistinct(hashes: DataFrame, bits: Int,
+      maxHamming: Int, blockCols: Seq[String], maxC: Int,
+      bandRowWeight: Long): DataFrame = {
+    val spark = hashes.sparkSession
+    val plans = (1 to maxC).map(c => (maxHamming + c, c))
+      .filter { case (m, _) => m <= bits }
+    val comboCounts = plans.map { case (m, c) =>
+      (m, c) -> (0 until m).combinations(c).size.toLong }.toMap
+    val planArrays = plans.map { case (m, c) =>
+      val blockDefs = blockDefsFor(bits, m)
+      val comboDefs = (0 until m).combinations(c).toSeq
+      transform(
+        org.apache.spark.sql.graftnative.TextHashExpressions
+          .comboBandStructs(col("h"), blockDefs, comboDefs),
+        s => struct(lit(m).as("m"), lit(c).as("c"),
+          s.getField("b").as("b"), s.getField("v").as("v")))
+    }
+    val bucketed = hashes
+      .select((blockCols.map(col) :+
+        explode(concat(planArrays: _*)).as("pb")): _*)
+      .groupBy((Seq(col("pb.m").as("m"), col("pb.c").as("c"),
+        col("pb.b").as("b"), col("pb.v").as("v")) ++ blockCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("m"), col("c"))
+      // integer div throughout: n(n−1) is even, and the counts must
+      // survive past 2^53 at full scale (no double intermediate)
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+        .cast("long").as("raw_join_rows"),
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("n_band_rows"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // assemble driver-side over the KNOWN plan list (an empty corpus
+    // still yields one all-zero row per plan, as the per-plan
+    // no-groupBy aggregations of the old form did)
+    val full = plans.map { case (m, c) =>
+      val (raw, band) = bucketed.getOrElse((m, c), (0L, 0L))
+      (m, c, band / comboCounts((m, c)), band, raw,
+        band * bandRowWeight + raw)
+    }
+    val best = full.minBy { case (_, c, _, _, _, cost) => (cost, c) }
+    spark.createDataFrame(full.map { case (m, c, nh, band, raw, cost) =>
+      (m, c, nh, band, raw, cost, (m, c) == ((best._1, best._2)))
+    }).toDF("num_blocks", "combo_size", "n_hashes", "band_rows",
+      "raw_join_rows", "cost", "chosen")
   }
 
   /** Opt-in measured plan chooser: runs [[hammingPlanCosts]] (over a
@@ -1736,8 +1765,12 @@ object Dedup {
         if (n <= sampleCap) distinctHashes
         else distinctHashes.filter(
           pmod(xxhash64(col(hashCol)), lit(n / sampleCap + 1)) === 0)
-      val chosen = hammingPlanCosts(sampled, hashCol, bits, maxHamming,
-          blockCols, bandRowWeight = bandRowWeight)
+      // the frame is already distinct (and checkpointed above) — go
+      // straight to the fused census, skipping hammingPlanCosts' own
+      // re-distinct + second checkpoint
+      val chosen = hammingPlanCostsDistinct(
+          sampled.withColumnRenamed(hashCol, "h"), bits, maxHamming,
+          blockCols, maxC = 4, bandRowWeight = bandRowWeight)
         .filter(col("chosen")).select(col("num_blocks"), col("combo_size"))
         .head() // bounded: the costs frame holds ≤ maxC rows by construction
       (chosen.getInt(0), chosen.getInt(1))

@@ -472,6 +472,39 @@ object PipelineQueries {
              |FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
              |WHERE j.jacc >= 0.5""".stripMargin)),
 
+    // The recompute-vs-probe pricing census for the persisted band
+    // index (round-11: the chooser column that quantifies what q43b's
+    // amortized form saves per run) — band_rows is what the recompute
+    // form re-ships before any candidate exists; raw_join_rows is the
+    // candidate stream both forms pay. One row; the oracle re-derives
+    // both quantities from the same band definition, so the hash gate
+    // covers the pricing arithmetic end to end.
+    QueryDef("q225_bandindex_plan",
+      (s, dir) => {
+        val docs = Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))
+        val loc = s"${System.getProperty("java.io.tmpdir")}/graft_q43b_idx_" +
+          Integer.toHexString(dir.hashCode)
+        Seq("q43b_idx_bands", "q43b_idx_sets")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        val built = Seq("bands", "sets").forall(sub => java.nio.file.Files
+          .exists(java.nio.file.Paths.get(loc, sub, "_SUCCESS")))
+        if (built) Dedup.registerBandIndex(s, "q43b_idx", loc)
+        else Dedup.writeBandIndex(docs, "q43b_idx", location = Some(loc))
+        Dedup.bandIndexPlanCosts(s, "q43b_idx")
+      },
+      Some(s"""WITH $nearDupCorpus,
+             |$shingleCtes,
+             |$sigCte,
+             |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+             |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+             |          FROM sig GROUP BY 1, 2),
+             |bgrp AS (SELECT band, s, mn, mx, count(*) AS n FROM bands GROUP BY 1, 2, 3, 4)
+             |SELECT CAST(sum(n) AS BIGINT) AS band_rows,
+             |       CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS raw_join_rows,
+             |       CAST(sum(n) + COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS recompute_cost,
+             |       CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS probe_cost
+             |FROM bgrp""".stripMargin)),
+
     QueryDef("q46_canonical",
       (s, dir) => Dedup.canonicalAssignments(Dedup.minhashLshPairs(
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents")))),
