@@ -123,7 +123,7 @@ object Bench {
   private val probes =
     new java.util.WeakHashMap[org.apache.spark.SparkContext,
       org.apache.spark.graftnative.TaskMetricsProbe]
-  private def probeFor(spark: SparkSession): org.apache.spark.graftnative.TaskMetricsProbe =
+  private[graft] def probeFor(spark: SparkSession): org.apache.spark.graftnative.TaskMetricsProbe =
     probes.synchronized {
       val sc = spark.sparkContext
       val existing = probes.get(sc)

@@ -139,10 +139,22 @@ object VectorKernels {
     if (have != want) throw new IllegalArgumentException(
       s"graft vector kernel: embedding has $have elements but the $what has dim $want")
 
+  /** The matrix dim, failing LOUDLY on an empty matrix: the Expression
+    * constructors already require non-empty, but the kernels are public
+    * statics reachable from generated code — `matrix(0)` on an empty
+    * array would surface as a bare AIOOBE instead of a diagnosable
+    * error (round-11 verdict). One branch per row, free next to the
+    * k×dim fold. */
+  private def dimOf(matrix: Array[Array[Double]], what: String): Int = {
+    if (matrix.length == 0) throw new IllegalArgumentException(
+      s"graft vector kernel: the $what is empty")
+    matrix(0).length
+  }
+
   /** Shared by interpreted and generated paths: argmin over k cells of
     * the left-fold squared L2 distance; ties keep the lower cell id. */
   def nearestCell(x: ArrayData, centroids: Array[Array[Double]]): Int = {
-    val n = centroids(0).length
+    val n = dimOf(centroids, "centroid matrix")
     checkDim(x.numElements(), n, "centroid matrix")
     var best = 0
     var bestD = Double.PositiveInfinity
@@ -169,7 +181,7 @@ object VectorKernels {
     * allocation-light; nprobe is clamped to k. */
   def nearestCells(x: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
     val k = centroids.length
-    val n = centroids(0).length
+    val n = dimOf(centroids, "centroid matrix")
     checkDim(x.numElements(), n, "centroid matrix")
     val p = math.min(nprobe, k)
     val bestD = Array.fill(p)(Double.PositiveInfinity)
@@ -196,8 +208,14 @@ object VectorKernels {
       }
       cell += 1
     }
+    // non-finite embedding → no insertions: fall back to cell 0 (the
+    // single-probe kernel's convention) instead of leaking the
+    // Int.MaxValue sentinel as a phantom cell id
+    if (bestC(0) == Int.MaxValue) bestC(0) = 0
+    var filled = 0
+    while (filled < p && bestC(filled) != Int.MaxValue) filled += 1
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(bestC, p))
+      java.util.Arrays.copyOf(bestC, filled))
   }
 
   /** Two-level IVF routing: the `nprobe` nearest coarse groups (O(√k)
@@ -217,7 +235,7 @@ object VectorKernels {
   def nearestCellTwoLevel(x: ArrayData, coarse: Array[Array[Double]],
       members: Array[Array[Int]], fine: Array[Array[Double]],
       nprobe: Int): Int = {
-    val n = fine(0).length
+    val n = dimOf(fine, "fine-cell matrix")
     checkDim(x.numElements(), n, "centroid matrix")
     val k = coarse.length
     val p = math.min(nprobe, k)
@@ -243,10 +261,17 @@ object VectorKernels {
       }
       g += 1
     }
+    // a non-finite embedding makes every coarse comparison false, leaving
+    // the probe list at its Int.MaxValue sentinel — members(MaxValue) is an
+    // AIOOBE from generated code. Compact to the filled prefix and fall
+    // back to group 0 (the flat kernel's cell-0 convention) when empty.
+    var filledG = 0
+    while (filledG < p && bestG(filledG) != Int.MaxValue) filledG += 1
+    if (filledG == 0) { bestG(0) = 0; filledG = 1 }
     var best = -1
     var bestD = Double.PositiveInfinity
     var gi = 0
-    while (gi < p) {
+    while (gi < filledG) {
       val mem = members(bestG(gi))
       var m = 0
       while (m < mem.length) {
@@ -291,7 +316,7 @@ object VectorKernels {
   def nearestCellsTwoLevel(x: ArrayData, coarse: Array[Array[Double]],
       members: Array[Array[Int]], fine: Array[Array[Double]],
       coarseProbe: Int, nprobe: Int): ArrayData = {
-    val n = fine(0).length
+    val n = dimOf(fine, "fine-cell matrix")
     checkDim(x.numElements(), n, "centroid matrix")
     val k = coarse.length
     val gp = math.min(coarseProbe, k)
@@ -317,15 +342,20 @@ object VectorKernels {
       }
       g += 1
     }
+    // same non-finite-embedding guard as nearestCellTwoLevel: compact to
+    // the filled prefix, fall back to group 0 when nothing inserted
+    var filledG = 0
+    while (filledG < gp && bestG(filledG) != Int.MaxValue) filledG += 1
+    if (filledG == 0) { bestG(0) = 0; filledG = 1 }
     var total = 0
     var gi = 0
-    while (gi < gp) { total += members(bestG(gi)).length; gi += 1 }
+    while (gi < filledG) { total += members(bestG(gi)).length; gi += 1 }
     val p = math.min(nprobe, math.max(total, 1))
     val bestD = Array.fill(p)(Double.PositiveInfinity)
     val bestC = Array.fill(p)(Int.MaxValue)
     var firstCell = -1
     gi = 0
-    while (gi < gp) {
+    while (gi < filledG) {
       val mem = members(bestG(gi))
       var m = 0
       while (m < mem.length) {
@@ -367,6 +397,8 @@ object VectorKernels {
     * identical to `FloatVectorDot` against the same plane. */
   def signBands(x: ArrayData, planes: Array[Array[Float]],
       numBands: Int, bitsPerBand: Int): ArrayData = {
+    if (planes.length == 0) throw new IllegalArgumentException(
+      "graft vector kernel: the plane matrix is empty")
     val n = planes(0).length
     checkDim(x.numElements(), n, "plane matrix")
     val out = new Array[Long](numBands)

@@ -41,4 +41,35 @@ class TaskMetricsProbeSpec extends SparkSpec {
     // the session is JVM-shared across suites: do not leak the listener
     } finally sc.removeSparkListener(probe)
   }
+
+  /** Round-11 verdict: Bench's probe cache used to be keyed by
+    * SparkSession while install() registers on the SparkContext — in a
+    * one-context-many-sessions JVM every new session stacked another
+    * listener on the same bus and every byte counted twice. The cache
+    * is now context-keyed; this pins it: two sessions sharing one
+    * context must resolve to the SAME probe instance (identity, not
+    * equality — one instance is what guarantees one listener). */
+  test("Bench's probe cache hands two sessions on one context the same listener") {
+    val a = spark
+    val b = spark.newSession()
+    assert(a.sparkContext eq b.sparkContext, "newSession must share the context")
+    // NOT removed afterwards: the cache hands this instance out for the
+    // context's whole life, so unregistering it here would leave later
+    // Bench users holding a dead listener — the cache's design is one
+    // probe per context, registered once, reset per window.
+    val pa = Bench.probeFor(a)
+    val pb = Bench.probeFor(b)
+    assert(pa eq pb,
+      "two sessions on one context got distinct probes - double-counting listener stack")
+    // and the counting is single: one shuffling job, one window
+    pa.reset()
+    a.range(0, 50000).select((col("id") % 31).as("k"))
+      .groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
+    TaskMetricsProbe.drain(a.sparkContext)
+    val (_, wA, _, _) = pa.snapshot()
+    val (_, wB, _, _) = pb.snapshot()
+    assert(wA > 0 && wA === wB, s"one window, one count: $wA vs $wB")
+    pa.reset()
+  }
 }
