@@ -277,6 +277,10 @@ object Cli {
       // ensemble's simhash banding at ITS (m, c) pick; --hamming-plan M:C
       // pins an explicit plan. Assignments are plan-invariant (pigeonhole
       // exactness, DedupSpec pin) — this only moves the candidate cost.
+      // Below the chooser's measure floor (1 M distinct rep hashes) the
+      // census is skipped and the static rule answers, so a nightly
+      // release that defaults to `measured` on a small corpus no longer
+      // pays ~2× for nothing (round-11 verdict #1).
       val simhashPlan = o.get("hamming-plan").map {
         case "measured" =>
           val p = graft.operators.Dedup.measuredSimhashPlan(corpus)

@@ -1035,9 +1035,16 @@ object Dedup {
     *     be generated (the probe form's build sank this once);
     *   - `raw_join_rows` = Σ_bucket C(n, 2): the candidate stream out of
     *     the band self-join — BOTH forms pay this;
-    *   - `recompute_cost` = band_rows + raw_join_rows vs `probe_cost` =
-    *     raw_join_rows — the per-run saving of running dedup off the
-    *     index.
+    *   - `recompute_cost` = band_rows · bandRowWeight + raw_join_rows vs
+    *     `probe_cost` = raw_join_rows — the per-run saving of running
+    *     dedup off the index. The weight is the SAME calibrated
+    *     constant as [[hammingPlanCosts]]' (default 32): a recompute
+    *     band row is exploded, shuffled and sorted before the join
+    *     (heavy), a probe candidate streams out of the in-place merge
+    *     join (light) — round 11's pinned-plan wall sweeps put the
+    *     ratio at 22–60 on this box, and an equal-weight census here
+    *     would understate the recompute cost this operator exists to
+    *     quantify (round-11 ADVICE).
     *
     * One aggregation over the bucketed bands table (grouping is
     * bucket-local on bkey), single-row output. The bucket identity is
@@ -1045,7 +1052,7 @@ object Dedup {
     * as grouping columns), so C(n, 2) counts exactly the candidate join's
     * output stream. */
   def bandIndexPlanCosts(spark: org.apache.spark.sql.SparkSession,
-      name: String): DataFrame =
+      name: String, bandRowWeight: Long = 32L): DataFrame =
     Bucketing.readBucketed(spark, s"${name}_bands")
       .groupBy(col("bkey"), col("mn"), col("mx"))
       .agg(count(lit(1)).as("n"))
@@ -1053,7 +1060,8 @@ object Dedup {
         coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
           .cast("long").as("raw_join_rows"))
       .select(col("band_rows"), col("raw_join_rows"),
-        (col("band_rows") + col("raw_join_rows")).as("recompute_cost"),
+        (col("band_rows") * bandRowWeight + col("raw_join_rows"))
+          .as("recompute_cost"),
         col("raw_join_rows").as("probe_cost"))
 
   // ---- end-to-end dedup application ---------------------------------------
@@ -1750,10 +1758,27 @@ object Dedup {
     * C(n,2) terms shrink ~1/s² while band_rows shrink 1/s — the
     * measured trade-off point is conservative (biased toward classic
     * banding) under heavy sampling; sampleCap is sized so production
-    * block sizes (10⁴⁺) stay measurable. */
+    * block sizes (10⁴⁺) stay measurable.
+    *
+    * `measureFloor` gates the census itself (round-11 verdict #1: the
+    * measured path paid its census EVERY run and lost to the static
+    * rule everywhere below its own crossover — 97.2 s vs 55.0 s at the
+    * ×64 corpus). Below the floor only the distinct-count probe is
+    * paid (one shuffle of the rep set, the count the chooser needs
+    * anyway) and the static rule's plan is returned — which is safe
+    * because every exact plan yields identical OUTPUT (pigeonhole);
+    * the floor only decides who pays what. The committed pinned-plan
+    * walls bracket the census-pays-for-itself crossover between
+    * 343,784 distinct hashes (×64: census ~42 s, plan saving ~6 s) and
+    * 1,374,759 (×256: q45d 114.7 s beats static 138.1 s); the default
+    * sits HIGH in that window because the measured below-crossover
+    * penalty (−77% at ×64) dwarfs the saving forgone just above the
+    * midpoint (single-digit % around break-even). Pass 0 to force the
+    * census (the q212 diagnostic row does). */
   def hammingBlockPlanMeasured(sh: DataFrame, hashCol: String, bits: Int,
       maxHamming: Int, blockCols: Seq[String],
-      sampleCap: Long = 200000L, bandRowWeight: Long = 32L): (Int, Int) = {
+      sampleCap: Long = 200000L, bandRowWeight: Long = 32L,
+      measureFloor: Long = 1000000L): (Int, Int) = {
     // ONE distinct pass, checkpointed so the size probe and the
     // (possibly sampled) measuring pass share it instead of each
     // re-shuffling the raw frame; released before returning
@@ -1761,19 +1786,22 @@ object Dedup {
       .distinct().localCheckpoint(false)
     try {
       val n = distinctHashes.count()
-      val sampled =
-        if (n <= sampleCap) distinctHashes
-        else distinctHashes.filter(
-          pmod(xxhash64(col(hashCol)), lit(n / sampleCap + 1)) === 0)
-      // the frame is already distinct (and checkpointed above) — go
-      // straight to the fused census, skipping hammingPlanCosts' own
-      // re-distinct + second checkpoint
-      val chosen = hammingPlanCostsDistinct(
-          sampled.withColumnRenamed(hashCol, "h"), bits, maxHamming,
-          blockCols, maxC = 4, bandRowWeight = bandRowWeight)
-        .filter(col("chosen")).select(col("num_blocks"), col("combo_size"))
-        .head() // bounded: the costs frame holds ≤ maxC rows by construction
-      (chosen.getInt(0), chosen.getInt(1))
+      if (n < measureFloor) hammingBlockPlan(bits, maxHamming)
+      else {
+        val sampled =
+          if (n <= sampleCap) distinctHashes
+          else distinctHashes.filter(
+            pmod(xxhash64(col(hashCol)), lit(n / sampleCap + 1)) === 0)
+        // the frame is already distinct (and checkpointed above) — go
+        // straight to the fused census, skipping hammingPlanCosts' own
+        // re-distinct + second checkpoint
+        val chosen = hammingPlanCostsDistinct(
+            sampled.withColumnRenamed(hashCol, "h"), bits, maxHamming,
+            blockCols, maxC = 4, bandRowWeight = bandRowWeight)
+          .filter(col("chosen")).select(col("num_blocks"), col("combo_size"))
+          .head() // bounded: the costs frame holds ≤ maxC rows by construction
+        (chosen.getInt(0), chosen.getInt(1))
+      }
     } finally graft.streaming.StreamOps.releaseCheckpoint(distinctHashes)
   }
 

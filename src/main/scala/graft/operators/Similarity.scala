@@ -965,6 +965,22 @@ object Similarity {
           (g, keptCoarse(g), keptMembers(g)))).toDF("g", "c", "members"),
         s"${name}_ivfcoarse", "ivfcoarse")
     }
+    // a FLAT rebuild over a formerly two-level index must retire the old
+    // coarse store: appendToCellIndex / registerCellIndex /
+    // streamingIvfSemDedupFold all AUTO-DETECT the coarse table to pick
+    // the routing kernel, so a leftover one would route arrivals
+    // two-level against flat-routed membership — the mismatched-kernel
+    // case that silently loses boundary pairs (round-11 ADVICE). The
+    // files go too, or a later registerCellIndex in a fresh JVM would
+    // resurrect the table from disk.
+    if (coarseStore.isEmpty) {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_ivfcoarse")
+      location.foreach { l =>
+        val p = new org.apache.hadoop.fs.Path(s"$l/ivfcoarse")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
     // build-time census (kCells rows): the reference distribution the
     // fixed-quantizer arrival path is checked against — see
     // [[cellDriftReport]]. Read back from the just-written bucket files

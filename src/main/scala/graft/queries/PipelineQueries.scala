@@ -501,7 +501,7 @@ object PipelineQueries {
              |bgrp AS (SELECT band, s, mn, mx, count(*) AS n FROM bands GROUP BY 1, 2, 3, 4)
              |SELECT CAST(sum(n) AS BIGINT) AS band_rows,
              |       CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS raw_join_rows,
-             |       CAST(sum(n) + COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS recompute_cost,
+             |       CAST(sum(n) * 32 + COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS recompute_cost,
              |       CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS probe_cost
              |FROM bgrp""".stripMargin)),
 
@@ -712,7 +712,13 @@ object PipelineQueries {
     // measured path end-to-end. The chooser's value is at scale: at the
     // ×256 corpus its calibrated pick (m=8/c=2) ran 86.5 s in the
     // pinned-plan wall sweep vs the static rule's 112.6 s and the
-    // classic banding's 122.4 s (hamming_chooser_scales.json).
+    // classic banding's 122.4 s (hamming_chooser_scales.json). Below
+    // the measure floor (1 M distinct rep hashes — the committed walls
+    // bracket the census crossover between ×64 and ×256) the census is
+    // skipped and this row runs the static plan, so at verify/bench
+    // scales it costs ≈ q45c instead of census + plan (round-11
+    // verdict #1); the floor only moves COST — every exact plan yields
+    // identical assignments.
     QueryDef("q45d_simhash_assign_measured",
       (s, dir) => Dedup.simhashAssignments(
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents")),

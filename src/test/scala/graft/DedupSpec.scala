@@ -204,8 +204,22 @@ class DedupSpec extends SparkSpec {
     assert(costs === List(
       (7, 1, 4L, 28L, 36L, 28L * 32 + 36L, true),
       (8, 2, 4L, 112L, 126L, 112L * 32 + 126L, false)))
-    // the measured chooser returns the argmin pair
-    assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty) === ((7, 1)))
+    // the measured chooser returns the argmin pair — when the census is
+    // actually paid (floor 0 forces it)
+    assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty,
+      measureFloor = 0L) === ((7, 1)))
+    // below the default measure floor the census is NOT paid: the
+    // chooser answers with the static rule's plan — (9, 3) at 48 bits,
+    // deliberately NOT this fixture's census argmin (7, 1), so this
+    // assertion can only pass if the census was skipped (round-11
+    // verdict #1: the census lost to static everywhere below its own
+    // ×64–×256 crossover, so small corpora must not pay it)
+    assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty) === ((9, 3)))
+    // ... and the floor boundary is exact: n = 4 distinct hashes
+    assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty,
+      measureFloor = 5L) === ((9, 3)))
+    assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty,
+      measureFloor = 4L) === ((7, 1)))
   }
 
   test("audio fingerprints pair through the shared hamming banding (third modality)") {

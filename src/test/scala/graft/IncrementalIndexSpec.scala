@@ -83,7 +83,10 @@ class IncrementalIndexSpec extends SparkSpec {
       val nBands = spark.table("idx_bands").count()
       assert(costs.getLong(0) === nBands)
       assert(costs.getLong(3) === costs.getLong(1)) // probe_cost = raw_join_rows
-      assert(costs.getLong(2) === costs.getLong(0) + costs.getLong(1))
+      // recompute prices a band row at the calibrated shuffled+sorted
+      // weight (32, the hammingPlanCosts constant), not 1:1 with
+      // merge-streamed candidates (round-11 ADVICE)
+      assert(costs.getLong(2) === costs.getLong(0) * 32 + costs.getLong(1))
       assert(costs.getLong(1) >= indexed.size.toLong,
         "candidate stream cannot be smaller than the verified pair set")
     } finally {
@@ -443,6 +446,56 @@ class IncrementalIndexSpec extends SparkSpec {
       assert(edges() === before)
       assert(Sim.cellDriftStats(spark, "xcidx") === driftBefore,
         "the drift census must survive re-attach")
+    } finally cellTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** Round-11 ADVICE: a flat rebuild over a formerly two-level index
+    * (exactly what the cellIndexStale rebuild trigger encourages) used
+    * to leave the old `_ivfcoarse` table and files behind — and every
+    * arrival path auto-detects the coarse table to pick the routing
+    * kernel, so arrivals routed two-level against flat-routed
+    * membership, the mismatched-kernel case that silently loses
+    * boundary pairs. The rebuild must retire both the catalog entry and
+    * the files (or registerCellIndex in a fresh JVM resurrects it). */
+  test("flat rebuild over a two-level cell index retires the stale coarse store") {
+    val cellTables = Seq("xc2f_ivfcells", "xc2f_ivfcentroids",
+      "xc2f_ivfcensus", "xc2f_ivfcoarse")
+    cellTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val loc = java.nio.file.Files.createTempDirectory("graft-cell2flat").toString
+    try {
+      val Sim = graft.operators.Similarity
+      val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Sim.writeCellIndex(emb, "xc2f", location = Some(loc), twoLevel = true)
+      assert(spark.catalog.tableExists("xc2f_ivfcoarse"))
+      val coarseDir = java.nio.file.Paths.get(loc, "ivfcoarse")
+      assert(java.nio.file.Files.exists(coarseDir))
+
+      // the drift-triggered rebuild, now flat: coarse store must go
+      Sim.writeCellIndex(emb, "xc2f", location = Some(loc), twoLevel = false)
+      assert(!spark.catalog.tableExists("xc2f_ivfcoarse"),
+        "stale coarse table would make arrivals route two-level against flat membership")
+      assert(!java.nio.file.Files.exists(coarseDir),
+        "stale coarse FILES would resurrect the table on re-attach")
+
+      // and a fresh-JVM re-attach stays flat: no coarse resurrection,
+      // arrivals fold through the flat kernel against flat membership
+      cellTables.filterNot(_.endsWith("_ivfcoarse"))
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+      Sim.registerCellIndex(spark, "xc2f", loc)
+      assert(!spark.catalog.tableExists("xc2f_ivfcoarse"))
+      // id-shifted copies: each must find its original (cos = 1) — which
+      // only happens if probe and membership route through the SAME
+      // (flat) kernel, the exact property the stale coarse store broke
+      val batch = emb.limit(8)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Sim.appendToCellIndex(spark, batch, "xc2f")
+      val fine = Sim.readCellCentroids(spark, "xc2f")
+      val edges = Sim.ivfIndexProbeEdges(spark, batch, "xc2f", fine, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val origIds = emb.limit(8).collect().map(_.getLong(0))
+      assert(origIds.forall(id => edges.contains((id + 100000L, id))),
+        s"every shifted copy must meet its original; got $edges")
     } finally cellTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
