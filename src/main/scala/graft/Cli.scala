@@ -203,19 +203,42 @@ object Cli {
       val o = parseOpts(opts)
       val cos = o.get("cosine").map(_.toDouble).getOrElse(0.9)
       val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
-      graft.operators.Similarity.registerEmbIndex(spark, "graft_eidx", indexDir, buckets)
       val batch = spark.read.parquet(batchPath)
-      val pairs = graft.operators.Similarity.incrementalEmbNearDupsIndexed(
-        spark, batch, "graft_eidx", threshold = cos)
+      // detect which index form `embindex` built at this location —
+      // `--plan measured` may have chosen the IVF cell form, which the
+      // sign-band registration cannot consume (round-11 ADVICE: the
+      // user's next step failed on missing embbands files). Both forms
+      // produce the same (new_id, old_id, cos) arrival contract.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+      val isCellForm =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/ivfcells"))
+      require(isCellForm ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/embbands")),
+        s"emb-ingest-dedup: $indexDir holds neither a cell index (ivfcells) " +
+          "nor a sign-band index (embbands) — build one with `embindex` first")
+      val pairs = if (isCellForm) {
+        graft.operators.Similarity.registerCellIndex(spark, "graft_cidx", indexDir, buckets)
+        graft.operators.Similarity.incrementalIvfNearDupsIndexed(
+          spark, batch, "graft_cidx", threshold = cos)
+      } else {
+        graft.operators.Similarity.registerEmbIndex(spark, "graft_eidx", indexDir, buckets)
+        graft.operators.Similarity.incrementalEmbNearDupsIndexed(
+          spark, batch, "graft_eidx", threshold = cos)
+      }
       val clean = batch.join(pairs.select(col("new_id").as("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
       pairs.write.mode("overwrite").parquet(s"$outDir/pairs")
       clean.write.mode("overwrite").parquet(s"$outDir/clean")
       println(s"[graft] emb-ingest-dedup: ${spark.read.parquet(s"$outDir/clean").count()} of " +
-        s"${batch.count()} batch vectors are new (cos < $cos vs corpus) -> $outDir")
+        s"${batch.count()} batch vectors are new (cos < $cos vs corpus, " +
+        s"${if (isCellForm) "cell" else "sign-band"} index) -> $outDir")
       if (o.get("fold").contains("true")) {
         val accepted = spark.read.parquet(s"$outDir/clean")
-        graft.operators.Similarity.appendToEmbIndex(spark, accepted, "graft_eidx")
+        if (isCellForm)
+          graft.operators.Similarity.appendToCellIndex(spark, accepted, "graft_cidx")
+        else
+          graft.operators.Similarity.appendToEmbIndex(spark, accepted, "graft_eidx")
         println(s"[graft] emb-ingest-dedup: folded ${accepted.count()} accepted vectors into the index")
       }
 

@@ -851,7 +851,36 @@ object Dedup {
         Bucketing.writeBucketed(sets, s"${name}_sets", "doc_id", buckets,
           sortKey = Some("doc_id"))
     }
+    // build-time band-key census (BandCensusBuckets rows, bounded): the
+    // reference distribution the append lifecycle is checked against —
+    // see [[bandDriftReport]]. Read back from the just-written bucket
+    // files so no second shingle/hash pass is paid (the cell index's
+    // arrangement, Similarity.writeCellIndex).
+    val census = Bucketing.readBucketed(corpus.sparkSession, s"${name}_bands")
+      .groupBy(bandCensusBucket(col("bkey")).as("cb"))
+      .agg(count(lit(1)).as("n_build"))
+    val w = census.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    location.fold(w)(l => w.option("path", s"$l/bandcensus"))
+      .saveAsTable(s"${name}_bandcensus")
   }
+
+  /** Fixed partition count of the band-key census. Bounded (the census
+    * is CENSUS-sized, never corpus-sized, at any index size) yet fine
+    * enough that a drifted stream concentrating its band keys into a
+    * few key-space regions registers: a shifted corpus lands ~all its
+    * rows in its own ≤ numBands·|distinct hashes| buckets, visible at
+    * any partition count well above numBands. */
+  val BandCensusBuckets: Int = 1024
+
+  /** The census partition of one band key: a FIXED hash of bkey, so the
+    * census distribution is a property of the DATA alone. Under an
+    * unchanged text distribution each arriving row lands in partition j
+    * with the same fixed probability (identical text → identical bkey →
+    * identical partition), so census SHARES are invariant under plain
+    * growth — the property that makes share-relative drift thresholds
+    * possible (the cell index's argument, applied to the key space). */
+  private def bandCensusBucket(bkey: Column): Column =
+    pmod(xxhash64(bkey), lit(BandCensusBuckets.toLong))
 
   /** Re-attach an external band index written by [[writeBandIndex]] in a
     * previous session: DDL over the existing bucket files (the in-memory
@@ -869,6 +898,15 @@ object Dedup {
       |(doc_id BIGINT, set ARRAY<BIGINT>)
       |USING parquet CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS
       |LOCATION '${Bucketing.currentDir(spark, location, "sets")}'""".stripMargin)
+    // the drift census re-attaches only if the build stored one (indexes
+    // written before the census existed stay probe-able; bandDriftStats
+    // on them fails loudly with the rebuild steer)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/bandcensus")))
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_bandcensus
+        |(cb BIGINT, n_build BIGINT) USING parquet
+        |LOCATION '$location/bandcensus'""".stripMargin)
   }
 
   /** [[incrementalNearDupPairs]] against a persisted [[writeBandIndex]]:
@@ -1063,6 +1101,84 @@ object Dedup {
         (col("band_rows") * bandRowWeight + col("raw_join_rows"))
           .as("recompute_cost"),
         col("raw_join_rows").as("probe_cost"))
+
+  // ---- band-index staleness (drift vs the build-time census) --------------
+
+  /** Per-partition drift report for a persisted [[writeBandIndex]]
+    * index: LIVE band-key-space populations (build + every
+    * [[appendToBandIndex]] fold) against the build-time census — the
+    * text twin of `Similarity.cellDriftReport` (round-11 verdict #2:
+    * the band index has the same append lifecycle and the same
+    * stale-index-degrades failure mode, but got no drift signal when
+    * the cell index did). What drifts here is not a learned quantizer
+    * (minhash banding is data-independent) but the KEY-SPACE density:
+    * a shifted arrival stream (template text, new boilerplate, a new
+    * language) concentrates its band keys into its own key regions, so
+    * those buckets densify past what the build priced — probe cost is
+    * O(|batch| · bucket population) and [[bandIndexPlanCosts]]'
+    * raw_join_rows grows with exactly that concentration. Population
+    * SHARE per fixed key partition is the bounded signal: invariant
+    * under same-distribution growth, concentrated by drift.
+    *
+    * Output ([[BandCensusBuckets]] rows — bounded by construction):
+    * (cb, n_build, n_live, build_share, live_share, growth). */
+  def bandDriftReport(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    require(spark.catalog.tableExists(s"${name}_bandcensus"),
+      s"$name has no build-time band census — the index predates drift " +
+        "detection; rebuild with writeBandIndex to enable it")
+    val live = Bucketing.readBucketed(spark, s"${name}_bands")
+      .groupBy(bandCensusBucket(col("bkey")).as("cb"))
+      .agg(count(lit(1)).as("n_live"))
+    val build = spark.table(s"${name}_bandcensus")
+    val joined = live.join(build, Seq("cb"), "full_outer")
+      .select(col("cb"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // BandCensusBuckets rows — bounded window
+    joined
+      .withColumn("build_share",
+        col("n_build") / greatest(sum(col("n_build")).over(w), lit(1L)))
+      .withColumn("live_share",
+        col("n_live") / greatest(sum(col("n_live")).over(w), lit(1L)))
+      .withColumn("growth",
+        col("live_share") / greatest(col("build_share"), lit(1e-12)))
+      .orderBy(col("cb"))
+  }
+
+  /** Scalar drift statistics from [[bandDriftReport]] — same contract
+    * as `Similarity.CellDriftStats`: tvd = ½·Σ|live − build| share
+    * (the fraction of live band rows sitting in key regions the build
+    * didn't price), maxGrowth = the hottest partition's share
+    * inflation. Driver-side over [[BandCensusBuckets]] rows. */
+  final case class BandDriftStats(tvd: Double, maxGrowth: Double,
+      nBuild: Long, nLive: Long)
+  def bandDriftStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): BandDriftStats = {
+    val r = bandDriftReport(spark, name)
+      .agg((sum(abs(col("live_share") - col("build_share"))) / 2.0).as("tvd"),
+        max(col("growth")).as("mg"),
+        sum(col("n_build")).as("nb"), sum(col("n_live")).as("nl"))
+      .head()
+    BandDriftStats(r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** REBUILD/COMPACT recommendation for a persisted band index — the
+    * text twin of `Similarity.cellIndexStale`, same thresholds and the
+    * same share-relative rationale: `tvd ≥ 0.10` means ≥ 10% of live
+    * probe mass routes through key regions the build didn't price (so
+    * [[bandIndexPlanCosts]]' recompute-vs-probe answer is off by at
+    * least that much), `maxGrowth ≥ 4.0` is the skew form (one region
+    * absorbing a hot template stream inflates its buckets' probe cost
+    * 4× past the build point while TVD stays low). Plain growth with
+    * an unchanged distribution trips neither — rebuilds are for drift,
+    * not size. */
+  def bandIndexStale(spark: org.apache.spark.sql.SparkSession, name: String,
+      tvdThreshold: Double = 0.10, maxGrowthThreshold: Double = 4.0): Boolean = {
+    val s = bandDriftStats(spark, name)
+    s.tvd >= tvdThreshold || s.maxGrowth >= maxGrowthThreshold
+  }
 
   // ---- end-to-end dedup application ---------------------------------------
 

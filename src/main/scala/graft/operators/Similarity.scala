@@ -1202,6 +1202,40 @@ object Similarity {
         / (col("norm") * col("q_norm")) >= threshold)
       .select(col("q_id").as("id_a"), col("vec_id").as("id_b"))
 
+  /** [[incrementalEmbNearDupsIndexed]] for a persisted CELL index
+    * (either routing form): one arriving batch's near-dups against the
+    * index with exact cosine in the output, auto-detecting the stored
+    * coarse table so probes route through the same kernel as membership.
+    * Output (new_id, old_id, cos) — SCHEMA PARITY with the sign-band
+    * arrival path, so `Cli emb-ingest-dedup` can serve whichever index
+    * form `embindex --plan measured` built (round-11 ADVICE: a measured
+    * build choosing the ivf/ivf2 form used to produce an index no CLI
+    * ingest path could consume). */
+  def incrementalIvfNearDupsIndexed(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, name: String, threshold: Double = 0.9): DataFrame = {
+    val fine = readCellCentroids(spark, name)
+    val edges =
+      if (spark.catalog.tableExists(s"${name}_ivfcoarse")) {
+        val (coarse, members) = readCoarseCells(spark, name)
+        ivfIndexProbeEdgesTwoLevel(spark, newVecs, name, fine, coarse,
+          members, threshold)
+      } else ivfIndexProbeEdges(spark, newVecs, name, fine, threshold)
+    // a pair sharing BOTH probed cells arrives twice from the cell join
+    val cand = edges.distinct()
+    val newSide = withNorm(newVecs)
+      .select(col("vec_id").as("id_a"), col("embedding").as("e_n"),
+        col("norm").as("n_n"))
+    // each vector is stored under its TWO membership cells — one row
+    // per id for the cosine fetch
+    val oldSide = Bucketing.readBucketed(spark, s"${name}_ivfcells")
+      .select(col("vec_id").as("id_b"), col("embedding").as("e_o"),
+        col("norm").as("n_o"))
+      .dropDuplicates("id_b")
+    cand.join(newSide, "id_a").join(oldSide, "id_b")
+      .select(col("id_a").as("new_id"), col("id_b").as("old_id"),
+        (fdot(col("e_n"), col("e_o")) / (col("n_n") * col("n_o"))).as("cos"))
+  }
+
   /** Deterministic negative sampling for contrastive training: for each
     * anchor, up to `k` vectors with a DIFFERENT label, chosen by a seeded
     * affine probe over contiguous ids (candidate_i = ((2i+3)·anchor +

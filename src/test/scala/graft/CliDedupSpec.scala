@@ -174,23 +174,68 @@ class CliDedupSpec extends SparkSpec {
       assert(new java.io.File(s"$dir/idx/ivfcells").exists, s"$chosen -> cell files")
       assert(new java.io.File(s"$dir/idx/ivfcoarse").exists === chosen.startsWith("ivf2_"),
         "coarse quantizer files iff the two-level plan was chosen")
-      // re-attach from the files alone (fresh-session shape), then the
-      // copy must surface on a probe of the chosen cell index
+      // the SAME CLI arrival path must consume the cell form (round-11
+      // ADVICE: it used to register sign-bands unconditionally and fail
+      // on missing embbands files)
       Seq("graft_cidx_ivfcells", "graft_cidx_ivfcentroids", "graft_cidx_ivfcensus",
         "graft_cidx_ivfcoarse").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      Sim.registerCellIndex(spark, "graft_cidx", s"$dir/idx", buckets = 4)
-      val fine = Sim.readCellCentroids(spark, "graft_cidx")
-      val hits = (if (spark.catalog.tableExists("graft_cidx_ivfcoarse")) {
-          val (coarse, members) = Sim.readCoarseCells(spark, "graft_cidx")
-          Sim.ivfIndexProbeEdgesTwoLevel(spark, copy, "graft_cidx",
-            fine, coarse, members, 0.999)
-        } else Sim.ivfIndexProbeEdges(spark, copy, "graft_cidx", fine, 0.999))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(hits.contains((9000000L, 0L)),
-        s"the exact copy must surface on the measured-plan cell probe: $hits")
+      copy.write.parquet(s"$dir/batch")
+      Cli.run(spark, List("emb-ingest-dedup", s"$dir/batch", s"$dir/idx", s"$dir/out",
+        "--buckets", "4"))
+      assert(spark.read.parquet(s"$dir/out/clean").count() === 0,
+        "the exact copy must dedup against the measured-plan cell index via the CLI")
       Seq("graft_cidx_ivfcells", "graft_cidx_ivfcentroids", "graft_cidx_ivfcensus",
         "graft_cidx_ivfcoarse").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+  }
+
+  /** The chooser picks the sign-band form at the 500-vector corpus, so
+    * the branch above rarely exercises the cell-form arrival — this
+    * forces it: a cell index (flat) at a location, then the SAME
+    * `emb-ingest-dedup` verb must detect the form, probe it, and fold
+    * survivors back in (round-11 ADVICE). */
+  test("emb-ingest-dedup consumes a cell-form index: probe, clean, fold") {
+    import org.apache.spark.sql.functions.col
+    val Sim = graft.operators.Similarity
+    val dir = Files.createTempDirectory("clicellingest").toString
+    val tables = Seq("graft_cidx_ivfcells", "graft_cidx_ivfcentroids",
+      "graft_cidx_ivfcensus", "graft_cidx_ivfcoarse")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Sim.writeCellIndex(emb, "graft_cidx", buckets = 4,
+        location = Some(s"$dir/idx"))
+      // batch: an exact copy (dups out) + the same vector negated
+      // (novel; stays clean and folds in)
+      val one = emb.filter(col("vec_id") === 0L)
+      one.select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+        .union(one.select((col("vec_id") + 9000001L).as("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => -x).as("embedding")))
+        .write.parquet(s"$dir/batch")
+      // fresh-session shape: the CLI must re-attach from files alone
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Cli.run(spark, List("emb-ingest-dedup", s"$dir/batch", s"$dir/idx", s"$dir/out",
+        "--buckets", "4", "--fold", "true"))
+      val clean = spark.read.parquet(s"$dir/out/clean")
+        .collect().map(_.getLong(0)).toSet
+      assert(clean === Set(9000001L),
+        s"copy dedups, negation survives: $clean")
+      val pairs = spark.read.parquet(s"$dir/out/pairs")
+      assert(pairs.columns.toSeq === Seq("new_id", "old_id", "cos"),
+        "cell-form arrival must keep the sign-band path's output contract")
+      // the fold made the accepted vector part of the corpus: a copy of
+      // IT now dedups too
+      one.select((col("vec_id") + 9000002L).as("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => -x).as("embedding"))
+        .write.parquet(s"$dir/batch2")
+      Cli.run(spark, List("emb-ingest-dedup", s"$dir/batch2", s"$dir/idx", s"$dir/out2",
+        "--buckets", "4"))
+      assert(spark.read.parquet(s"$dir/out2/clean").count() === 0,
+        "fold must make the accepted vector probe-able")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("card subcommand writes the per-source summary") {

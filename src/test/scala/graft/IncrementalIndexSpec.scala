@@ -32,7 +32,8 @@ class IncrementalIndexSpec extends SparkSpec {
     .select((col("doc_id") + 1000L).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"), col("source"))
 
-  private def cleanup(): Unit = Seq("idx_bands", "idx_sets", "xidx_bands", "xidx_sets",
+  private def cleanup(): Unit = Seq("idx_bands", "idx_sets", "idx_bandcensus",
+      "xidx_bands", "xidx_sets", "xidx_bandcensus",
       "xidx_bands__compact", "xidx_sets__compact")
     .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
@@ -506,14 +507,81 @@ class IncrementalIndexSpec extends SparkSpec {
       Dedup.writeBandIndex(corpus, "xidx", buckets = 4, location = Some(loc))
       val before = Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val driftBefore = Dedup.bandDriftStats(spark, "xidx")
       // simulate a new session: metadata gone, bucket files remain
       spark.sql("DROP TABLE xidx_bands")
       spark.sql("DROP TABLE xidx_sets")
+      spark.sql("DROP TABLE xidx_bandcensus")
       Dedup.registerBandIndex(spark, "xidx", loc, buckets = 4)
       val after = Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(after === before)
       assert(after.nonEmpty)
+      assert(Dedup.bandDriftStats(spark, "xidx") === driftBefore,
+        "the drift census must survive re-attach")
     } finally cleanup()
+  }
+
+  /** Round-11 verdict #2: the band index has the same append lifecycle
+    * as the embedding cell index but had no drift/staleness signal —
+    * operational parity is this census. Same two-direction contract as
+    * the cell index's spec: plain growth with an UNCHANGED text
+    * distribution trips nothing (identical text → identical band keys →
+    * identical census partitions, shares untouched); a shifted stream
+    * (one template document repeated corpus-scale — the boilerplate
+    * arrival pattern) concentrates its band keys into its own few key
+    * regions and must trip both thresholds. */
+  test("band-index staleness: same-distribution growth clean, a template stream trips it") {
+    val idx = "driftbidx"
+    val tables = Seq(s"${idx}_bands", s"${idx}_sets", s"${idx}_bandcensus")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = Dedup.withNearDuplicates(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      Dedup.writeBandIndex(docs, idx)
+
+      // fresh index: live == census by construction
+      val s0 = Dedup.bandDriftStats(spark, idx)
+      assert(s0.tvd === 0.0 && s0.maxGrowth === 1.0 && s0.nBuild === s0.nLive)
+      assert(!Dedup.bandIndexStale(spark, idx))
+
+      // plain growth: the same corpus arrives again under new ids —
+      // every band key recurs exactly, every census partition doubles
+      Dedup.appendToBandIndex(spark,
+        docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          col("source")), idx)
+      val s1 = Dedup.bandDriftStats(spark, idx)
+      assert(s1.nLive === 2 * s1.nBuild)
+      assert(s1.tvd < 1e-9, s"same-distribution growth read as drift: tvd=${s1.tvd}")
+      assert(math.abs(s1.maxGrowth - 1.0) < 1e-9)
+      assert(!Dedup.bandIndexStale(spark, idx))
+
+      // drifted stream: one template document, corpus-scale — all its
+      // band rows share the template's few band keys, so a handful of
+      // census partitions absorb ~a third of all live mass
+      val n = docs.count()
+      val template = spark.range(n)
+        .select((col("id") + 3000000L).as("doc_id"),
+          lit("click here to accept all cookies and continue to the site").as("text"),
+          lit("web").as("source"))
+      Dedup.appendToBandIndex(spark, template, idx)
+      val s2 = Dedup.bandDriftStats(spark, idx)
+      assert(s2.tvd >= 0.10,
+        s"a corpus-scale template stream must move >=10% of probe mass, got ${s2.tvd}")
+      assert(s2.maxGrowth >= 4.0, s"the template's key regions must inflate: $s2")
+      assert(Dedup.bandIndexStale(spark, idx), s"drifted index not flagged: $s2")
+
+      // the report is census-bounded and internally consistent
+      val rep = Dedup.bandDriftReport(spark, idx).collect()
+      assert(rep.length <= Dedup.BandCensusBuckets)
+      assert(math.abs(rep.map(_.getAs[Double]("live_share")).sum - 1.0) < 1e-9)
+
+      // an index built before the census exists fails LOUDLY, not wrong
+      spark.sql(s"DROP TABLE ${idx}_bandcensus")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.bandDriftStats(spark, idx)
+      }
+      assert(e.getMessage.contains("rebuild"))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }
