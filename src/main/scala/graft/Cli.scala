@@ -143,6 +143,17 @@ object Cli {
       val tau = o.get("jaccard").map(_.toDouble).getOrElse(0.5)
       val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
       graft.operators.Dedup.registerBandIndex(spark, "graft_idx", indexDir, buckets)
+      // staleness preflight (one bounded aggregation): a drifted index
+      // still answers, but its hot buckets' probe cost has outgrown what
+      // the build priced — surface the rebuild steer where the operator
+      // who'd pay it is standing
+      if (spark.catalog.tableExists("graft_idx_bandcensus") &&
+          graft.operators.Dedup.bandIndexStale(spark, "graft_idx")) {
+        val s = graft.operators.Dedup.bandDriftStats(spark, "graft_idx")
+        println(f"[graft] WARNING: band index is STALE (tvd=${s.tvd}%.3f, " +
+          f"max growth=${s.maxGrowth}%.1fx, rows ${s.nBuild} -> ${s.nLive}) — " +
+          "probe cost has drifted from the build; rebuild with `bandindex`")
+      }
       val batch = spark.read.parquet(batchPath)
       val pairs = graft.operators.Dedup.incrementalNearDupPairsIndexed(
         spark, batch, "graft_idx", minJaccard = tau)
@@ -219,6 +230,14 @@ object Cli {
           "nor a sign-band index (embbands) — build one with `embindex` first")
       val pairs = if (isCellForm) {
         graft.operators.Similarity.registerCellIndex(spark, "graft_cidx", indexDir, buckets)
+        // same staleness preflight as the text ingest path
+        if (spark.catalog.tableExists("graft_cidx_ivfcensus") &&
+            graft.operators.Similarity.cellIndexStale(spark, "graft_cidx")) {
+          val s = graft.operators.Similarity.cellDriftStats(spark, "graft_cidx")
+          println(f"[graft] WARNING: cell index is STALE (tvd=${s.tvd}%.3f, " +
+            f"max growth=${s.maxGrowth}%.1fx, rows ${s.nBuild} -> ${s.nLive}) — " +
+            "the quantizer no longer matches the corpus; rebuild with `embindex`")
+        }
         graft.operators.Similarity.incrementalIvfNearDupsIndexed(
           spark, batch, "graft_cidx", threshold = cos)
       } else {
@@ -241,6 +260,52 @@ object Cli {
           graft.operators.Similarity.appendToEmbIndex(spark, accepted, "graft_eidx")
         println(s"[graft] emb-ingest-dedup: folded ${accepted.count()} accepted vectors into the index")
       }
+
+    // one status verb across every persisted-index form (round-11
+    // verdict #7a): detect what lives at indexDir (text band index /
+    // embedding sign-band index / IVF cell index), re-attach it, and
+    // print size + drift verdict per form. The operational loop's
+    // "should tonight's run rebuild?" question in one command.
+    case "index-status" :: indexDir :: opts =>
+      val o = parseOpts(opts)
+      val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+      def has(sub: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub"))
+      var found = false
+      if (has("bands")) {
+        found = true
+        graft.operators.Dedup.registerBandIndex(spark, "graft_idx", indexDir, buckets)
+        if (spark.catalog.tableExists("graft_idx_bandcensus")) {
+          val s = graft.operators.Dedup.bandDriftStats(spark, "graft_idx")
+          val stale = graft.operators.Dedup.bandIndexStale(spark, "graft_idx")
+          println(f"[graft] index-status band: rows ${s.nBuild} -> ${s.nLive}, " +
+            f"tvd=${s.tvd}%.3f, max growth=${s.maxGrowth}%.1fx -> " +
+            (if (stale) "STALE (rebuild with `bandindex`)" else "ok"))
+        } else println("[graft] index-status band: no build census " +
+          "(pre-census index) — rebuild with `bandindex` to enable drift detection")
+      }
+      if (has("ivfcells")) {
+        found = true
+        graft.operators.Similarity.registerCellIndex(spark, "graft_cidx", indexDir, buckets)
+        val twoLevel = spark.catalog.tableExists("graft_cidx_ivfcoarse")
+        val s = graft.operators.Similarity.cellDriftStats(spark, "graft_cidx")
+        val stale = graft.operators.Similarity.cellIndexStale(spark, "graft_cidx")
+        println(f"[graft] index-status cell${if (twoLevel) " (two-level)" else ""}: " +
+          f"rows ${s.nBuild} -> ${s.nLive}, tvd=${s.tvd}%.3f, " +
+          f"max growth=${s.maxGrowth}%.1fx -> " +
+          (if (stale) "STALE (rebuild with `embindex`)" else "ok"))
+      }
+      if (has("embbands")) {
+        found = true
+        graft.operators.Similarity.registerEmbIndex(spark, "graft_eidx", indexDir, buckets)
+        val n = spark.table("graft_eidx_embvecs").count()
+        println(s"[graft] index-status emb-band: $n vectors (sign-band form " +
+          "has no learned state to drift; compact on append accumulation)")
+      }
+      require(found, s"index-status: $indexDir holds no graft index " +
+        "(expected bands/, ivfcells/, or embbands/)")
 
     // periodic maintenance for a long-lived index: fold the one-file-per-
     // append accumulation back to one file per bucket (same location,

@@ -31,7 +31,25 @@ final case class Assignment(id: Long, cluster: Int)
   *    scored against ALL members: O(n·s) instead of O(n²).
   *  - [[Mean]] — classic k-means mean centroid (language = per-cluster mode);
   *    O(n), one shuffle, the true scale path.
-  */
+  *
+  * PRICED, not guessed (round-11 verdict #6 — `MedoidStrategySweep`,
+  * SCALING.md's medoid-strategy table): at every measured scale the
+  * k-medoids objective a candidate budget gives up is
+  *
+  *   - s = 256: regret ≤ 0.11% and SHRINKING with n (0.112% at 100 k
+  *     events → 0.011% at 6.4 M) — big corpora make a fixed sample
+  *     MORE representative per cluster, not less;
+  *   - s = 1024 matched the EXACT medoid's centroids at ×1 (regret 0,
+  *     20× less wall than s = all's 244.5 s) and the in-family argmin
+  *     at ×64 (127 s vs s=256's 31.7 s — 4× wall for 0.011%);
+  *   - [[Mean]]: regret ≤ 0.08%, ~50× cheaper than s=256, but a
+  *     NON-MEMBER centroid — different semantics, not just accuracy.
+  *
+  * Documented default at scale: `SampledMedoid(256)` (what q00 runs);
+  * raise s only if a measured regret on YOUR corpus says otherwise,
+  * and fall to [[Mean]] only when even O(n·256·k) binds. [[Medoid]]
+  * stays the construction-time default because the oracle-compared
+  * paths replay the reference's exact semantics. */
 sealed trait CentroidStrategy
 case object Medoid extends CentroidStrategy
 final case class SampledMedoid(candidates: Int) extends CentroidStrategy

@@ -111,6 +111,23 @@ object KMeans {
     medoidOf(candidates, members, hashtagWeight, saltBuckets = 8)
   }
 
+  /** [[meanCentroids]] resolved to synthetic TweetFeatures rows
+    * (id = −(cluster+1); integer feature fields rounded — the form the
+    * iterative loop carries between rounds). Driver-side: k rows. */
+  def meanCentroidFeatures(members: DataFrame): Map[Int, TweetFeatures] =
+    meanCentroids(members)
+      .collect().map { r =>
+        r.getAs[Int]("cluster") -> TweetFeatures(
+          id = -(r.getAs[Int]("cluster") + 1L),
+          numOfHashtags = math.round(r.getAs[Double]("numOfHashtags")).toInt,
+          language = r.getAs[String]("language"),
+          hasVideo = math.round(r.getAs[Double]("hasVideo")).toInt,
+          replyCount = math.round(r.getAs[Double]("replyCount")).toInt,
+          retweetCount = math.round(r.getAs[Double]("retweetCount")).toInt,
+          likeCount = math.round(r.getAs[Double]("likeCount")).toInt,
+          time = math.round(r.getAs[Double]("time")).toInt)
+      }.toMap
+
   /** Mean-centroid alternative (non-member centroid; language = per-cluster
     * mode, ties to lexicographically smallest). O(n), one shuffle. */
   def meanCentroids(members: DataFrame): DataFrame = {
@@ -140,18 +157,7 @@ object KMeans {
       prev: Seq[TweetFeatures], cfg: KMeansConfig): Seq[TweetFeatures] =
     cfg.strategy match {
       case Mean =>
-        val rows = meanCentroids(members)
-          .collect().map { r =>
-            r.getAs[Int]("cluster") -> TweetFeatures(
-              id = -(r.getAs[Int]("cluster") + 1L),
-              numOfHashtags = math.round(r.getAs[Double]("numOfHashtags")).toInt,
-              language = r.getAs[String]("language"),
-              hasVideo = math.round(r.getAs[Double]("hasVideo")).toInt,
-              replyCount = math.round(r.getAs[Double]("replyCount")).toInt,
-              retweetCount = math.round(r.getAs[Double]("retweetCount")).toInt,
-              likeCount = math.round(r.getAs[Double]("likeCount")).toInt,
-              time = math.round(r.getAs[Double]("time")).toInt)
-          }.toMap
+        val rows = meanCentroidFeatures(members)
         prev.indices.map(i => rows.getOrElse(i, prev(i)))
       case _ =>
         val medoidDf = cfg.strategy match {

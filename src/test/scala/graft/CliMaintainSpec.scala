@@ -97,6 +97,51 @@ class CliMaintainSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/sk/v2/_GRAFT_OK").exists, "compact committed v2")
   }
 
+  /** Round-11 verdict #7a: one status verb across the persisted-index
+    * forms. Detection + drift verdict per form; empty dirs fail loudly. */
+  test("index-status detects each index form and reports its drift verdict") {
+    import spark.implicits._
+    val tables = Seq("graft_idx_bands", "graft_idx_sets", "graft_idx_bandcensus",
+      "graft_cidx_ivfcells", "graft_cidx_ivfcentroids", "graft_cidx_ivfcensus",
+      "graft_cidx_ivfcoarse")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val dir = Files.createTempDirectory("cliidxstatus").toString
+    try {
+      // text band index with census -> "band ... ok"
+      Seq((1L, "alpha beta gamma delta epsilon zeta", "w"),
+          (2L, "one two three four five six seven", "w"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$dir/corpus")
+      Cli.run(spark, List("bandindex", s"$dir/corpus", s"$dir/bidx", "--buckets", "2"))
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Cli.run(spark, List("index-status", s"$dir/bidx", "--buckets", "2"))
+      }
+      val s1 = out.toString
+      assert(s1.contains("index-status band") && s1.contains("ok"), s1)
+
+      // cell index at another location -> "cell ... ok"
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.writeCellIndex(emb, "graft_cidx",
+        buckets = 2, location = Some(s"$dir/cidx"))
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val out2 = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out2)) {
+        Cli.run(spark, List("index-status", s"$dir/cidx", "--buckets", "2"))
+      }
+      val s2 = out2.toString
+      assert(s2.contains("index-status cell") && s2.contains("ok"), s2)
+
+      // nothing there -> loud
+      val e = intercept[IllegalArgumentException] {
+        Cli.run(spark, List("index-status", s"$dir/empty"))
+      }
+      assert(e.getMessage.contains("no graft index"))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("maintain compact-plan bins a file manifest to the target size") {
     import spark.implicits._
     val dir = Files.createTempDirectory("climaintain").toString
