@@ -242,6 +242,13 @@ object Cli {
           spark, batch, "graft_cidx", threshold = cos)
       } else {
         graft.operators.Similarity.registerEmbIndex(spark, "graft_eidx", indexDir, buckets)
+        if (spark.catalog.tableExists("graft_eidx_embcensus") &&
+            graft.operators.Similarity.embIndexStale(spark, "graft_eidx")) {
+          val s = graft.operators.Similarity.embDriftStats(spark, "graft_eidx")
+          println(f"[graft] WARNING: embedding band index is STALE (tvd=${s.tvd}%.3f, " +
+            f"max growth=${s.maxGrowth}%.1fx, rows ${s.nBuild} -> ${s.nLive}) — " +
+            "probe cost has drifted from the build; rebuild with `embindex`")
+        }
         graft.operators.Similarity.incrementalEmbNearDupsIndexed(
           spark, batch, "graft_eidx", threshold = cos)
       }
@@ -300,9 +307,14 @@ object Cli {
       if (has("embbands")) {
         found = true
         graft.operators.Similarity.registerEmbIndex(spark, "graft_eidx", indexDir, buckets)
-        val n = spark.table("graft_eidx_embvecs").count()
-        println(s"[graft] index-status emb-band: $n vectors (sign-band form " +
-          "has no learned state to drift; compact on append accumulation)")
+        if (spark.catalog.tableExists("graft_eidx_embcensus")) {
+          val s = graft.operators.Similarity.embDriftStats(spark, "graft_eidx")
+          val stale = graft.operators.Similarity.embIndexStale(spark, "graft_eidx")
+          println(f"[graft] index-status emb-band: rows ${s.nBuild} -> ${s.nLive}, " +
+            f"tvd=${s.tvd}%.3f, max growth=${s.maxGrowth}%.1fx -> " +
+            (if (stale) "STALE (rebuild with `embindex`)" else "ok"))
+        } else println("[graft] index-status emb-band: no build census " +
+          "(pre-census index) — rebuild with `embindex` to enable drift detection")
       }
       require(found, s"index-status: $indexDir holds no graft index " +
         "(expected bands/, ivfcells/, or embbands/)")

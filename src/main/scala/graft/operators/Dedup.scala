@@ -864,13 +864,14 @@ object Dedup {
       .saveAsTable(s"${name}_bandcensus")
   }
 
-  /** Fixed partition count of the band-key census. Bounded (the census
-    * is CENSUS-sized, never corpus-sized, at any index size) yet fine
-    * enough that a drifted stream concentrating its band keys into a
-    * few key-space regions registers: a shifted corpus lands ~all its
-    * rows in its own ≤ numBands·|distinct hashes| buckets, visible at
-    * any partition count well above numBands. */
-  val BandCensusBuckets: Int = 1024
+  /** Fixed partition count of the band-key census (shared across the
+    * key-space drift tiers — see [[IndexDrift.CensusBuckets]]). Bounded
+    * (the census is CENSUS-sized, never corpus-sized, at any index
+    * size) yet fine enough that a drifted stream concentrating its band
+    * keys into a few key-space regions registers: a shifted corpus
+    * lands ~all its rows in its own ≤ numBands·|distinct hashes|
+    * buckets, visible at any partition count well above numBands. */
+  val BandCensusBuckets: Int = IndexDrift.CensusBuckets
 
   /** The census partition of one band key: a FIXED hash of bkey, so the
     * census distribution is a property of the DATA alone. Under an
@@ -880,7 +881,7 @@ object Dedup {
     * growth — the property that makes share-relative drift thresholds
     * possible (the cell index's argument, applied to the key space). */
   private def bandCensusBucket(bkey: Column): Column =
-    pmod(xxhash64(bkey), lit(BandCensusBuckets.toLong))
+    IndexDrift.censusBucket(bkey)
 
   /** Re-attach an external band index written by [[writeBandIndex]] in a
     * previous session: DDL over the existing bucket files (the in-memory
@@ -1130,21 +1131,7 @@ object Dedup {
     val live = Bucketing.readBucketed(spark, s"${name}_bands")
       .groupBy(bandCensusBucket(col("bkey")).as("cb"))
       .agg(count(lit(1)).as("n_live"))
-    val build = spark.table(s"${name}_bandcensus")
-    val joined = live.join(build, Seq("cb"), "full_outer")
-      .select(col("cb"),
-        coalesce(col("n_build"), lit(0L)).as("n_build"),
-        coalesce(col("n_live"), lit(0L)).as("n_live"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)) // BandCensusBuckets rows — bounded window
-    joined
-      .withColumn("build_share",
-        col("n_build") / greatest(sum(col("n_build")).over(w), lit(1L)))
-      .withColumn("live_share",
-        col("n_live") / greatest(sum(col("n_live")).over(w), lit(1L)))
-      .withColumn("growth",
-        col("live_share") / greatest(col("build_share"), lit(1e-12)))
-      .orderBy(col("cb"))
+    IndexDrift.report(live, spark.table(s"${name}_bandcensus"), "cb")
   }
 
   /** Scalar drift statistics from [[bandDriftReport]] — same contract
@@ -1156,12 +1143,8 @@ object Dedup {
       nBuild: Long, nLive: Long)
   def bandDriftStats(spark: org.apache.spark.sql.SparkSession,
       name: String): BandDriftStats = {
-    val r = bandDriftReport(spark, name)
-      .agg((sum(abs(col("live_share") - col("build_share"))) / 2.0).as("tvd"),
-        max(col("growth")).as("mg"),
-        sum(col("n_build")).as("nb"), sum(col("n_live")).as("nl"))
-      .head()
-    BandDriftStats(r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+    val (tvd, mg, nb, nl) = IndexDrift.stats(bandDriftReport(spark, name))
+    BandDriftStats(tvd, mg, nb, nl)
   }
 
   /** REBUILD/COMPACT recommendation for a persisted band index — the

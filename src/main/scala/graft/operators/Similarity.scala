@@ -836,6 +836,19 @@ object Similarity {
         Bucketing.writeBucketed(vecs, s"${name}_embvecs", "vec_id", buckets,
           sortKey = Some("vec_id"))
     }
+    // build-time band-key census — the third leg of drift parity
+    // (text band index and cell index got theirs first): the random
+    // planes are data-independent, but bucket DENSIFICATION is not —
+    // a drifted embedding stream concentrates its sign patterns into
+    // its own key regions and inflates exactly the buckets whose probe
+    // cost is O(|batch| · bucket). Read back from the just-written
+    // bucket files; bounded at IndexDrift.CensusBuckets rows.
+    val census = Bucketing.readBucketed(corpus.sparkSession, s"${name}_embbands")
+      .groupBy(IndexDrift.censusBucket(col("bkey")).as("cb"))
+      .agg(count(lit(1)).as("n_build"))
+    val w = census.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    location.fold(w)(l => w.option("path", s"$l/embcensus"))
+      .saveAsTable(s"${name}_embcensus")
   }
 
   /** Re-attach an external embedding index after catalog loss (DDL over
@@ -852,6 +865,56 @@ object Similarity {
       |(vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE)
       |USING parquet CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $buckets BUCKETS
       |LOCATION '${Bucketing.currentDir(spark, location, "embvecs")}'""".stripMargin)
+    // the drift census re-attaches only if the build stored one —
+    // pre-census indexes stay probe-able, embDriftStats on them fails
+    // loudly with the rebuild steer (same contract as the text twin)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/embcensus")))
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_embcensus
+        |(cb BIGINT, n_build BIGINT) USING parquet
+        |LOCATION '$location/embcensus'""".stripMargin)
+  }
+
+  /** Drift report for a persisted [[writeEmbIndex]] sign-band index —
+    * the embedding twin of `Dedup.bandDriftReport` (one shared core,
+    * [[IndexDrift]]): live band-key-space populations (build + every
+    * [[appendToEmbIndex]] fold) against the build-time census. The
+    * hyperplanes are random and data-independent, so nothing LEARNED
+    * drifts — what drifts is key-space density: a shifted embedding
+    * stream (a new modality, a new encoder version, a hot template
+    * cluster) concentrates its sign patterns into its own bkey regions,
+    * densifying exactly the buckets the probe join pays per arrival. */
+  def embDriftReport(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    require(spark.catalog.tableExists(s"${name}_embcensus"),
+      s"$name has no build-time band census — the index predates drift " +
+        "detection; rebuild with writeEmbIndex to enable it")
+    val live = Bucketing.readBucketed(spark, s"${name}_embbands")
+      .groupBy(IndexDrift.censusBucket(col("bkey")).as("cb"))
+      .agg(count(lit(1)).as("n_live"))
+    IndexDrift.report(live, spark.table(s"${name}_embcensus"), "cb")
+  }
+
+  /** Scalar drift statistics from [[embDriftReport]] — same contract
+    * as [[CellDriftStats]] / `Dedup.BandDriftStats`. */
+  final case class EmbDriftStats(tvd: Double, maxGrowth: Double,
+      nBuild: Long, nLive: Long)
+  def embDriftStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): EmbDriftStats = {
+    val (tvd, mg, nb, nl) = IndexDrift.stats(embDriftReport(spark, name))
+    EmbDriftStats(tvd, mg, nb, nl)
+  }
+
+  /** REBUILD/COMPACT recommendation for a persisted embedding sign-band
+    * index — same share-relative thresholds and rationale as
+    * [[cellIndexStale]] / `Dedup.bandIndexStale`: plain growth with an
+    * unchanged distribution trips neither; drift or a hot template
+    * stream trips one. */
+  def embIndexStale(spark: org.apache.spark.sql.SparkSession, name: String,
+      tvdThreshold: Double = 0.10, maxGrowthThreshold: Double = 4.0): Boolean = {
+    val s = embDriftStats(spark, name)
+    s.tvd >= tvdThreshold || s.maxGrowth >= maxGrowthThreshold
   }
 
   /** Fold an accepted batch INTO the persisted embedding index
@@ -1094,24 +1157,9 @@ object Similarity {
       name: String): DataFrame = {
     val live = Bucketing.readBucketed(spark, s"${name}_ivfcells")
       .groupBy("cell").agg(count(lit(1)).as("n_live"))
-    val build = spark.table(s"${name}_ivfcensus")
-    // full outer: a cell can be append-only-hot (absent at build under
-    // sampled training it still has a census row — writeCellIndex counts
-    // the FULL corpus — but tombstone rewrites can empty either side)
-    val joined = live.join(build, Seq("cell"), "full_outer")
-      .select(col("cell"),
-        coalesce(col("n_build"), lit(0L)).as("n_build"),
-        coalesce(col("n_live"), lit(0L)).as("n_live"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)) // kCells rows — bounded single-partition window
-    joined
-      .withColumn("build_share",
-        col("n_build") / greatest(sum(col("n_build")).over(w), lit(1L)))
-      .withColumn("live_share",
-        col("n_live") / greatest(sum(col("n_live")).over(w), lit(1L)))
-      .withColumn("growth",
-        col("live_share") / greatest(col("build_share"), lit(1e-12)))
-      .orderBy(col("cell"))
+    // full outer (inside IndexDrift.report): a cell can be
+    // append-only-hot, and tombstone rewrites can empty either side
+    IndexDrift.report(live, spark.table(s"${name}_ivfcensus"), "cell")
   }
 
   /** Scalar drift statistics from [[cellDriftReport]]:
@@ -1127,12 +1175,8 @@ object Similarity {
       nBuild: Long, nLive: Long)
   def cellDriftStats(spark: org.apache.spark.sql.SparkSession,
       name: String): CellDriftStats = {
-    val r = cellDriftReport(spark, name)
-      .agg((sum(abs(col("live_share") - col("build_share"))) / 2.0).as("tvd"),
-        max(col("growth")).as("mg"),
-        sum(col("n_build")).as("nb"), sum(col("n_live")).as("nl"))
-      .head()
-    CellDriftStats(r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+    val (tvd, mg, nb, nl) = IndexDrift.stats(cellDriftReport(spark, name))
+    CellDriftStats(tvd, mg, nb, nl)
   }
 
   /** REBUILD recommendation for a persisted cell index ("retrain =

@@ -258,7 +258,8 @@ class IncrementalIndexSpec extends SparkSpec {
 
   test("embedding index: probe matches exact recompute, zero corpus-side Exchange, append folds in") {
     import graft.operators.Similarity
-    Seq("eidx_embbands", "eidx_embvecs").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("eidx_embbands", "eidx_embvecs", "eidx_embcensus")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try {
       import spark.implicits._
@@ -304,13 +305,14 @@ class IncrementalIndexSpec extends SparkSpec {
         s"probe must see the original corpus AND the appended batch: $pairs2")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      Seq("eidx_embbands", "eidx_embvecs").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq("eidx_embbands", "eidx_embvecs", "eidx_embcensus")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
   test("embedding index: compaction folds appended files; tombstone delete removes a vector") {
     import graft.operators.Similarity
-    def cleanupEmb(): Unit = Seq("eidx_embbands", "eidx_embvecs",
+    def cleanupEmb(): Unit = Seq("eidx_embbands", "eidx_embvecs", "eidx_embcensus",
         "eidx_embbands__compact", "eidx_embvecs__compact")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     cleanupEmb()
@@ -498,6 +500,63 @@ class IncrementalIndexSpec extends SparkSpec {
       assert(origIds.forall(id => edges.contains((id + 100000L, id))),
         s"every shifted copy must meet its original; got $edges")
     } finally cellTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** The third leg of drift parity (cell and text-band indexes got
+    * theirs first): the embedding sign-band index has the same append
+    * lifecycle and the same key-space-densification failure mode — the
+    * planes are data-independent, the bucket population is not. Same
+    * two-direction contract: identical vectors under new ids recur in
+    * exactly their census partitions (clean); one repeated vector at
+    * corpus scale concentrates into its ≤ numBands band keys (trips). */
+  test("emb-band staleness: same-distribution growth clean, a repeated vector trips it") {
+    import graft.operators.Similarity
+    val idx = "driftemb"
+    val tables = Seq(s"${idx}_embbands", s"${idx}_embvecs", s"${idx}_embcensus")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.writeEmbIndex(emb, idx)
+
+      val s0 = Similarity.embDriftStats(spark, idx)
+      assert(s0.tvd === 0.0 && s0.maxGrowth === 1.0 && s0.nBuild === s0.nLive)
+      assert(!Similarity.embIndexStale(spark, idx))
+
+      // plain growth: the same vectors under new ids — same sign
+      // pattern, same bkey, same census partition, shares untouched
+      Similarity.appendToEmbIndex(spark,
+        emb.select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")), idx)
+      val s1 = Similarity.embDriftStats(spark, idx)
+      assert(s1.nLive === 2 * s1.nBuild)
+      assert(s1.tvd < 1e-9, s"same-distribution growth read as drift: tvd=${s1.tvd}")
+      assert(math.abs(s1.maxGrowth - 1.0) < 1e-9)
+      assert(!Similarity.embIndexStale(spark, idx))
+
+      // drifted stream: one vector repeated corpus-scale — all its band
+      // rows share its numBands band keys
+      val one = emb.orderBy(col("vec_id")).select(col("embedding"))
+        .as[Array[Float]].head()
+      val n = emb.count()
+      val drifted = spark.range(n)
+        .select((col("id") + 3000000L).as("vec_id"), typedLit(one).as("embedding"))
+      Similarity.appendToEmbIndex(spark, drifted, idx)
+      val s2 = Similarity.embDriftStats(spark, idx)
+      assert(s2.tvd >= 0.10,
+        s"a corpus-scale repeated vector must move >=10% of probe mass, got ${s2.tvd}")
+      assert(s2.maxGrowth >= 4.0, s"its band-key regions must inflate: $s2")
+      assert(Similarity.embIndexStale(spark, idx), s"drifted index not flagged: $s2")
+
+      // census-bounded, shares consistent; pre-census indexes fail loudly
+      val rep = Similarity.embDriftReport(spark, idx).collect()
+      assert(rep.length <= graft.operators.IndexDrift.CensusBuckets)
+      assert(math.abs(rep.map(_.getAs[Double]("live_share")).sum - 1.0) < 1e-9)
+      spark.sql(s"DROP TABLE ${idx}_embcensus")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.embDriftStats(spark, idx)
+      }
+      assert(e.getMessage.contains("rebuild"))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("external index re-attaches via DDL after catalog loss") {
