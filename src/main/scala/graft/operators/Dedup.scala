@@ -1570,11 +1570,11 @@ object Dedup {
     * the chooser measures over DISTINCT (hash, source) rows, i.e.
     * exactly the rep level the ensemble's banding joins. */
   def measuredSimhashPlan(corpus: DataFrame, maxHamming: Int = 6,
-      bits: Int = 48): (Int, Int) = {
+      bits: Int = 48, measureFloor: Long = 1000000L): (Int, Int) = {
     val sh = simhash(corpus, bits)
       .join(corpus.select(col("doc_id"), col("source")), "doc_id")
     hammingBlockPlanMeasured(sh.select(col("simhash"), col("source")),
-      "simhash", bits, maxHamming, Seq("source"))
+      "simhash", bits, maxHamming, Seq("source"), measureFloor = measureFloor)
   }
 
   /** Upper bound on the DOC-level pair rows [[simhashPairs]] can emit —

@@ -332,6 +332,10 @@ class DedupSpec extends SparkSpec {
       "m=7 c=1" -> Dedup.simhashAssignments(docs, 6, 48, plan = Some((7, 1))),
       "m=8 c=2" -> Dedup.simhashAssignments(docs, 6, 48, plan = Some((8, 2))),
       "m=10 c=4" -> Dedup.simhashAssignments(docs, 6, 48, plan = Some((10, 4))),
+      // below the measure floor this runs the static rule's plan (the
+      // default measured path at this corpus size); the census PICK's
+      // invariance is covered because the census argmin here is (7, 1)
+      // — the pinned variant above
       "measured" -> Dedup.simhashAssignments(docs, 6, 48, measurePlan = true))
     variants.foreach { case (label, df) =>
       val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
