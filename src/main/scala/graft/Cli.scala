@@ -297,12 +297,18 @@ object Cli {
         found = true
         graft.operators.Similarity.registerCellIndex(spark, "graft_cidx", indexDir, buckets)
         val twoLevel = spark.catalog.tableExists("graft_cidx_ivfcoarse")
-        val s = graft.operators.Similarity.cellDriftStats(spark, "graft_cidx")
-        val stale = graft.operators.Similarity.cellIndexStale(spark, "graft_cidx")
-        println(f"[graft] index-status cell${if (twoLevel) " (two-level)" else ""}: " +
-          f"rows ${s.nBuild} -> ${s.nLive}, tvd=${s.tvd}%.3f, " +
-          f"max growth=${s.maxGrowth}%.1fx -> " +
-          (if (stale) "STALE (rebuild with `embindex`)" else "ok"))
+        // same pre-census guard as the band/emb branches (round-12
+        // ADVICE: a cell index built before the census existed must get
+        // the rebuild steer, not a read failure or a phantom tvd=0.5)
+        if (spark.catalog.tableExists("graft_cidx_ivfcensus")) {
+          val s = graft.operators.Similarity.cellDriftStats(spark, "graft_cidx")
+          val stale = graft.operators.Similarity.cellIndexStale(spark, "graft_cidx")
+          println(f"[graft] index-status cell${if (twoLevel) " (two-level)" else ""}: " +
+            f"rows ${s.nBuild} -> ${s.nLive}, tvd=${s.tvd}%.3f, " +
+            f"max growth=${s.maxGrowth}%.1fx -> " +
+            (if (stale) "STALE (rebuild with `embindex`)" else "ok"))
+        } else println(s"[graft] index-status cell${if (twoLevel) " (two-level)" else ""}: " +
+          "no build census (pre-census index) — rebuild with `embindex` to enable drift detection")
       }
       if (has("embbands")) {
         found = true

@@ -88,6 +88,33 @@ object Bucketing {
     versions(fsFor(spark, location), location, sub).lastOption
       .map(_._2.toString).getOrElse(s"$location/$sub")
 
+  /** Drop a FIXED-NAME catalog entry whose bound location no longer
+    * matches `expected`, so the register functions' CREATE TABLE IF NOT
+    * EXISTS cannot silently keep an earlier verb's registration of the
+    * same name at a DIFFERENT index directory — status/ingest would read
+    * the wrong index without any error (round-12 ADVICE; the CLI's
+    * graft_idx/graft_cidx/graft_eidx names are session-fixed by design).
+    * Also rebinds a SAME-location entry pinned to a superseded version
+    * dir (a compaction committed since the first registration). External
+    * tables only: the drop removes metadata, never files. Comparison is
+    * on filesystem-qualified URIs, so `/x/y` and `file:/x/y` match. */
+  private[graft] def dropIfRelocated(spark: SparkSession, table: String,
+      expected: String): Unit =
+    if (spark.catalog.tableExists(table)) {
+      def qualified(p: String): String = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(path).toUri.toString
+      }
+      val bound = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString
+      if (qualified(bound) != qualified(expected)) {
+        System.err.println(s"[graft] $table was bound to $bound — rebinding to $expected")
+        spark.sql(s"DROP TABLE $table")
+      }
+    }
+
   /** [[writeBucketed]] to an EXTERNAL versioned location: a first build
     * lands at the plain `location/sub` (v0); a REBUILD over existing
     * versions commits a fresh version atomically and re-points the

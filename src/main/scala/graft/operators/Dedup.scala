@@ -890,24 +890,32 @@ object Dedup {
   def registerBandIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, location: String, buckets: Int = 8): Unit = {
     // bind the highest COMMITTED version dir (stale-but-consistent across
-    // concurrent rewrites — see Bucketing's versioned-location contract)
+    // concurrent rewrites — see Bucketing's versioned-location contract);
+    // a fixed name already bound elsewhere (or to a superseded version)
+    // is dropped first, never silently kept (round-12 ADVICE)
+    val bandsDir = Bucketing.currentDir(spark, location, "bands")
+    val setsDir = Bucketing.currentDir(spark, location, "sets")
+    Bucketing.dropIfRelocated(spark, s"${name}_bands", bandsDir)
+    Bucketing.dropIfRelocated(spark, s"${name}_sets", setsDir)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_bands
       |(doc_id BIGINT, band INT, s BIGINT, mn BIGINT, mx BIGINT, bkey BIGINT)
       |USING parquet CLUSTERED BY (bkey) SORTED BY (bkey) INTO $buckets BUCKETS
-      |LOCATION '${Bucketing.currentDir(spark, location, "bands")}'""".stripMargin)
+      |LOCATION '$bandsDir'""".stripMargin)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_sets
       |(doc_id BIGINT, set ARRAY<BIGINT>)
       |USING parquet CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS
-      |LOCATION '${Bucketing.currentDir(spark, location, "sets")}'""".stripMargin)
+      |LOCATION '$setsDir'""".stripMargin)
     // the drift census re-attaches only if the build stored one (indexes
     // written before the census existed stay probe-able; bandDriftStats
     // on them fails loudly with the rebuild steer)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/bandcensus")))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/bandcensus"))) {
+      Bucketing.dropIfRelocated(spark, s"${name}_bandcensus", s"$location/bandcensus")
       spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_bandcensus
         |(cb BIGINT, n_build BIGINT) USING parquet
         |LOCATION '$location/bandcensus'""".stripMargin)
+    }
   }
 
   /** [[incrementalNearDupPairs]] against a persisted [[writeBandIndex]]:

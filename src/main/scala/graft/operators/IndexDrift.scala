@@ -50,8 +50,19 @@ private[graft] object IndexDrift {
         col("n_build") / greatest(sum(col("n_build")).over(w), lit(1L)))
       .withColumn("live_share",
         col("n_live") / greatest(sum(col("n_live")).over(w), lit(1L)))
+      // growth denominator floored at the share ONE build row would have
+      // had, not at 1e-12: the fixed-1024-partition key-space censuses
+      // (band / emb-band tiers) have empty-at-build partitions whenever
+      // the corpus holds < ~7k distinct routing keys, and with a raw-zero
+      // denominator a SINGLE benign novel document landing in one read
+      // growth ~1e12 and flagged the whole index STALE on every ingest
+      // (round-12 ADVICE). Under the floor a first arrival reads
+      // live_share·nBuild ≈ nBuild/nLive ≈ 1 (benign), while a drifted
+      // stream CONCENTRATING into an empty partition still reads
+      // share·nBuild ≫ the ≥4× threshold.
       .withColumn("growth",
-        col("live_share") / greatest(col("build_share"), lit(1e-12)))
+        col("live_share") / greatest(col("build_share"),
+          lit(1.0) / greatest(sum(col("n_build")).over(w).cast("double"), lit(1.0))))
       .orderBy(col(partCol))
   }
 

@@ -856,24 +856,32 @@ object Similarity {
   def registerEmbIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, location: String, buckets: Int = 8): Unit = {
     // bind the highest COMMITTED version dir (stale-but-consistent across
-    // concurrent rewrites — see Bucketing's versioned-location contract)
+    // concurrent rewrites — see Bucketing's versioned-location contract);
+    // a fixed name already bound elsewhere (or to a superseded version)
+    // is dropped first, never silently kept (round-12 ADVICE)
+    val bandsDir = Bucketing.currentDir(spark, location, "embbands")
+    val vecsDir = Bucketing.currentDir(spark, location, "embvecs")
+    Bucketing.dropIfRelocated(spark, s"${name}_embbands", bandsDir)
+    Bucketing.dropIfRelocated(spark, s"${name}_embvecs", vecsDir)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_embbands
       |(vec_id BIGINT, b INT, v BIGINT, bkey BIGINT)
       |USING parquet CLUSTERED BY (bkey) SORTED BY (bkey) INTO $buckets BUCKETS
-      |LOCATION '${Bucketing.currentDir(spark, location, "embbands")}'""".stripMargin)
+      |LOCATION '$bandsDir'""".stripMargin)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_embvecs
       |(vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE)
       |USING parquet CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $buckets BUCKETS
-      |LOCATION '${Bucketing.currentDir(spark, location, "embvecs")}'""".stripMargin)
+      |LOCATION '$vecsDir'""".stripMargin)
     // the drift census re-attaches only if the build stored one —
     // pre-census indexes stay probe-able, embDriftStats on them fails
     // loudly with the rebuild steer (same contract as the text twin)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/embcensus")))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/embcensus"))) {
+      Bucketing.dropIfRelocated(spark, s"${name}_embcensus", s"$location/embcensus")
       spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_embcensus
         |(cb BIGINT, n_build BIGINT) USING parquet
         |LOCATION '$location/embcensus'""".stripMargin)
+    }
   }
 
   /** Drift report for a persisted [[writeEmbIndex]] sign-band index —
@@ -1061,22 +1069,37 @@ object Similarity {
     * table re-attaches only if the build stored one (two-level form). */
   def registerCellIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, location: String, buckets: Int = 8): Unit = {
+    // a fixed name already bound elsewhere (or to a superseded version)
+    // is dropped first, never silently kept (round-12 ADVICE)
+    val cellsDir = Bucketing.currentDir(spark, location, "ivfcells")
+    Bucketing.dropIfRelocated(spark, s"${name}_ivfcells", cellsDir)
+    Bucketing.dropIfRelocated(spark, s"${name}_ivfcentroids", s"$location/ivfcentroids")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcells
       |(vec_id BIGINT, cell INT, embedding ARRAY<FLOAT>, norm DOUBLE)
       |USING parquet CLUSTERED BY (cell) SORTED BY (cell) INTO $buckets BUCKETS
-      |LOCATION '${Bucketing.currentDir(spark, location, "ivfcells")}'""".stripMargin)
+      |LOCATION '$cellsDir'""".stripMargin)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcentroids
       |(cell INT, c ARRAY<DOUBLE>) USING parquet
       |LOCATION '$location/ivfcentroids'""".stripMargin)
-    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcensus
-      |(cell INT, n_build BIGINT) USING parquet
-      |LOCATION '$location/ivfcensus'""".stripMargin)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/ivfcoarse")))
+    // the drift census re-attaches only if the build stored one — a
+    // pre-census cell index stays probe-able instead of binding a table
+    // at a missing location (round-12 ADVICE: the unconditional DDL made
+    // `Cli index-status` either fail the read or print a misleading
+    // tvd=0.5 STALE verdict; band/emb always had this guard)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/ivfcensus"))) {
+      Bucketing.dropIfRelocated(spark, s"${name}_ivfcensus", s"$location/ivfcensus")
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcensus
+        |(cell INT, n_build BIGINT) USING parquet
+        |LOCATION '$location/ivfcensus'""".stripMargin)
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$location/ivfcoarse"))) {
+      Bucketing.dropIfRelocated(spark, s"${name}_ivfcoarse", s"$location/ivfcoarse")
       spark.sql(s"""CREATE TABLE IF NOT EXISTS ${name}_ivfcoarse
         |(g INT, c ARRAY<DOUBLE>, members ARRAY<INT>) USING parquet
         |LOCATION '$location/ivfcoarse'""".stripMargin)
+    }
   }
 
   /** The stored quantizer, in cell order (kCells×dim — driver-sized by
@@ -1206,8 +1229,8 @@ object Similarity {
     * probe side — broadcast-pinned like every probe form in this repo),
     * sort-merges the cell buckets in place, and verifies exact cosine
     * inside the join (embeddings ride the index rows). Output
-    * (id_a = arriving, id_b = indexed) — both orders of an indexed pair
-    * arrive across batches; downstream CC is edge-set semantics.
+    * (id_a = arriving, id_b = indexed, cos) — both orders of an indexed
+    * pair arrive across batches; downstream CC is edge-set semantics.
     * O(|batch| · cell population) per batch however large the corpus. */
   def ivfIndexProbeEdges(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, name: String, centroids: Seq[Seq[Double]],
@@ -1236,15 +1259,19 @@ object Similarity {
           col("embedding"), coarse, members, fine, CoarseProbe, 2)).as("cell")), threshold)
 
   /** The shared probe join: bounded probe side broadcasts, cell buckets
-    * sort-merge in place, exact cosine verifies inside the join. */
+    * sort-merge in place, exact cosine verifies inside the join — and is
+    * PROJECTED OUT with the pair (round-12 ADVICE: discarding it forced
+    * [[incrementalIvfNearDupsIndexed]] to re-join the full cells table
+    * per batch just to recompute a value this join already had). */
   private def probeCellIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, probe: DataFrame, threshold: Double): DataFrame =
     Bucketing.readBucketed(spark, s"${name}_ivfcells")
       .join(probe.hint("broadcast"), "cell")
       .filter(col("vec_id") =!= col("q_id"))
-      .filter(fdot(col("embedding"), col("q_emb"))
-        / (col("norm") * col("q_norm")) >= threshold)
-      .select(col("q_id").as("id_a"), col("vec_id").as("id_b"))
+      .withColumn("cos",
+        fdot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("q_id").as("id_a"), col("vec_id").as("id_b"), col("cos"))
 
   /** [[incrementalEmbNearDupsIndexed]] for a persisted CELL index
     * (either routing form): one arriving batch's near-dups against the
@@ -1264,20 +1291,16 @@ object Similarity {
         ivfIndexProbeEdgesTwoLevel(spark, newVecs, name, fine, coarse,
           members, threshold)
       } else ivfIndexProbeEdges(spark, newVecs, name, fine, threshold)
-    // a pair sharing BOTH probed cells arrives twice from the cell join
-    val cand = edges.distinct()
-    val newSide = withNorm(newVecs)
-      .select(col("vec_id").as("id_a"), col("embedding").as("e_n"),
-        col("norm").as("n_n"))
-    // each vector is stored under its TWO membership cells — one row
-    // per id for the cosine fetch
-    val oldSide = Bucketing.readBucketed(spark, s"${name}_ivfcells")
-      .select(col("vec_id").as("id_b"), col("embedding").as("e_o"),
-        col("norm").as("n_o"))
-      .dropDuplicates("id_b")
-    cand.join(newSide, "id_a").join(oldSide, "id_b")
-      .select(col("id_a").as("new_id"), col("id_b").as("old_id"),
-        (fdot(col("e_n"), col("e_o")) / (col("n_n") * col("n_o"))).as("cos"))
+    // a pair sharing BOTH probed cells arrives twice from the cell join,
+    // as BIT-IDENTICAL rows (both stored copies carry the same embedding
+    // and the cosine is the same expression over equal inputs), so the
+    // distinct over candidate-sized rows is the whole dedup — the probe
+    // join already carried the exact cosine out, keeping the per-batch
+    // cost at the documented O(|batch| × cell population) with NO
+    // corpus-side re-read (round-12 ADVICE: the previous form re-joined
+    // the full cells table per batch just to recompute it).
+    edges.distinct()
+      .select(col("id_a").as("new_id"), col("id_b").as("old_id"), col("cos"))
   }
 
   /** Deterministic negative sampling for contrastive training: for each

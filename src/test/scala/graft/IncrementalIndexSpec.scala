@@ -559,6 +559,37 @@ class IncrementalIndexSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  /** Round-12 ADVICE: the CLI registers every index under a fixed name
+    * (graft_idx/graft_cidx/graft_eidx) via CREATE TABLE IF NOT EXISTS —
+    * if an earlier verb in the same session bound the name at a
+    * DIFFERENT location, the stale entry used to win silently and
+    * status/ingest read the wrong index. registerBandIndex must rebind. */
+  test("re-registering a fixed name at a new location rebinds, never silently keeps the old") {
+    cleanup()
+    val locA = java.nio.file.Files.createTempDirectory("graft-idxA").toString
+    val locB = java.nio.file.Files.createTempDirectory("graft-idxB").toString
+    try {
+      // location A indexes the full corpus (batch near-dups exist);
+      // location B indexes only the unrelated doc (no near-dups)
+      Dedup.writeBandIndex(corpus, "xidx", buckets = 4, location = Some(locA))
+      assert(Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
+        .collect().nonEmpty)
+      Dedup.writeBandIndex(corpus.filter(col("doc_id") === 99L), "xidx_b",
+        buckets = 4, location = Some(locB))
+      Seq("xidx_b_bands", "xidx_b_sets", "xidx_b_bandcensus")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // same fixed name, new location: the catalog still holds xidx→locA
+      Dedup.registerBandIndex(spark, "xidx", locB, buckets = 4)
+      val pairs = Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx").collect()
+      assert(pairs.isEmpty,
+        s"xidx must now read location B (unrelated doc only); got ${pairs.mkString(",")}")
+      // and registering the ORIGINAL location again flips it back
+      Dedup.registerBandIndex(spark, "xidx", locA, buckets = 4)
+      assert(Dedup.incrementalNearDupPairsIndexed(spark, batch, "xidx")
+        .collect().nonEmpty)
+    } finally cleanup()
+  }
+
   test("external index re-attaches via DDL after catalog loss") {
     cleanup()
     val loc = java.nio.file.Files.createTempDirectory("graft-bandindex").toString
