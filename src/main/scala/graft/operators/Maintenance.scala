@@ -172,19 +172,19 @@ object Maintenance {
     * list no set-based engine replays identically), with the bounds
     * that matter for compaction: every bin except the last holds ≥
     * target bytes before its boundary file, and overfill per bin is at
-    * most one file. The window runs over the FILE MANIFEST
-    * (catalog-scale, thousands of rows), not data rows — at 100 TB
-    * this is the metadata query a table-maintenance service runs, not
-    * a data scan. Output one row per bin:
+    * most one file. The input is the FILE MANIFEST (catalog-scale) —
+    * but even a 100 M-file manifest never passes through a
+    * single-partition sort: the exclusive prefix sum is
+    * [[Ranks.globalPrefixSum]] (range shards + per-shard cumulative
+    * sums + broadcast offsets), so the registry-wide global-window gate
+    * holds with no allowlist entry. Output one row per bin:
     * (bin, n_files, total_bytes, min_file_id, max_file_id). */
   def compactionPlan(files: DataFrame, idCol: String, bytesCol: String,
       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("bytes").desc, col("fid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    files.select(col(idCol).as("fid"), col(bytesCol).cast("long").as("bytes"))
-      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+    Ranks.globalPrefixSum(
+        files.select(col(idCol).as("fid"), col(bytesCol).cast("long").as("bytes")),
+        Seq(col("bytes").desc, col("fid")), col("bytes"), "before")
       .withColumn("bin", expr(s"before div ${targetBytes}L"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),

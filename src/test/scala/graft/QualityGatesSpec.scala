@@ -303,6 +303,42 @@ class QualityGatesSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  // global windows whose input is data-sized but bounded by something the
+  // structural rule below can't see — each entry must name the bound
+  private val globalWindowAllowed: Set[String] = Set.empty
+
+  test("no data-sized global windows: empty-partition windows sit above an aggregation or limit") {
+    // QualityChecks' collapsed-histogram convention (QualityChecks.scala,
+    // centsSql note) is safe only because every unpartitioned window in
+    // it runs over a groupBy-collapsed frame — this gate is what ENFORCES
+    // that convention registry-wide (round-12 verdict #3): a logical
+    // Window with an empty partitionSpec is a single-partition sort of
+    // its whole input, so every root-to-leaf path beneath it must pass
+    // through an Aggregate or a Limit (or a leaf with a known small row
+    // bound). q170's pre-round-13 global row_number() is exactly what
+    // this catches — its rank now arrives via Linkage.distributedRank.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case l: LeafNode => l.maxRows.exists(_ <= (1L << 20))
+      case o => o.children.nonEmpty && o.children.forall(bounded)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if iterative(name) || globalWindowAllowed(name) => None
+      case (name, fn) =>
+        val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (bad.nonEmpty) Some(s"$name: ${bad.size} unbounded global window(s)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      "data-sized single-partition sorts (bound the input or allowlist with the bound named): " +
+        offenders.mkString("; "))
+  }
+
   test("TPC-H dimension sides broadcast (no shuffle fallback)") {
     // every dimension join key must appear in a BroadcastHashJoin line of
     // the executed plan — a dimension that falls back to sort-merge means
