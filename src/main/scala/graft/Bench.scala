@@ -87,6 +87,16 @@ object Bench {
       .map(_.getUsage.getUsed).sum / 1e6
   }
 
+  /** GC algorithm + heap provenance for the run artifact: a 3-4× GC-time
+    * spike on byte-identical rows is the box-noise signature this repo
+    * has documented since round 3 — recording WHICH collector and heap
+    * produced it makes cross-run GC comparisons meaningful. */
+  private def gcAlgoName: String = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getName).mkString("+")
+  }
+
   private def gcTotalSec(): Double = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -256,6 +266,10 @@ object Bench {
     * the child protocol; filtered out of the query results by the parent. */
   val CanaryName = "__chunk_canary"
   val CanaryEndName = "__chunk_canary_end"
+  /** Per-chunk machine probe (CPU-only, host-speed): the whole-run
+    * start/end probes can miss a contention window that opens and closes
+    * MID-run; one reading per chunk JVM localizes it to the chunk. */
+  val ChunkProbeName = "__chunk_probe"
 
   /** Runs the named queries (reps each) in THIS JVM and returns rows.
     * Shared by child processes and the parent's inline fallback. When
@@ -393,12 +407,17 @@ object Bench {
   }
 
   /** Child-JVM entry: runs the chunk named (exactly) in
-    * SPARK_GRAFT_BENCH_ONLY, writes rows to SPARK_GRAFT_BENCH_OUT. */
+    * SPARK_GRAFT_BENCH_ONLY, writes rows to SPARK_GRAFT_BENCH_OUT.
+    * The chunk's own machine-probe reading rides back as a pseudo-row,
+    * so a contention window that opens mid-run is localized to its
+    * chunk instead of averaged into the run-level start/end probes. */
   private def childMain(sfDir: String, cpus: String, reps: Int): Unit = {
     val names = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "").split(',').toSeq.filter(_.nonEmpty)
     val out = sys.env("SPARK_GRAFT_BENCH_OUT")
+    val probeSec = machineProbeSec()
     val spark = newSession(cpus)
-    val rows = runQueries(spark, sfDir, names, reps, withCanary = true)
+    val rows = runQueries(spark, sfDir, names, reps, withCanary = true) :+
+      QueryResult(ChunkProbeName, Seq(probeSec), 0.0, 0.0)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       rows.map(encodeRow).mkString("", "\n", "\n").getBytes("UTF-8"))
     spark.stop()
@@ -474,28 +493,63 @@ object Bench {
       runChunkInChild(chunk, tmpDir.resolve(s"chunk$i.tsv"))
         .getOrElse(runQueries(inlineSpark, sfDir, chunk, reps, withCanary = true))
     }
-    // each chunk's start/end canaries ride back as pseudo-rows; split out
+    // each chunk's start/end canaries and machine probes ride back as
+    // pseudo-rows; split out
     val canaries = allRows.filter(_.name == CanaryName).map(_.runs.head)
     val canaryEnds = allRows.filter(_.name == CanaryEndName).map(_.runs.head)
-    val results = allRows.filterNot(r => r.name == CanaryName || r.name == CanaryEndName)
+    val chunkProbes = allRows.filter(_.name == ChunkProbeName).map(_.runs.head)
+    val pseudo = Set(CanaryName, CanaryEndName, ChunkProbeName)
+    val results0 = allRows.filterNot(r => pseudo(r.name))
 
     val machineEnd = machineProbeSec()
     System.err.println(f"[bench] machine probe (end) $machineEnd%.3f s")
     val machine = MachineProbe(machineStart, machineEnd)
 
+    // the env-vs-code reference: the committed CLEAN baseline when it
+    // matches this run's sf; the last bench_result.json otherwise (the
+    // pre-round-13 behavior — known to alternate clean/contended, kept
+    // only as a fallback). Both are sf-gated: a smoke run at sf0.001
+    // must never be diffed against the sf0.1 reference.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    def sfOk(r: BenchRef): Boolean = r.sf.forall(_ == sfDir)
+    val baseline = readRef(BaselinePath).filter(sfOk)
+    val ref = baseline.orElse(readRef(out).filter(sfOk))
+
+    // auto re-run (round-12 verdict #1): suspect rows go back to a fresh
+    // child JVM once; a faster re-measure replaces the original (it was
+    // the box), a confirming one stays (it is the code)
+    val rerunNames =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_NO_RERUN")) Nil
+      else rerunCandidates(results0, ref, machine.factor)
+    val (results, rerunImproved) =
+      if (rerunNames.isEmpty) (results0, Nil)
+      else {
+        System.err.println(s"[bench] re-running ${rerunNames.size} suspect rows in fresh JVMs: ${rerunNames.mkString(",")}")
+        val rerunRows = rerunNames.sorted.grouped(chunkSize).zipWithIndex.toSeq
+          .flatMap { case (chunk, i) =>
+            runChunkInChild(chunk, tmpDir.resolve(s"rerun$i.tsv"))
+              .getOrElse(runQueries(inlineSpark, sfDir, chunk, reps))
+          }.filterNot(r => pseudo(r.name))
+        val (merged, improved) = mergeRerun(results0, rerunRows)
+        System.err.println(s"[bench] re-run improved ${improved.size}/${rerunNames.size}: ${improved.mkString(",")}")
+        (merged, improved)
+      }
+
+    // fold this run's clean rows into the monotone baseline
+    updateBaseline(results, machine.factor, sfDir,
+      readRef(BaselinePath) /* prior INCLUDING other-sf guard inside */)
+
     // durability against log-tail truncation (round 2 lost q00-q03 from the
     // captured artifact): persist the FULL object to a file first, stop Spark
     // so its shutdown chatter precedes the payload, then print the compact
     // JSON as the very last line of both stdout and stderr
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    // env-vs-code inference: the file about to be overwritten is the last
-    // committed run — read it FIRST so rows can self-label against it
-    val ref = readRef(out)
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (fullLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds, machine, ref) + "\n").getBytes("UTF-8"))
+      (fullLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds, machine, ref,
+        chunkProbes, rerunNames, rerunImproved) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     try { SparkSession.getActiveSession.foreach(_.stop()) } catch { case _: Throwable => () }
-    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds, machine, ref)
+    val compact = compactLine(results, reps, chunks.size, chunkSize, sfDir, canaries, canaryEnds, machine, ref,
+      rerunNames.size, rerunImproved.size)
     println(compact)
     System.out.flush()
     System.err.println(compact)
@@ -521,10 +575,26 @@ object Bench {
     results.filter(r => r.min > 0.05 && r.median > 5 * r.min).map(_.name)
 
   /** Per-query snapshot of a PRIOR committed run — the reference the
-    * environment-vs-code inference compares against. */
+    * environment-vs-code inference compares against. `sf` rides along so
+    * a subset/smoke run at another scale factor can never be compared
+    * against (or folded into) the sf0.1 reference. */
   final case class BenchRef(medians: Map[String, Double],
                             writeB: Map[String, Long], readB: Map[String, Long],
-                            machineFactor: Double, source: String)
+                            machineFactor: Double, source: String,
+                            sf: Option[String] = None)
+
+  /** The best-known-CLEAN per-query reference, machine-factor-NORMALIZED
+    * (machine_factor 1.0 by construction) — what the env-suspect
+    * detector and the re-run ranking compare against. The round-12
+    * detector compared against "whatever bench_result.json was committed
+    * last", which alternates builder-clean / driver-contended: the r12
+    * clean run was diffed against the driver's ELEVATED r11 run, so
+    * q113's 7.1→18.6 s read as 1.76× < 2× and never flagged (the
+    * verdict's headline miss). A monotone clean baseline cannot be
+    * poisoned that way: bytes-matching entries only ever go DOWN
+    * (min-merge), and entries are replaced only when the plan's own
+    * byte signature changed. */
+  val BaselinePath = "bench_baseline.json"
 
   /** Reads the bench_result.json that is about to be OVERWRITTEN (i.e.
     * the last committed run at driver time) as the env-suspect
@@ -547,7 +617,8 @@ object Bench {
     val medians = objMap("queries", _.asDouble)
     if (medians.isEmpty || mf <= 0) None
     else Some(BenchRef(medians, objMap("shuffle_write_b", _.asLong),
-      objMap("shuffle_read_b", _.asLong), mf, path))
+      objMap("shuffle_read_b", _.asLong), mf, path,
+      Option(root.get("sf")).filter(_.isTextual).map(_.asText)))
   } catch { case e: Throwable =>
     System.err.println(s"[bench] env-suspect ref unreadable ($path): $e"); None
   }
@@ -586,6 +657,97 @@ object Bench {
       }.map(_.name)
   }
 
+  /** Rows worth re-measuring in a FRESH child JVM before the run is
+    * reported (round-12 verdict #1 — the ScalingBench auto-re-run,
+    * ported): the env-suspect rows (bytes-identical ≥2× movers), the
+    * per-row contended rows (median > 5× min), and — regardless of any
+    * ratio threshold — the top-10 ABSOLUTE regressions vs the clean
+    * baseline (the r12 detector missed q113/q131/q120 precisely because
+    * they sat under its ratio bar against a bad ref; absolute-delta
+    * ranking cannot miss the biggest movers). */
+  def rerunCandidates(results: Seq[QueryResult], ref: Option[BenchRef],
+                      machineFactor: Double): Seq[String] = {
+    val env = envSuspectRows(results, ref, machineFactor)
+    val cont = contendedRows(results)
+    val topAbs = ref match {
+      case Some(r) if machineFactor > 0 =>
+        results.flatMap { q =>
+          r.medians.get(q.name).map(rm =>
+            q.name -> (q.median / machineFactor - rm / r.machineFactor))
+        }.filter(_._2 > 0.5).sortBy(-_._2).take(10).map(_._1)
+      case _ => Nil
+    }
+    (env ++ cont ++ topAbs).distinct
+  }
+
+  /** Folds re-run rows into the results: a fresh-JVM re-measure that
+    * comes back FASTER replaces the original (the first measurement was
+    * the box, not the code); one that confirms the wall stays — a
+    * genuine regression must survive into the artifact. Returns
+    * (merged results, names improved by the re-run). */
+  def mergeRerun(results: Seq[QueryResult],
+                 rerun: Seq[QueryResult]): (Seq[QueryResult], Seq[String]) = {
+    val byName = rerun.map(r => r.name -> r).toMap
+    val improved = results.flatMap(r =>
+      byName.get(r.name).filter(_.median < r.median).map(_ => r.name))
+    (results.map(r => byName.get(r.name).filter(_.median < r.median).getOrElse(r)),
+      improved)
+  }
+
+  /** Monotone update of [[BaselinePath]] from this run: per row, a
+    * bytes-matching entry only ever goes DOWN (min of the normalized
+    * medians — best-known-clean), a byte-signature CHANGE (plan/code
+    * change) replaces the entry with this run's measurement, and rows
+    * this run didn't measure carry over verbatim (subset runs can't
+    * drop history — the ScalingBench merge contract). Rows flagged
+    * contended are excluded; runs at another sf, or without a machine
+    * probe, don't touch the file. */
+  def updateBaseline(results: Seq[QueryResult], machineFactor: Double,
+                     sfDir: String, prior: Option[BenchRef]): Unit =
+    updateBaselineAt(results, machineFactor, sfDir, prior, BaselinePath)
+
+  /** [[updateBaseline]] against an explicit path (spec hook). */
+  def updateBaselineAt(results: Seq[QueryResult], machineFactor: Double,
+                       sfDir: String, prior: Option[BenchRef],
+                       path: String): Unit = {
+    if (machineFactor <= 0) return
+    if (prior.exists(p => p.sf.exists(_ != sfDir))) {
+      System.err.println(s"[bench] baseline is for ${prior.flatMap(_.sf).getOrElse("?")}; run is $sfDir — not updating")
+      return
+    }
+    def bytesMatch(a: Long, b: Long): Boolean =
+      math.abs(a - b) <= math.max(1024L, (0.02 * math.max(a, b)).toLong)
+    val skip = contendedRows(results).toSet
+    val fresh = results.filterNot(r => skip(r.name)).map { r =>
+      val norm = r.median / machineFactor
+      val merged = prior.flatMap { p =>
+        for {
+          m <- p.medians.get(r.name); w <- p.writeB.get(r.name); rd <- p.readB.get(r.name)
+          if bytesMatch(w, r.shuffleWriteB) && bytesMatch(rd, r.shuffleReadB)
+        } yield math.min(norm, m / p.machineFactor)
+      }.getOrElse(norm)
+      r.name -> ((merged, r.shuffleWriteB, r.shuffleReadB))
+    }.toMap
+    val carried = prior.map(p => (p.medians.keySet -- fresh.keySet).map(n =>
+      n -> ((p.medians(n) / p.machineFactor, p.writeB.getOrElse(n, 0L),
+        p.readB.getOrElse(n, 0L)))).toMap).getOrElse(Map.empty)
+    val all = (fresh ++ carried).toSeq.sortBy(_._1)
+    def jmap(f: ((String, (Double, Long, Long))) => String): String =
+      all.map(e => "\"" + e._1 + "\":" + f(e)).mkString("{", ",", "}")
+    val json = s"""{"metric":"baseline","machine_factor":1.0,"sf":"$sfDir",""" +
+      s""""source":"monotone min-merge of clean runs (Bench.updateBaseline)",""" +
+      s""""queries":${jmap(e => num(e._2._1))},""" +
+      s""""shuffle_write_b":${jmap(_._2._2.toString)},""" +
+      s""""shuffle_read_b":${jmap(_._2._3.toString)}}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] baseline updated: ${fresh.size} measured, ${carried.size} carried")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline write failed: $e")
+    }
+  }
+
   /** The ONE stdout/stderr line, and nothing but it. The driver captures
     * exactly the LAST 2000 characters of the run's output (every
     * BENCH_r0*.json tail across rounds 1–5 is 2000 chars), and sbt's
@@ -613,7 +775,8 @@ object Bench {
                   canaries: Seq[Double] = Nil,
                   canaryEnds: Seq[Double] = Nil,
                   machine: MachineProbe = MachineProbe(0.0, 0.0),
-                  ref: Option[BenchRef] = None): String = {
+                  ref: Option[BenchRef] = None,
+                  nRerun: Int = 0, nRerunImproved: Int = 0): String = {
     val flagship = results.filter(_.name == "q00_flagship_kmedoids")
     val shown = (flagship ++ results.sortBy(-_.median).take(3)).distinct
     val contended = contendedRows(results)
@@ -638,6 +801,7 @@ object Bench {
       s""""uniform_slow":$uniform,""" +
       s""""n_contended":${contended.size},"n_contended_chunks":$slowChunks,""" +
       s""""n_env_suspect":${envSuspectRows(results, ref, machine.factor).size},""" +
+      s""""n_rerun":$nRerun,"n_rerun_improved":$nRerunImproved,""" +
       s""""n_drifted_chunks":$drifted,"canary_min":$canaryMin,""" +
       s""""queries":${shown.map(r => "\"" + r.name + "\":" + num(r.median)).mkString("{", ",", "}")},""" +
       s""""detail":"bench_result.json","sf":"$sfDir"}"""
@@ -658,7 +822,10 @@ object Bench {
                canaries: Seq[Double] = Nil,
                canaryEnds: Seq[Double] = Nil,
                machine: MachineProbe = MachineProbe(0.0, 0.0),
-               ref: Option[BenchRef] = None): String = {
+               ref: Option[BenchRef] = None,
+               chunkProbes: Seq[Double] = Nil,
+               rerunRows: Seq[String] = Nil,
+               rerunImproved: Seq[String] = Nil): String = {
     def jmap(f: QueryResult => String): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val contended = contendedRows(results)
@@ -682,6 +849,10 @@ object Bench {
       s""""contended_rows":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""env_suspect_rows":${envSuspectRows(results, ref, machine.factor)
         .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""rerun_rows":${rerunRows.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""rerun_improved":${rerunImproved.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""chunk_probe_sec":${chunkProbes.map(num).mkString("[", ",", "]")},""" +
+      s""""gc_algo":"${gcAlgoName}","heap_max_mb":${(Runtime.getRuntime.maxMemory / 1e6).toLong},""" +
       s""""env_ref":${ref.map(r =>
         s"""{"source":"${r.source}","machine_factor":${r.machineFactor},"n":${r.medians.size}}""")
         .getOrElse("null")},""" +

@@ -260,5 +260,102 @@ class BenchLineSpec extends SparkSpec {
     assert(qFields.size === results.size)
     assert(df.schema.fieldNames.contains("runs"))
     assert(df.schema.fieldNames.contains("codecache_mb"))
+    assert(df.schema.fieldNames.contains("gc_algo"))
+    assert(df.schema.fieldNames.contains("heap_max_mb"))
+  }
+
+  /** Round-12 verdict #1: the re-run set must contain the TOP ABSOLUTE
+    * regressions even when they sit under the env-suspect ratio bar —
+    * the r12 detector missed q113 (7.1→18.6 s) exactly because a bad
+    * reference kept its ratio at 1.76× < 2×. */
+  test("rerunCandidates: top absolute regressions join the env/contended sets") {
+    val ref = Bench.BenchRef(
+      medians = Map("q_big" -> 7.0, "q_env" -> 3.0, "q_small" -> 1.0, "q_ok" -> 3.0),
+      writeB = Map("q_big" -> 900000L, "q_env" -> 6100000L, "q_small" -> 100L, "q_ok" -> 6100000L),
+      readB = Map("q_big" -> 900000L, "q_env" -> 2000000L, "q_small" -> 100L, "q_ok" -> 2000000L),
+      machineFactor = 1.0, source = "bench_baseline.json")
+    val results = Seq(
+      // +11.5 s absolute but only 1.6x — under the env-suspect ratio,
+      // exactly the q113 shape; MUST be in the re-run set
+      Bench.QueryResult("q_big", Seq(18.0, 18.5, 19.0), 0, 0, 900000L, 900000L),
+      // classic env-suspect (bytes identical, >2x)
+      Bench.QueryResult("q_env", Seq(6.6, 8.6, 18.4), 0, 0, 2000000L, 6100000L),
+      // contended (median > 5x min)
+      Bench.QueryResult("q_cont", Seq(0.4, 9.9, 10.0), 0, 0, 5L, 5L),
+      // small absolute delta — not worth a fresh JVM
+      Bench.QueryResult("q_small", Seq(1.2, 1.3, 1.4), 0, 0, 100L, 100L),
+      Bench.QueryResult("q_ok", Seq(2.9, 3.2, 3.4), 0, 0, 2000000L, 6100000L))
+    val cand = Bench.rerunCandidates(results, Some(ref), 1.0).toSet
+    assert(cand.contains("q_big"), "top absolute mover missed")
+    assert(cand.contains("q_env"))
+    assert(cand.contains("q_cont"))
+    assert(!cand.contains("q_small"))
+    assert(!cand.contains("q_ok"))
+    // no reference: contended rows still re-run
+    assert(Bench.rerunCandidates(results, None, 1.0) === Seq("q_cont"))
+  }
+
+  test("mergeRerun: a faster fresh-JVM re-measure replaces the row; a confirming one stays") {
+    val orig = Seq(
+      Bench.QueryResult("q_a", Seq(10.0, 18.0, 19.0), 0, 0, 1L, 1L),
+      Bench.QueryResult("q_b", Seq(5.0, 5.1, 5.2), 0, 0, 2L, 2L))
+    val rerun = Seq(
+      Bench.QueryResult("q_a", Seq(6.9, 7.0, 7.1), 0, 0, 1L, 1L), // box exonerated
+      Bench.QueryResult("q_b", Seq(5.0, 5.3, 5.4), 0, 0, 2L, 2L)) // regression confirmed
+    val (merged, improved) = Bench.mergeRerun(orig, rerun)
+    assert(improved === Seq("q_a"))
+    assert(merged.find(_.name == "q_a").get.median === 7.0)
+    assert(merged.find(_.name == "q_b").get.median === 5.1, "slower re-run must not replace")
+  }
+
+  test("updateBaseline: monotone min-merge, byte-change replace, carry-over, sf guard") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-baseline").toString
+    val path = java.nio.file.Paths.get(dir, "baseline.json")
+    def runBaseline(results: Seq[Bench.QueryResult], sf: String): Unit =
+      Bench.updateBaselineAt(results, 1.0, sf, Bench.readRef(path.toString),
+        path.toString)
+    // seed: q_a 2.0s at bytes 100/100; q_gone 9.9s (not re-measured)
+    java.nio.file.Files.write(path,
+      """{"metric":"baseline","machine_factor":1.0,"sf":"sfX",
+        |"queries":{"q_a":2.0,"q_gone":9.9},
+        |"shuffle_write_b":{"q_a":100,"q_gone":5},
+        |"shuffle_read_b":{"q_a":100,"q_gone":5}}""".stripMargin.replace("\n", "").getBytes("UTF-8"))
+    val results = Seq(
+      // bytes match, faster → baseline drops to 1.5
+      Bench.QueryResult("q_a", Seq(1.4, 1.5, 1.6), 0, 0, 100L, 100L),
+      // new row → added
+      Bench.QueryResult("q_new", Seq(3.0, 3.0, 3.0), 0, 0, 7L, 7L),
+      // contended row → excluded
+      Bench.QueryResult("q_cont", Seq(0.4, 9.9, 10.0), 0, 0, 5L, 5L))
+    assert(Bench.readRef(path.toString).exists(_.sf.contains("sfX")))
+    // wrong sf: file untouched
+    val before = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    runBaseline(results, "sfOTHER")
+    assert(new String(java.nio.file.Files.readAllBytes(path), "UTF-8") === before)
+    // matching sf: min-merge + add + carry, contended excluded
+    runBaseline(results, "sfX")
+    val updated = Bench.readRef(path.toString).get
+    assert(updated.medians("q_a") === 1.5)
+    assert(updated.medians("q_new") === 3.0)
+    assert(updated.medians("q_gone") === 9.9, "unmeasured rows must carry over")
+    assert(!updated.medians.contains("q_cont"), "contended rows must not enter the baseline")
+    // bytes-matching SLOWER run cannot raise it back up
+    runBaseline(Seq(Bench.QueryResult("q_a", Seq(4.0, 4.0, 4.0), 0, 0, 100L, 100L)), "sfX")
+    assert(Bench.readRef(path.toString).get.medians("q_a") === 1.5)
+    // byte-signature change REPLACES (new plan, new truth) — the delta
+    // must clear the 1024-byte jitter floor small rows are allowed
+    runBaseline(Seq(Bench.QueryResult("q_a", Seq(4.0, 4.0, 4.0), 0, 0, 2000000L, 2000000L)), "sfX")
+    assert(Bench.readRef(path.toString).get.medians("q_a") === 4.0)
+  }
+
+  test("sf-gated refs: a smoke run at another sf never reads the sf0.1 baseline") {
+    val tmp = java.nio.file.Files.createTempFile("bench-ref-sf", ".json")
+    java.nio.file.Files.write(tmp,
+      """{"machine_factor":1.0,"sf":"/root/testdata/sf0.1","queries":{"q":1.0},
+        |"shuffle_write_b":{"q":1},"shuffle_read_b":{"q":1}}""".stripMargin.replace("\n", "").getBytes("UTF-8"))
+    val ref = Bench.readRef(tmp.toString)
+    assert(ref.exists(_.sf.contains("/root/testdata/sf0.1")))
+    assert(!ref.exists(_.sf.forall(_ == "/root/testdata/sf0.001")),
+      "an sf0.001 run must reject the sf0.1 reference")
   }
 }
