@@ -117,7 +117,8 @@ object Cli {
           p
         } else (16, 4)
       val kept =
-        if (ensemble) graft.operators.Dedup.ensembleDedupApply(corpus, minJaccard = tau)
+        if (ensemble) graft.operators.Dedup.ensembleDedupApply(corpus,
+          minJaccard = tau, simhashPlan = hammingPlanOf(spark, o, corpus))
         else graft.operators.Dedup.dedupApply(corpus, minJaccard = tau,
           numHashes = nh, rowsPerBand = rpb)
       val out = corpus.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -276,51 +277,64 @@ object Cli {
     case "index-status" :: indexDir :: opts =>
       val o = parseOpts(opts)
       val buckets = o.get("buckets").map(_.toInt).getOrElse(8)
+      // --json true: one machine-readable line per form, for the ops
+      // pipeline that decides "rebuild tonight?" programmatically
+      // (round-12 verdict #7a)
+      val asJson = o.get("json").contains("true")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
       def has(sub: String) =
         fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub"))
+      // (form label, rebuild verb, drift numbers if a build census exists)
+      final case class FormStatus(form: String, verb: String,
+        stats: Option[(Double, Double, Long, Long, Boolean)])
+      def report(st: FormStatus): Unit = st match {
+        case FormStatus(form, verb, Some((tvd, mg, nb, nl, stale))) =>
+          if (asJson) println(s"""{"form":"$form","n_build":$nb,"n_live":$nl,""" +
+            f""""tvd":$tvd%.4f,"max_growth":$mg%.2f,"stale":$stale,"rebuild_with":"$verb"}""")
+          else println(f"[graft] index-status $form: rows $nb -> $nl, " +
+            f"tvd=$tvd%.3f, max growth=$mg%.1fx -> " +
+            (if (stale) s"STALE (rebuild with `$verb`)" else "ok"))
+        case FormStatus(form, verb, None) =>
+          if (asJson) println(s"""{"form":"$form","census":false,"rebuild_with":"$verb"}""")
+          else println(s"[graft] index-status $form: no build census " +
+            s"(pre-census index) — rebuild with `$verb` to enable drift detection")
+      }
       var found = false
       if (has("bands")) {
         found = true
         graft.operators.Dedup.registerBandIndex(spark, "graft_idx", indexDir, buckets)
-        if (spark.catalog.tableExists("graft_idx_bandcensus")) {
-          val s = graft.operators.Dedup.bandDriftStats(spark, "graft_idx")
-          val stale = graft.operators.Dedup.bandIndexStale(spark, "graft_idx")
-          println(f"[graft] index-status band: rows ${s.nBuild} -> ${s.nLive}, " +
-            f"tvd=${s.tvd}%.3f, max growth=${s.maxGrowth}%.1fx -> " +
-            (if (stale) "STALE (rebuild with `bandindex`)" else "ok"))
-        } else println("[graft] index-status band: no build census " +
-          "(pre-census index) — rebuild with `bandindex` to enable drift detection")
+        report(FormStatus("band", "bandindex",
+          if (spark.catalog.tableExists("graft_idx_bandcensus")) {
+            val s = graft.operators.Dedup.bandDriftStats(spark, "graft_idx")
+            Some((s.tvd, s.maxGrowth, s.nBuild, s.nLive,
+              graft.operators.Dedup.bandIndexStale(spark, "graft_idx")))
+          } else None))
       }
       if (has("ivfcells")) {
         found = true
         graft.operators.Similarity.registerCellIndex(spark, "graft_cidx", indexDir, buckets)
-        val twoLevel = spark.catalog.tableExists("graft_cidx_ivfcoarse")
+        val form = if (spark.catalog.tableExists("graft_cidx_ivfcoarse"))
+          "cell (two-level)" else "cell"
         // same pre-census guard as the band/emb branches (round-12
         // ADVICE: a cell index built before the census existed must get
         // the rebuild steer, not a read failure or a phantom tvd=0.5)
-        if (spark.catalog.tableExists("graft_cidx_ivfcensus")) {
-          val s = graft.operators.Similarity.cellDriftStats(spark, "graft_cidx")
-          val stale = graft.operators.Similarity.cellIndexStale(spark, "graft_cidx")
-          println(f"[graft] index-status cell${if (twoLevel) " (two-level)" else ""}: " +
-            f"rows ${s.nBuild} -> ${s.nLive}, tvd=${s.tvd}%.3f, " +
-            f"max growth=${s.maxGrowth}%.1fx -> " +
-            (if (stale) "STALE (rebuild with `embindex`)" else "ok"))
-        } else println(s"[graft] index-status cell${if (twoLevel) " (two-level)" else ""}: " +
-          "no build census (pre-census index) — rebuild with `embindex` to enable drift detection")
+        report(FormStatus(form, "embindex",
+          if (spark.catalog.tableExists("graft_cidx_ivfcensus")) {
+            val s = graft.operators.Similarity.cellDriftStats(spark, "graft_cidx")
+            Some((s.tvd, s.maxGrowth, s.nBuild, s.nLive,
+              graft.operators.Similarity.cellIndexStale(spark, "graft_cidx")))
+          } else None))
       }
       if (has("embbands")) {
         found = true
         graft.operators.Similarity.registerEmbIndex(spark, "graft_eidx", indexDir, buckets)
-        if (spark.catalog.tableExists("graft_eidx_embcensus")) {
-          val s = graft.operators.Similarity.embDriftStats(spark, "graft_eidx")
-          val stale = graft.operators.Similarity.embIndexStale(spark, "graft_eidx")
-          println(f"[graft] index-status emb-band: rows ${s.nBuild} -> ${s.nLive}, " +
-            f"tvd=${s.tvd}%.3f, max growth=${s.maxGrowth}%.1fx -> " +
-            (if (stale) "STALE (rebuild with `embindex`)" else "ok"))
-        } else println("[graft] index-status emb-band: no build census " +
-          "(pre-census index) — rebuild with `embindex` to enable drift detection")
+        report(FormStatus("emb-band", "embindex",
+          if (spark.catalog.tableExists("graft_eidx_embcensus")) {
+            val s = graft.operators.Similarity.embDriftStats(spark, "graft_eidx")
+            Some((s.tvd, s.maxGrowth, s.nBuild, s.nLive,
+              graft.operators.Similarity.embIndexStale(spark, "graft_eidx")))
+          } else None))
       }
       require(found, s"index-status: $indexDir holds no graft index " +
         "(expected bands/, ivfcells/, or embbands/)")
@@ -379,24 +393,7 @@ object Cli {
       val corpus = spark.read.parquet(corpusPath)
       val nRead = corpus.count()
 
-      // --hamming-plan measured spends one chooser census and runs the
-      // ensemble's simhash banding at ITS (m, c) pick; --hamming-plan M:C
-      // pins an explicit plan. Assignments are plan-invariant (pigeonhole
-      // exactness, DedupSpec pin) — this only moves the candidate cost.
-      // Below the chooser's measure floor (1 M distinct rep hashes) the
-      // census is skipped and the static rule answers, so a nightly
-      // release that defaults to `measured` on a small corpus no longer
-      // pays ~2× for nothing (round-11 verdict #1).
-      val simhashPlan = o.get("hamming-plan").map {
-        case "measured" =>
-          val p = graft.operators.Dedup.measuredSimhashPlan(corpus)
-          println(s"[graft] release: measured hamming plan m=${p._1} c=${p._2}")
-          p
-        case s => s.split(":") match {
-          case Array(m, c) => (m.toInt, c.toInt)
-          case _ => sys.error(s"--hamming-plan expects 'measured' or M:C, got $s")
-        }
-      }
+      val simhashPlan = hammingPlanOf(spark, o, corpus)
       val survivors = graft.operators.Dedup
         .ensembleDedupApply(corpus, tau, simhashPlan)
         .select("doc_id")
@@ -735,6 +732,37 @@ object Cli {
 
   /** `--key value` pairs and `--key=value` both parse (the analyze
     * usage message prints the `=` form, so it must round-trip). */
+  /** `--hamming-plan measured | M:C` for the ensemble's simhash banding,
+    * shared by `dedup --ensemble` and `release`. `measured` spends one
+    * chooser census and runs the banding at its (m, c) pick; an explicit
+    * M:C pins a plan. Assignments are plan-invariant (pigeonhole
+    * exactness, DedupSpec pin) — this only moves the candidate cost.
+    * Below the chooser's measure floor (1 M distinct rep hashes) the
+    * census is skipped and the static rule answers (round-11 verdict
+    * #1); with `--index <dir>` naming a persisted band index over the
+    * SAME corpus, even the distinct-count probe is skipped — the floor
+    * gate reads the index's doc count instead (round-12 verdict #4). */
+  private def hammingPlanOf(spark: SparkSession, o: Map[String, String],
+      corpus: DataFrame): Option[(Int, Int)] =
+    o.get("hamming-plan").map {
+      case "measured" =>
+        val known = o.get("index").map { dir =>
+          graft.operators.Dedup.registerBandIndex(spark, "graft_idx", dir,
+            o.get("buckets").map(_.toInt).getOrElse(8))
+          val n = graft.operators.Dedup.bandIndexDocCount(spark, "graft_idx")
+          println(s"[graft] hamming plan: census source $dir ($n docs)")
+          n
+        }
+        val p = graft.operators.Dedup.measuredSimhashPlan(corpus,
+          knownDistinct = known)
+        println(s"[graft] measured hamming plan m=${p._1} c=${p._2}")
+        p
+      case s => s.split(":") match {
+        case Array(m, c) => (m.toInt, c.toInt)
+        case _ => sys.error(s"--hamming-plan expects 'measured' or M:C, got $s")
+      }
+    }
+
   private def parseOpts(opts: List[String]): Map[String, String] = {
     val (eq, pos) = opts.partition(o => o.startsWith("--") && o.contains('='))
     val fromEq = eq.map { o =>

@@ -61,8 +61,10 @@ object ScalingBench {
     "q222_ivf_semdedup",    // SemDeDup via IVF cells (q67's index-tier twin)
     "q223_two_level_routing", // coarse-over-fine quantizer routing (O(n·√k))
     "q113_ensemble_dedup",  // 3 families + shared verify, one corpus scan
+    "q113b_ensemble_measured", // same through the floored chooser's pick (round-12 verdict #5)
     "q124_triangles",       // degree-oriented triangle census
     "q131_graph_components", // iterative min-label CC
+    "q170_sorted_neighborhood", // distributed rank (range shards + offsets, round-12 verdict #2)
     // tier-vs-tier: the same sampling/quantile SEMANTICS in the
     // window-sort form vs the bounded-state form, measured head to head
     // as group sizes grow ×R (groups stay fixed; rows per group scale)
@@ -115,46 +117,85 @@ object ScalingBench {
     base.withColumn("event_id", col("event_id") + lit(k * IdOffset))
       .withColumn("user_id", col("user_id") + lit(k * IdOffset))
 
+  /** customer (the q170 SNM input): key-shift c_custkey and regenerate
+    * c_name from the shifted key in the TPC-H format, so replica names
+    * keep the base corpus's shape (dense numeric suffixes — the regime
+    * where Levenshtein ≤ 2 neighbors exist) while never colliding
+    * across replicas. SNM output stays structurally linear either way
+    * (each row pairs with ≤ w−1 rank neighbors). */
+  private def replicaCustomer(base: DataFrame, k: Int): DataFrame = {
+    val key = col("c_custkey") + lit(k * IdOffset)
+    base.withColumn("c_custkey", key)
+      .withColumn("c_name",
+        if (k == 0) col("c_name") else format_string("Customer#%012d", key))
+  }
+
   /** Builds the ×r corpus under `outDir` (documents, embeddings,
-    * lineitem, events — the tables the headline rows read), or a subset
-    * via `tables` (SPARK_GRAFT_SCALE_TABLES, e.g. "embeddings" for the
-    * vectors-only ×512 regime point — a full ×512 corpus would be GBs
-    * of documents no embedding row reads). Idempotent per table set.
-    * Replicas are written in slices of ≤ 64 per union so a ×512 build
-    * doesn't hand Catalyst one 512-branch union plan. */
+    * lineitem, events, customer — the tables the headline rows read),
+    * or a subset via `tables` (SPARK_GRAFT_SCALE_TABLES, e.g.
+    * "embeddings" for the vectors-only ×512 regime point — a full ×512
+    * corpus would be GBs of documents no embedding row reads).
+    * Idempotent PER TABLE (round-13: set-level markers forced a full
+    * rebuild of every table whenever one joined the set — customer's
+    * arrival must not re-replicate ×64 documents); legacy set-level
+    * markers from earlier rounds are honored. Replicas are written in
+    * slices of ≤ 64 per union so a ×512 build doesn't hand Catalyst one
+    * 512-branch union plan. */
   def buildScale(spark: SparkSession, baseDir: String, outDir: String, r: Int,
-      tables: Set[String] = Set("documents", "embeddings", "lineitem", "events")): Unit = {
-    // v2: events.parquet joined the replica set (window-vs-aggregate rows)
-    val done = java.nio.file.Paths.get(outDir,
-      s"_GRAFT_SCALE_OK_V2_${tables.toSeq.sorted.mkString("_")}")
-    if (java.nio.file.Files.exists(done)) return
-    // pre-subset builds wrote one unsuffixed marker for the full set
-    if (tables.size == 4 &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK_V2"))) return
+      tables: Set[String] = DefaultScaleTables): Unit = {
+    val root = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(root)
+    // markers: per-table "_GRAFT_SCALE_OK_V2_<table>" (current), plus the
+    // legacy forms — bare "_GRAFT_SCALE_OK_V2" (pre-subset full set) and
+    // "_GRAFT_SCALE_OK_V2_<t1>_<t2>..." (set-level) — parsed for the
+    // tables they covered
+    val legacyFull = Set("documents", "embeddings", "lineitem", "events")
+    val covered: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val names = java.nio.file.Files.list(root).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("_GRAFT_SCALE_OK_V2")).toSet
+      names.flatMap { n =>
+        if (n == "_GRAFT_SCALE_OK_V2") legacyFull
+        else n.stripPrefix("_GRAFT_SCALE_OK_V2_").split('_').toSet
+      }
+    }
     def writeSliced(mk: Int => DataFrame, path: String): Unit =
       (0 until r).grouped(64).zipWithIndex.foreach { case (ks, i) =>
         val mode = if (i == 0) "overwrite" else "append"
         ks.map(mk).reduce(_ unionAll _).write.mode(mode).parquet(path)
       }
-    if (tables("documents")) {
+    def build(table: String)(body: => Unit): Unit =
+      if (tables(table) && !covered(table)) {
+        body
+        java.nio.file.Files.write(root.resolve(s"_GRAFT_SCALE_OK_V2_$table"),
+          s"r=$r\n".getBytes("UTF-8"))
+      }
+    build("documents") {
       val docs = Tables.load(spark, baseDir, "documents")
       writeSliced(replicaDocs(docs, _), s"$outDir/documents.parquet")
     }
-    if (tables("embeddings")) {
+    build("embeddings") {
       val emb = Tables.load(spark, baseDir, "embeddings")
       val d = emb.select(size(col("embedding"))).head().getInt(0)
       writeSliced(replicaEmb(emb, _, d), s"$outDir/embeddings.parquet")
     }
-    if (tables("lineitem")) {
+    build("lineitem") {
       val li = Tables.load(spark, baseDir, "lineitem")
       writeSliced(replicaLineitem(li, _), s"$outDir/lineitem.parquet")
     }
-    if (tables("events")) {
+    build("events") {
       val ev = Tables.events(spark, baseDir) // ts normalized before rewrite
       writeSliced(replicaEvents(ev, _), s"$outDir/events.parquet")
     }
-    java.nio.file.Files.write(done, s"r=$r\n".getBytes("UTF-8"))
+    build("customer") {
+      val cu = Tables.load(spark, baseDir, "customer")
+      writeSliced(replicaCustomer(cu, _), s"$outDir/customer.parquet")
+    }
   }
+
+  val DefaultScaleTables: Set[String] =
+    Set("documents", "embeddings", "lineitem", "events", "customer")
 
   final case class Point(query: String, scale: Int, sec: Double, rows: Long,
                          shuffleReadB: Long, shuffleWriteB: Long,
@@ -254,7 +295,7 @@ object ScalingBench {
 
     val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("documents", "embeddings", "lineitem", "events"))
+      .getOrElse(DefaultScaleTables)
     val dirs: Map[Int, String] = scales.map { r =>
       if (r == 1) r -> baseDir
       else {

@@ -111,6 +111,69 @@ object PipelineQueries {
        |        FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
   }
 
+  /** The full ensemble-dedup oracle (all three candidate families +
+    * shared Jaccard verify + recursive CC), shared by q113 and its
+    * measured-plan twin q113b — the banding plan is pigeonhole-exact,
+    * so both rows produce the identical survivor set this SQL names. */
+  private lazy val ensembleOracle: String = {
+    val bits = 48 // width fixes the noise floor (see ensembleDedupImpl)
+    val sums = (0 until bits).map(b =>
+      simhashBitSql(b)).mkString(", ")
+    val packed = (0 until bits).map(b =>
+      s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    s"""WITH RECURSIVE $nearDupCorpus,
+       |$shingleCtes,
+       |$sigCte,
+       |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+       |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
+       |          FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+       |              AND a.doc_id < b.doc_id),
+       |${jaccardCtes(blocked = false)},
+       |sx AS (SELECT doc_id, unnest(whs) AS wh FROM tok),
+       |ssums AS (SELECT doc_id, $sums FROM sx GROUP BY 1),
+       |ssh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
+       |        FROM ssums s JOIN corpus c ON c.doc_id = s.doc_id),
+       |sedges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |           FROM ssh a JOIN ssh b
+       |             ON a.source = b.source AND a.doc_id < b.doc_id
+       |           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |wf AS (SELECT DISTINCT doc_id, fp FROM
+       |       (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh)),
+       |rare AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= ${Dedup.DefaultMaxFpDf}),
+       |wk AS (SELECT w.doc_id, w.fp FROM wf w JOIN rare USING (fp)),
+       |candw AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |setsw AS (SELECT doc_id, list_distinct(shs) AS st FROM sh),
+       |vw AS (SELECT id_a, id_b,
+       |              len(list_intersect(sa.st, sb.st)) AS inter,
+       |              len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)) AS uni
+       |       FROM candw JOIN setsw sa ON sa.doc_id = id_a
+       |                  JOIN setsw sb ON sb.doc_id = id_b),
+       |edges AS (
+       |  SELECT c.id_a, c.id_b FROM cand c JOIN jac j
+       |    ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jacc >= 0.5
+       |  UNION
+       |  SELECT e.id_a, e.id_b FROM sedges e
+       |  JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b
+       |  WHERE j.jacc >= 0.5
+       |  UNION
+       |  SELECT id_a, id_b FROM vw
+       |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+       |bi AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |       UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM bi
+       |  UNION
+       |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+       |noncanon AS (SELECT src AS doc_id FROM reach GROUP BY src
+       |             HAVING least(src, min(dst)) < src)
+       |SELECT c.doc_id, c.source FROM corpus c
+       |WHERE c.doc_id NOT IN (SELECT doc_id FROM noncanon)""".stripMargin
+  }
+
   private val tokCte = "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"
 
   /** The BPE merge-learning CTE chain (wf0 → best_r/wf_r per round),
@@ -1136,64 +1199,21 @@ object PipelineQueries {
     QueryDef("q113_ensemble_dedup",
       (s, dir) => Dedup.ensembleDedupApply(
         Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))),
-      Some {
-        val bits = 48 // width fixes the noise floor (see ensembleDedupImpl)
-        val sums = (0 until bits).map(b =>
-          simhashBitSql(b)).mkString(", ")
-        val packed = (0 until bits).map(b =>
-          s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
-        s"""WITH RECURSIVE $nearDupCorpus,
-           |$shingleCtes,
-           |$sigCte,
-           |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
-           |                 sum(mh) AS s, min(mh) AS mn, max(mh) AS mx
-           |          FROM sig GROUP BY 1, 2),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
-           |              AND a.doc_id < b.doc_id),
-           |${jaccardCtes(blocked = false)},
-           |sx AS (SELECT doc_id, unnest(whs) AS wh FROM tok),
-           |ssums AS (SELECT doc_id, $sums FROM sx GROUP BY 1),
-           |ssh AS (SELECT s.doc_id, CAST($packed AS BIGINT) AS simhash, c.source
-           |        FROM ssums s JOIN corpus c ON c.doc_id = s.doc_id),
-           |sedges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |           FROM ssh a JOIN ssh b
-           |             ON a.source = b.source AND a.doc_id < b.doc_id
-           |           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
-           |wf AS (SELECT DISTINCT doc_id, fp FROM
-           |       (SELECT doc_id, unnest(${TextHash.winnowOverSql("shs", 4)}) AS fp FROM sh)),
-           |rare AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= ${Dedup.DefaultMaxFpDf}),
-           |wk AS (SELECT w.doc_id, w.fp FROM wf w JOIN rare USING (fp)),
-           |candw AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |          FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-           |setsw AS (SELECT doc_id, list_distinct(shs) AS st FROM sh),
-           |vw AS (SELECT id_a, id_b,
-           |              len(list_intersect(sa.st, sb.st)) AS inter,
-           |              len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)) AS uni
-           |       FROM candw JOIN setsw sa ON sa.doc_id = id_a
-           |                  JOIN setsw sb ON sb.doc_id = id_b),
-           |edges AS (
-           |  SELECT c.id_a, c.id_b FROM cand c JOIN jac j
-           |    ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jacc >= 0.5
-           |  UNION
-           |  SELECT e.id_a, e.id_b FROM sedges e
-           |  JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b
-           |  WHERE j.jacc >= 0.5
-           |  UNION
-           |  SELECT id_a, id_b FROM vw
-           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
-           |bi AS (SELECT id_a AS src, id_b AS dst FROM edges
-           |       UNION ALL SELECT id_b, id_a FROM edges),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM bi
-           |  UNION
-           |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
-           |noncanon AS (SELECT src AS doc_id FROM reach GROUP BY src
-           |             HAVING least(src, min(dst)) < src)
-           |SELECT c.doc_id, c.source FROM corpus c
-           |WHERE c.doc_id NOT IN (SELECT doc_id FROM noncanon)""".stripMargin
-      }),
+      Some(ensembleOracle)),
+
+    // the measured-plan twin of q113 (round-12 verdict #5): the
+    // ensemble's rep-edge banding runs at the floored chooser's (m, c)
+    // pick instead of the static rule — survivors are IDENTICAL (every
+    // exact plan is pigeonhole-exact; same oracle), only the candidate
+    // cost moves, and the ×64/×256 scaling rows carry the evidence that
+    // the calibrated pick's ~20% saving reaches the ensemble too
+    QueryDef("q113b_ensemble_measured",
+      (s, dir) => {
+        val corpus = Dedup.withNearDuplicates(Tables.load(s, dir, "documents"))
+        Dedup.ensembleDedupApply(corpus,
+          simhashPlan = Some(Dedup.measuredSimhashPlan(corpus)))
+      },
+      Some(ensembleOracle)),
 
     // deterministic sharded export manifest: stable content-hash shard
     // routing + per-shard digest of the sorted doc hashes — two jobs

@@ -134,6 +134,15 @@ class CliMaintainSpec extends SparkSpec {
       val s2 = out2.toString
       assert(s2.contains("index-status cell") && s2.contains("ok"), s2)
 
+      // --json true: one machine-readable line per form (round-12 #7a)
+      val out3 = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out3)) {
+        Cli.run(spark, List("index-status", s"$dir/cidx", "--buckets", "2",
+          "--json", "true"))
+      }
+      val s3 = out3.toString.trim
+      assert(s3.startsWith("""{"form":"cell"""") && s3.contains(""""stale":false"""), s3)
+
       // nothing there -> loud
       val e = intercept[IllegalArgumentException] {
         Cli.run(spark, List("index-status", s"$dir/empty"))

@@ -220,6 +220,15 @@ class DedupSpec extends SparkSpec {
       measureFloor = 5L) === ((9, 3)))
     assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty,
       measureFloor = 4L) === ((7, 1)))
+    // census-fed floor gate (round-12 verdict #4): a knownDistinct bound
+    // below the floor answers statically — the SAME pick the probe-fed
+    // path makes — without even the distinct().count() probe; a bound
+    // at/above the floor changes nothing (the census still measures the
+    // exact frame and returns its argmin)
+    assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty,
+      measureFloor = 5L, knownDistinct = Some(4L)) === ((9, 3)))
+    assert(Dedup.hammingBlockPlanMeasured(sh, "h", 48, 6, Seq.empty,
+      measureFloor = 4L, knownDistinct = Some(4L)) === ((7, 1)))
   }
 
   test("audio fingerprints pair through the shared hamming banding (third modality)") {

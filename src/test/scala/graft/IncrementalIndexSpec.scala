@@ -559,6 +559,22 @@ class IncrementalIndexSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  /** Round-12 verdict #4: with a persisted band index over the corpus,
+    * the hamming chooser's floor gate reads the index's doc count
+    * instead of paying a corpus-side distinct probe — and must make
+    * exactly the pick the probe-fed path makes. */
+  test("bandIndexDocCount feeds the chooser floor; census-fed pick == probe-fed pick") {
+    cleanup()
+    try {
+      Dedup.writeBandIndex(corpus, "idx", buckets = 4)
+      val n = Dedup.bandIndexDocCount(spark, "idx")
+      assert(n === corpus.count(), "sets table holds one row per doc")
+      val fed = Dedup.measuredSimhashPlan(corpus, knownDistinct = Some(n))
+      val probed = Dedup.measuredSimhashPlan(corpus)
+      assert(fed === probed, "the census source must not change the pick")
+    } finally cleanup()
+  }
+
   /** Round-12 ADVICE: the CLI registers every index under a fixed name
     * (graft_idx/graft_cidx/graft_eidx) via CREATE TABLE IF NOT EXISTS —
     * if an earlier verb in the same session bound the name at a
