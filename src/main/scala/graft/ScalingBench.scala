@@ -289,6 +289,11 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local mode defaults to ONE task attempt; the ×256 spill-heavy
+      // rows hit a transient LZ4/GCLocker read failure once in ~45 k
+      // tasks and a single retry absorbs it (cluster default is 4 —
+      // this just restores that posture for the measurement harness)
+      .config("spark.task.maxFailures", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftRuntime.enable(spark)
@@ -318,29 +323,40 @@ object ScalingBench {
     // can no longer silently drop the committed history (the round-7
     // 41-lost-rows ADVICE class, closed at the tool level)
     val priorRaw = readPrior("scaling_result.json")
-    val points = for (name <- names; r <- scales.sorted) yield {
+    // INCREMENTAL persistence (round 13): the ×256 ensemble campaign died
+    // 1.7 h in to an infra-class task failure (LZ4 shuffle-read corruption
+    // under GCLocker starvation at 46 GB spill) and the end-of-run write
+    // lost every already-measured point — the round-7 lost-rows class at
+    // the tool level. Each point now merges into scaling_result.json AS IT
+    // LANDS (same carry-over semantics, applied per point), so a crash
+    // loses only the in-flight measurement.
+    val points = scala.collection.mutable.ArrayBuffer.empty[Point]
+    def pointJson(p: Point): String =
+      s"""{"query":"${p.query}","scale":${p.scale},"sec":${dstr(p.sec, 3)},"rows":${p.rows},""" +
+      s""""shuffle_read_mb":${dstr(p.shuffleReadB / 1e6, 1)},"shuffle_write_mb":${dstr(p.shuffleWriteB / 1e6, 1)},""" +
+      s""""disk_spill_mb":${dstr(p.diskSpillB / 1e6, 1)},"mem_spill_mb":${dstr(p.memSpillB / 1e6, 1)},""" +
+      s""""reps":${p.reps}""" +
+      (if (p.envRerun)
+        s""","env_rerun":true,"prior_sec":${dstr(p.priorSec.get, 3)},"env_suspect":${p.envSuspect}"""
+       else "") + "}"
+    def persist(): String = {
+      val measured = points.map(p => (p.query, p.scale)).toSet
+      val carried = priorLines("scaling_result.json")
+        .filterNot { case ((q, s), _) => measured((q, s)) }.values.toSeq
+      val json = (carried ++ points.map(pointJson)).mkString("[", ",", "]")
+      java.nio.file.Files.write(java.nio.file.Paths.get("scaling_result.json"),
+        (json + "\n").getBytes("UTF-8"))
+      json
+    }
+    for (name <- names; r <- scales.sorted) {
       val p = measure(spark, name, dirs(r), r, reps, probe,
         priorRaw.get((name, r)).map { case (sec, rdMb, wrMb) => (sec, rdMb + wrMb) })
       System.err.println(f"[scaling] ${p.query}%-24s x${p.scale}%-3d ${p.sec}%8.2f s  ${p.rows}%10d rows  shW=${p.shuffleWriteB / 1e6}%9.1f MB  spill=${p.diskSpillB / 1e6}%7.1f MB" +
         (if (p.envRerun) s"  reps=${p.reps} env_suspect=${p.envSuspect}" else ""))
-      p
+      points += p
+      persist()
     }
-
-    val measured = points.map(p => (p.query, p.scale)).toSet
-    val carried = priorLines("scaling_result.json")
-      .filterNot { case ((q, s), _) => measured((q, s)) }.values.toSeq
-    val json = (carried ++ points.map(p =>
-        s"""{"query":"${p.query}","scale":${p.scale},"sec":${dstr(p.sec, 3)},"rows":${p.rows},""" +
-        s""""shuffle_read_mb":${dstr(p.shuffleReadB / 1e6, 1)},"shuffle_write_mb":${dstr(p.shuffleWriteB / 1e6, 1)},""" +
-        s""""disk_spill_mb":${dstr(p.diskSpillB / 1e6, 1)},"mem_spill_mb":${dstr(p.memSpillB / 1e6, 1)},""" +
-        s""""reps":${p.reps}""" +
-        (if (p.envRerun)
-          s""","env_rerun":true,"prior_sec":${dstr(p.priorSec.get, 3)},"env_suspect":${p.envSuspect}"""
-         else "") + "}"))
-      .mkString("[", ",", "]")
-    java.nio.file.Files.write(java.nio.file.Paths.get("scaling_result.json"),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+    println(persist())
     spark.stop()
   }
 
